@@ -1,13 +1,50 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Upsert
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory of SURVEY.md §2: one entry per
+  * operator, each paired (where SQL-expressible) with DuckDB oracle SQL
+  * in `oracleSql`. Column names and row order match between the two by
+  * construction (total ORDER BY, explicit aliases, DECIMAL money sums —
+  * SURVEY.md §7.4).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship slice (SURVEY.md §7.1): ingest `events` (the API-feed
+    * analog of weather-etl.py:98-143) → typed projection → U1 dedup
+    * (weather-etl.py:155-158) → U2 last-writer-wins snapshot per
+    * (user, 5-min window) (weather-etl.py:152-163) → tumbling aggregate
+    * → ordered output. Driver smoke-checks rows > 0 on sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val typed = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val deduped = typed.dropDuplicates("event_id")
+    val keyed = deduped.withColumn("ws", window(col("ts"), "5 minutes").getField("start"))
+    val snapshot = Upsert.dedupKeyed(keyed, Seq("user_id", "ws"), Seq(col("ts"), col("event_id")))
+    snapshot
+      .groupBy(col("ws"))
+      .agg(count(lit(1)).as("n_users"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("ws"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Scalars.defs ++ Joins.defs ++ Aggregates.defs ++ Windows.defs ++
+      SetOps.defs ++ StreamingBatch.defs
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (approx sketches, LSH) → driver records a rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    Scalars.oracle ++ Joins.oracle ++ Aggregates.oracle ++ Windows.oracle ++
+      SetOps.oracle ++ StreamingBatch.oracle
 }

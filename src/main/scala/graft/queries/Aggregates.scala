@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables.table
+
+/** Aggregation queries (SURVEY.md §2.4).
+  *
+  * Money-valued sums are computed as per-row DECIMAL(18,2) casts then
+  * exact decimal sums in BOTH engines — associative and therefore
+  * immune to partition order at any scale (SURVEY.md §7.4). Spark's
+  * partial+final HashAggregate gives map-side combine for free.
+  */
+object Aggregates {
+  type Q = (SparkSession, String) => DataFrame
+  private def money(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  private val dec2 = DecimalType(18, 2)
+
+  val defs: Map[String, Q] = Map(
+    // TPC-H Q1 shape.
+    "q_agg_basic" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(money(col("l_quantity"))).cast(dec2).as("sum_qty"),
+          sum(money(col("l_extendedprice"))).cast(dec2).as("sum_base"),
+          // 2dp×2dp product has exactly 4 decimal digits, so a 4dp cast
+          // never hits a rounding half-way — a 2dp cast does (engines
+          // disagree on half-even vs half-up for double→decimal).
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4)))
+            .cast(DecimalType(18, 4)).as("sum_disc"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q_agg_having" -> ((s, d) =>
+      table(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(money(col("o_totalprice"))).cast(dec2).as("total"))
+        .filter(col("n") > 12)
+        .orderBy(col("o_custkey"))),
+
+    // Generalization of the reference's SELECT DISTINCT merge step
+    // (weather-etl.py:155-158).
+    "q_agg_distinct" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"))
+        .orderBy(col("l_returnflag"))),
+
+    // Approximate distinct (HLL) — the 100 TB-scale form of the above.
+    // No oracle: approximate by design; spec asserts rsd bound vs exact.
+    "q_agg_approx" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy(col("l_returnflag"))),
+
+    "q_agg_stats" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_q"),
+          round(var_samp(col("l_quantity")), 6).as("var_q"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("med_q"))
+        .orderBy(col("l_returnflag"))),
+
+    "q_agg_rollup" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(money(col("l_quantity"))).cast(dec2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "q_agg_cube" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(money(col("l_quantity"))).cast(dec2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "q_agg_gsets" -> ((s, d) => {
+      table(s, d, "lineitem").createOrReplaceTempView("lineitem_gsets")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+                  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+                  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+                  count(*) AS n
+           FROM lineitem_gsets
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+           ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    }),
+
+    // array_agg/string_agg analog; sorted inside the group for
+    // deterministic output (SURVEY.md §7.4).
+    "q_agg_collect" -> ((s, d) =>
+      table(s, d, "customer")
+        .join(broadcast(table(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          array_join(array_sort(collect_list(col("c_name"))), ",").as("names"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_name"))),
+
+    "q_agg_cond" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("l_returnflag") === "A", money(col("l_extendedprice")))
+            .otherwise(lit(0).cast(dec2))).cast(dec2).as("sum_a"),
+          count(when(col("l_quantity") > 40, 1)).as("n_heavy"))
+        .orderBy(col("l_linestatus")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_basic" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc,
+                round(avg(l_quantity), 6) AS avg_qty,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q_agg_having" ->
+      """SELECT o_custkey, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+         FROM orders GROUP BY o_custkey HAVING count(*) > 12
+         ORDER BY o_custkey""",
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_partkey) AS nd_part,
+                count(DISTINCT l_suppkey) AS nd_supp
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+                round(stddev_samp(l_quantity), 6) AS sd_q,
+                round(var_samp(l_quantity), 6) AS var_q,
+                round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+                round(quantile_cont(l_quantity, 0.5), 6) AS med_q
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+                count(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+                count(*) AS n
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q_agg_gsets" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+                CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+                count(*) AS n
+         FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q_agg_collect" ->
+      """SELECT n_name,
+                string_agg(c_name, ',' ORDER BY c_name) AS names,
+                count(*) AS n
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+
+    "q_agg_cond" ->
+      """SELECT l_linestatus,
+                CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS sum_a,
+                count(*) FILTER (WHERE l_quantity > 40) AS n_heavy
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""
+  )
+}

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables.table
+
+/** Join queries (SURVEY.md §2.3) on the star-schema fixtures.
+  *
+  * Scale notes: dimension sides (customer, nation, region, derived
+  * bucket tables) are `broadcast()`-hinted — at 100 TB the fact tables
+  * shuffle only when the join key demands it, and AQE handles skew.
+  * The as-of join is a composite (union + last-ignore-nulls window),
+  * which shuffles once by key instead of doing a range cross join.
+  */
+object Joins {
+  type Q = (SparkSession, String) => DataFrame
+  private def money(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  val defs: Map[String, Q] = Map(
+    "q_join_inner" -> ((s, d) =>
+      table(s, d, "orders")
+        .join(broadcast(table(s, d, "customer")), col("o_custkey") === col("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_name"), money(col("o_totalprice")).as("price"))
+        .orderBy(col("o_orderkey"))),
+
+    "q_join_left" -> ((s, d) =>
+      table(s, d, "customer")
+        .join(
+          table(s, d, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("o_orderkey"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)),
+
+    "q_join_full" -> ((s, d) => {
+      val cc = table(s, d, "customer").groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+      val ss = table(s, d, "supplier").groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+      cc.join(ss, col("c_nationkey") === col("s_nationkey"), "full")
+        .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"), col("n_cust"), col("n_supp"))
+        .orderBy(col("nationkey"))
+    }),
+
+    "q_join_semi" -> ((s, d) =>
+      table(s, d, "customer")
+        .join(
+          table(s, d, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    "q_join_anti" -> ((s, d) =>
+      table(s, d, "customer")
+        .join(
+          table(s, d, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // Non-equi (theta) join: the build side is tiny and broadcast, so
+    // the nested-loop stays O(|orders| * 5) at any scale.
+    "q_join_theta" -> ((s, d) => {
+      val buckets = table(s, d, "region")
+        .select(
+          col("r_regionkey").as("bucket"),
+          (col("r_regionkey") * 100000.0).as("lo"),
+          ((col("r_regionkey") + 1) * 100000.0).as("hi"))
+      table(s, d, "orders")
+        .join(broadcast(buckets), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(money(col("o_totalprice"))).cast(DecimalType(18, 2)).as("total"))
+        .orderBy(col("bucket"))
+    }),
+
+    "q_join_multi" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          // 4dp cast: exact for 2dp×2dp products, avoids half-way
+          // rounding divergence between engines (see Aggregates).
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4)))
+            .cast(DecimalType(18, 4)).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("r_name"), col("n_name"))),
+
+    // As-of join: latest click at-or-before each purchase, per user
+    // (time-series semantics of the reference's keyed weather table,
+    // weather-etl.py:76). Composite: tag + union + last(ignoreNulls)
+    // window — one shuffle by user_id, no range cross join.
+    "q_join_asof" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_value"))
+        .select(col("user_id"), col("ts"), col("click_value"),
+          lit(0).as("kind"), lit(null).cast("long").as("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(null).cast("double").as("click_value"),
+          lit(1).as("kind"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("click_ts", last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+        .withColumn("cv", last(when(col("kind") === 0, col("click_value")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1 && col("click_ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"), col("click_ts"), col("cv").as("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_cross" -> ((s, d) =>
+      table(s, d, "region").crossJoin(table(s, d, "nation"))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_name, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+
+    "q_join_left" ->
+      """SELECT c_custkey, o_orderkey
+         FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+           ON c_custkey = o_custkey
+         ORDER BY c_custkey, o_orderkey NULLS FIRST""",
+
+    "q_join_full" ->
+      """SELECT coalesce(c_nationkey, s_nationkey) AS nationkey, n_cust, n_supp
+         FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+         FULL JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+           ON c_nationkey = s_nationkey
+         ORDER BY nationkey""",
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+         ORDER BY c_custkey""",
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+         ORDER BY c_custkey""",
+
+    "q_join_theta" ->
+      """SELECT r_regionkey AS bucket, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+         FROM orders JOIN region
+           ON o_totalprice >= r_regionkey * 100000.0 AND o_totalprice < (r_regionkey + 1) * 100000.0
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_join_multi" ->
+      """SELECT r_name, n_name,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+                count(*) AS n
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+
+    "q_join_asof" ->
+      """WITH clicks AS (
+           SELECT user_id, ts, max(value) AS click_value
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         purch AS (
+           SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.ts AS ts, c.ts AS click_ts, c.click_value
+         FROM purch p ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.event_id""",
+
+    "q_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"
+  )
+}

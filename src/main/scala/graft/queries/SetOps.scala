@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables.table
+import graft.operators.Upsert
+
+/** Sort / limit / top-k / set ops / dedup / upsert / subqueries / CTE /
+  * pivot (SURVEY.md §2.6).
+  *
+  * U1/U2 are the core semantics of the reference's merge step
+  * (weather-etl.py:152-163), exposed via [[graft.operators.Upsert]].
+  * `orderBy.limit` compiles to TakeOrderedAndProject (top-k pushdown —
+  * no full sort at scale).
+  */
+object SetOps {
+  type Q = (SparkSession, String) => DataFrame
+  private def money(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  private val dec2 = DecimalType(18, 2)
+
+  val defs: Map[String, Q] = Map(
+    "q_sort" -> ((s, d) =>
+      table(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .orderBy(col("c_mktsegment").asc, col("c_acctbal").desc, col("c_custkey").asc)),
+
+    "q_limit" -> ((s, d) =>
+      table(s, d, "orders")
+        .select(col("o_orderkey"), money(col("o_totalprice")).as("price"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+        .limit(10)),
+
+    "q_topk_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      table(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("rn").cast("int").as("rn"),
+          col("o_orderkey"), money(col("o_totalprice")).as("price"))
+        .orderBy(col("o_orderpriority"), col("rn"))
+    }),
+
+    "q_union_all" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      val a = ev.filter(col("event_type") === "error").select(col("event_id"), col("event_type"), col("value"))
+      val b = ev.filter(col("value") > 150).select(col("event_id"), col("event_type"), col("value"))
+      a.unionByName(b).orderBy(col("event_id"), col("event_type"), col("value"))
+    }),
+
+    "q_union" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      val a = ev.filter(col("event_type") === "error").select(col("event_id"), col("event_type"), col("value"))
+      val b = ev.filter(col("value") > 150).select(col("event_id"), col("event_type"), col("value"))
+      a.unionByName(b).distinct().orderBy(col("event_id"), col("event_type"), col("value"))
+    }),
+
+    "q_intersect" -> ((s, d) =>
+      table(s, d, "customer").filter(col("c_acctbal") > 0).select(col("c_custkey"))
+        .intersect(table(s, d, "orders").select(col("o_custkey").as("c_custkey")))
+        .orderBy(col("c_custkey"))),
+
+    "q_except" -> ((s, d) =>
+      table(s, d, "customer").select(col("c_custkey"))
+        .except(table(s, d, "orders").filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey").as("c_custkey")))
+        .orderBy(col("c_custkey"))),
+
+    // U1 plain: DISTINCT (weather-etl.py:155-158 analog).
+    "q_dedup" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // U1 keyed: one row per (user_id, event_type), latest wins.
+    "q_dedup_keyed" -> ((s, d) =>
+      Upsert.dedupKeyed(
+        table(s, d, "events"),
+        Seq("user_id", "event_type"),
+        Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+        .orderBy(col("user_id"), col("event_type"))),
+
+    // U2: keyed upsert, incoming batch wins (weather-etl.py:152-163).
+    "q_upsert" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      val target = ev.filter(col("event_id") % 3 === 0)
+        .select(col("event_id"), col("value"), lit("old").as("src"))
+      val incoming = ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), (col("value") + 1000).as("value"), lit("new").as("src"))
+      Upsert.upsert(target, incoming, Seq("event_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_subq_scalar" -> ((s, d) => {
+      val c = table(s, d, "customer")
+      val avgBal = c.agg(avg(col("c_acctbal")).as("ab"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_subq_in" -> ((s, d) =>
+      table(s, d, "orders")
+        .join(
+          broadcast(table(s, d, "customer")
+            .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))),
+
+    "q_cte" -> ((s, d) => {
+      val rev = table(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(money(col("o_totalprice"))).cast(dec2).as("rev"))
+      rev.join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("rev"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_pivot" -> ((s, d) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val piv = table(s, d, "customer")
+        .groupBy(col("c_nationkey"))
+        .pivot("c_mktsegment", segs)
+        .agg(count(lit(1)))
+      piv.select(col("c_nationkey") +:
+          segs.map(g => coalesce(col(s"`$g`"), lit(0L)).as(g.toLowerCase)): _*)
+        .orderBy(col("c_nationkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sort" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+         ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC""",
+
+    "q_limit" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+         FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""",
+
+    "q_topk_group" ->
+      """SELECT o_orderpriority, CAST(rn AS INTEGER) AS rn, o_orderkey, price FROM (
+           SELECT o_orderpriority, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                  row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3
+         ORDER BY o_orderpriority, rn""",
+
+    "q_union_all" ->
+      """SELECT event_id, event_type, value FROM events WHERE event_type = 'error'
+         UNION ALL
+         SELECT event_id, event_type, value FROM events WHERE value > 150
+         ORDER BY event_id, event_type, value""",
+
+    "q_union" ->
+      """SELECT event_id, event_type, value FROM events WHERE event_type = 'error'
+         UNION
+         SELECT event_id, event_type, value FROM events WHERE value > 150
+         ORDER BY event_id, event_type, value""",
+
+    "q_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 0
+         INTERSECT SELECT o_custkey FROM orders
+         ORDER BY c_custkey""",
+
+    "q_except" ->
+      """SELECT c_custkey FROM customer
+         EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+         ORDER BY c_custkey""",
+
+    "q_dedup" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
+
+    "q_dedup_keyed" ->
+      """SELECT user_id, event_type, event_id, ts FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1
+         ORDER BY user_id, event_type""",
+
+    "q_upsert" ->
+      """SELECT event_id, value, src FROM (
+           SELECT t.event_id, t.value, t.src
+           FROM (SELECT event_id, value, 'old' AS src FROM events WHERE event_id % 3 = 0) t
+           ANTI JOIN (SELECT event_id FROM events WHERE event_id % 2 = 0) i
+             ON t.event_id = i.event_id
+           UNION ALL
+           SELECT event_id, value + 1000 AS value, 'new' AS src FROM events WHERE event_id % 2 = 0)
+         ORDER BY event_id""",
+
+    "q_subq_scalar" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+         ORDER BY c_custkey""",
+
+    "q_subq_in" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+         ORDER BY o_orderkey""",
+
+    "q_cte" ->
+      """WITH r AS (
+           SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+           FROM orders GROUP BY o_custkey)
+         SELECT c_custkey, c_name, rev
+         FROM r JOIN customer ON o_custkey = c_custkey
+         ORDER BY c_custkey""",
+
+    "q_pivot" ->
+      """SELECT c_nationkey,
+                count(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS automobile,
+                count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS building,
+                count(*) FILTER (WHERE c_mktsegment = 'FURNITURE') AS furniture,
+                count(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS household,
+                count(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS machinery
+         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""
+  )
+}

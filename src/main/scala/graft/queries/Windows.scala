@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables.table
+
+/** Window-function queries (SURVEY.md §2.5).
+  *
+  * Every window orders by a unique key suffix (ts, event_id) /
+  * (value, key) so frame contents — and therefore results — are
+  * deterministic across engines and partitionings. Running decimal
+  * sums use per-row DECIMAL casts for cross-engine exactness.
+  */
+object Windows {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // row_number per key — the engine's upsert primitive
+    // (last-writer-wins realization of ON CONFLICT DO UPDATE,
+    // weather-etl.py:159-162).
+    "q_win_rownum" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      table(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q_win_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(floor(col("o_totalprice") / 50000))
+      val wu = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      table(s, d, "orders")
+        .select(
+          col("o_orderkey"), col("o_orderpriority"),
+          rank().over(w).cast("int").as("rnk"),
+          dense_rank().over(w).cast("int").as("drnk"),
+          round(percent_rank().over(w), 6).as("pr"),
+          ntile(4).over(wu).cast("int").as("q4"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_win_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      table(s, d, "events")
+        .select(
+          col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_win_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, d, "events")
+        .select(
+          col("event_id"), col("user_id"),
+          sum(col("value").cast(DecimalType(18, 6))).over(w).cast(DecimalType(18, 6)).as("running"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_win_moving" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      table(s, d, "events")
+        .select(
+          col("event_id"), col("user_id"),
+          round(avg(col("value")).over(w), 6).as("mavg"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Value-range frame: contents depend only on values, not row order.
+    "q_win_range" -> ((s, d) =>
+      table(s, d, "orders")
+        .select(
+          col("o_orderkey"), col("o_orderpriority"),
+          expr("count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)").as("n_in_range"))
+        .orderBy(col("o_orderkey"))),
+
+    "q_win_firstlast" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      table(s, d, "events")
+        .select(
+          col("event_id"), col("user_id"),
+          first(col("value")).over(w).as("first_v"),
+          last(col("value")).over(w).as("last_v"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rownum" ->
+      """SELECT user_id, event_id, ts, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1
+         ORDER BY user_id""",
+
+    "q_win_rank" ->
+      """SELECT o_orderkey, o_orderpriority,
+                CAST(rank() OVER w AS INTEGER) AS rnk,
+                CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+                round(percent_rank() OVER w, 6) AS pr,
+                CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS q4
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY floor(o_totalprice / 50000))
+         ORDER BY o_orderkey""",
+
+    "q_win_lag" ->
+      """SELECT event_id, user_id, value,
+                lag(value) OVER w AS prev_value,
+                value - lag(value) OVER w AS delta
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY event_id""",
+
+    "q_win_running" ->
+      """SELECT event_id, user_id,
+                CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)) AS running
+         FROM events ORDER BY event_id""",
+
+    "q_win_moving" ->
+      """SELECT event_id, user_id,
+                round(avg(value) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg
+         FROM events ORDER BY event_id""",
+
+    "q_win_range" ->
+      """SELECT o_orderkey, o_orderpriority,
+                count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                               RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS n_in_range
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_win_firstlast" ->
+      """SELECT event_id, user_id,
+                first_value(value) OVER w AS first_v,
+                last_value(value) OVER w AS last_v
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY event_id"""
+  )
+}
