@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline
+  * (SURVEY.md §2.8): tokenization, character shingles, quality
+  * signals, language-ID heuristic, document fingerprints.
+  *
+  * All built-in expressions — codegen'd, distributable, no UDFs.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (the fixture `documents.text` is
+    * space-separated word soup).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish token counting: alnum runs, the cross-engine-stable
+    * approximation of a subword tokenizer's pre-tokenizer.
+    * Takes a column NAME (SQL form — regexp_extract_all has no Scala
+    * DSL binding).
+    */
+  def regexTokenCount(textCol: String): Column =
+    size(expr(s"regexp_extract_all($textCol, '[A-Za-z0-9]+', 0)"))
+
+  /** Character n-gram shingles (default trigrams) over a text column
+    * name, deduplicated, guarded for texts shorter than n. SQL form
+    * because `substring` with a non-literal start position is only
+    * exposed through the parser.
+    */
+  def shinglesExpr(textCol: String, n: Int = 3): Column =
+    expr(s"CASE WHEN length($textCol) < $n THEN CAST(array() AS array<string>) " +
+      s"ELSE array_distinct(transform(sequence(1, length($textCol) - ${n - 1}), i -> substring($textCol, i, $n))) END")
+
+  /** Jaccard similarity between two (deduplicated) string-array sets. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  private val stopwordsByLang: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "nicht"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour"))
+
+  /** Count of words from `dict` present in the token array. */
+  def stopwordHits(words: Column, dict: Seq[String]): Column =
+    size(array_intersect(words, array(dict.map(lit): _*)))
+
+  /** n-gram/stopword language-ID heuristic: argmax of per-language
+    * stopword hit counts; 'und' (undetermined) when no list scores.
+    * A real system would use character-n-gram profiles; the structure
+    * (per-language score columns → greatest → case) is the same.
+    */
+  def langId(words: Column): Column = {
+    val scored = stopwordsByLang.toSeq.sortBy(_._1)
+      .map { case (lang, dict) => (lang, stopwordHits(words, dict)) }
+    val best = greatest(scored.map(_._2): _*)
+    scored.foldLeft(when(best <= 0, "und")) { case (acc, (lang, score)) =>
+      acc.when(score === best, lang)
+    }.otherwise("und")
+  }
+
+  /** Quality score in [0,1]: length signal × (1 − stopword ratio).
+    * Mirrors the length/punct/stopword-ratio family of heuristic
+    * quality filters used on web-scale corpora.
+    */
+  def qualityScore(text: Column): Column = {
+    val words = tokens(text)
+    val nWords = size(words).cast("double")
+    val stopRatio = stopwordHits(words, stopwordsByLang("en")).cast("double") / nWords
+    round(least(lit(1.0), nWords / 100.0) * (lit(1.0) - stopRatio), 6)
+  }
+
+  /** Order-insensitive bag fingerprint: hash of the sorted distinct
+    * token set. Two docs with the same vocabulary collide — the cheap
+    * canonical-form dedup key.
+    */
+  def bagFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** 64-bit SimHash over whitespace tokens, built from per-token
+    * xxhash64 bit votes. Returned as a Long column. Tokens are
+    * weighted equally; near-duplicate docs differ in few bits
+    * (hamming distance), which is what the LSH banding in
+    * [[graft.operators.Dedup]] exploits.
+    */
+  def simhashBitVote(wordHash: Column, bit: Int): Column =
+    when(shiftright(wordHash, bit).bitwiseAND(1) === 1, 1).otherwise(-1)
+}

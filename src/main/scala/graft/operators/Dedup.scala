@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines
+  * (SURVEY.md §2.8): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design: every method here is shuffle-bounded by GROUP BY /
+  * equi-JOIN on hash keys — there is no cross join anywhere. At 100 TB
+  * the candidate-pair generation (band bucket self-join) is the only
+  * super-linear step, and its cost is governed by bucket occupancy,
+  * tunable via (bands × rows) exactly as in the MinHash-LSH
+  * literature.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash (scale-out form of the reference's
+    * SELECT DISTINCT, weather-etl.py:155-158): one row per distinct
+    * text, keeping the smallest id.
+    */
+  def exactByHash(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.withColumn("h", sha2(col(textCol), 256))
+      .groupBy(col("h"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: k independent permutations approximated by
+    * k seeded xxhash64 functions; sig[i] = min over tokens of
+    * hash_i(token). Pure higher-order expressions — codegen'd, no UDF.
+    */
+  def minhashSignature(words: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(words, w => xxhash64(i, w))))
+
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * shingle/tokenize → k-minhash signature → band into (bands ×
+    * rowsPerBand) → bucket-join within bands → verify candidates with
+    * exact Jaccard ≥ threshold. Only candidate pairs (same band
+    * bucket) are ever joined — the crossJoin-free scale path.
+    *
+    * @return (doc_a, doc_b, jaccard) with doc_a < doc_b
+    */
+  def minhashNearDups(
+      docs: DataFrame, textCol: String, idCol: String,
+      bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.6): DataFrame = {
+    val k = bands * rowsPerBand
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      array_distinct(TextFunctions.tokens(col(textCol))).as("words"))
+    val sigs = base.withColumn("sig", minhashSignature(col("words"), k))
+
+    val banded = sigs.select(
+      col("doc_id"), col("words"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("words").as("words_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("words").as("words_b"))
+
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("words_a"), col("words_b"))
+      .dropDuplicates("doc_a", "doc_b") // same pair can share several bands
+      .withColumn("jaccard", TextFunctions.jaccard(col("words_a"), col("words_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash per document: per-token xxhash64 bit votes summed,
+    * sign → bit. Near-dups have small hamming distance.
+    */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .withColumn("wh", xxhash64(col("word")))
+    val votes = (0 until 64).map(j =>
+      sum(TextFunctions.simhashBitVote(col("wh"), j)).as(s"b$j"))
+    val summed = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val bits = (0 until 64).map(j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+    summed.select(col("doc_id"), bits.reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs: band the 64-bit hash into four
+    * 16-bit chunks (any pair within hamming distance 3 shares at least
+    * one exact chunk — pigeonhole), bucket-join, then verify hamming ≤
+    * maxHamming via bit_count.
+    */
+  def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs, textCol, idCol)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+    val a = banded.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+  }
+}

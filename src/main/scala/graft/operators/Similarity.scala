@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Similarity search over embedding columns (SURVEY.md §2.8).
+  *
+  * Two paths:
+  *  - [[bruteForceKnn]] — exact: broadcast the (small) query set
+  *    against the full corpus; O(|Q|·N) cosine evaluations, fully
+  *    distributed, no shuffle of the corpus. The verified baseline.
+  *  - [[lshKnn]] — approximate scale path: random-hyperplane LSH
+  *    bucket join; each vector is compared only against candidates
+  *    sharing a code bucket (multi-probe over 1-bit flips), so the
+  *    per-query cost is bucket occupancy, not N. At 100 TB the bucket
+  *    join is an equi-shuffle — the same shape as the MinHash path.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * @return (query_id, cand_id, rank[, cos]) — rank by cosine desc,
+    *         ties broken by cand_id; cosine rounded to 9dp before
+    *         ranking so cross-engine float noise cannot flip ranks.
+    */
+  def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+      includeScore: Boolean = false): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("qnorm", norm(col("qv")))
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .withColumn("cnorm", norm(col("cv")))
+    val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 9))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    val ranked = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val base = ranked.select(col("query_id"), col("cand_id"), col("rank").cast("int").as("rank"))
+    if (includeScore) ranked.select(col("query_id"), col("cand_id"),
+      col("rank").cast("int").as("rank"), col("cos"))
+    else base
+  }
+
+  /** Deterministic pseudo-random hyperplanes: nPlanes × dim weights in
+    * [-1, 1) from a fixed LCG seed — identical on every executor and
+    * every run, no runtime entropy.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    var s = seed
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Array.fill(nPlanes)(Array.fill(dim)(next()))
+  }
+
+  /** Sign-bit LSH code (one long, nPlanes ≤ 63 bits) for an embedding
+    * column, against the deterministic hyperplanes.
+    */
+  def lshCode(spark: SparkSession, df: DataFrame, embCol: String,
+      nPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val bits = (0 until nPlanes).map { p =>
+      val w = array(planes(p).map(lit).toIndexedSeq: _*)
+      val d = aggregate(zip_with(toDouble(col(embCol)), w, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    df.withColumn("lsh_code", bits.reduce(_.bitwiseOR(_)))
+  }
+
+  /** Approximate top-k: queries probe their own bucket plus all 1-bit
+    * neighbor buckets (multi-probe), candidates are verified with the
+    * exact cosine, ranked per query. Recall vs [[bruteForceKnn]] is
+    * asserted in the spec.
+    */
+  def lshKnn(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+      k: Int, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val qc = lshCode(spark, queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv")), "qv", nPlanes, dim)
+    val cc = lshCode(spark, corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv")), "cv", nPlanes, dim)
+    // multi-probe: explode each query into its code + nPlanes 1-bit flips
+    val probes = qc.select(col("query_id"), col("qv"), col("lsh_code"),
+      explode(array((lit(0L) +: (0 until nPlanes).map(p => shiftleft(lit(1L), p))): _*))
+        .as("flip"))
+      .withColumn("probe_code", col("lsh_code").bitwiseXOR(col("flip")))
+      .select(col("query_id"), col("qv"), col("probe_code"))
+    val cands = probes.join(cc, col("probe_code") === col("lsh_code"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .dropDuplicates("query_id", "cand_id")
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 9))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank").cast("int").as("rank"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity
+    * threshold, restricted to LSH-bucket candidates (scale path) —
+    * the embedding-space analog of MinHash near-dedup.
+    */
+  def cosineNearDups(spark: SparkSession, vectors: DataFrame,
+      threshold: Double, nPlanes: Int = 10, dim: Int = 64): DataFrame = {
+    val coded = lshCode(spark, vectors.select(col("vec_id"), col("embedding")),
+      "embedding", nPlanes, dim)
+    val a = coded.select(col("lsh_code"), col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = coded.select(col("lsh_code"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, Seq("lsh_code"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 9))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,315 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Similarity}
+
+/** LLM-data-pipeline extension queries (SURVEY.md §2.8): dedup family,
+  * similarity search, text analysis, multimodal columns.
+  *
+  * Oracle'd queries follow the §7.4 determinism rules; float-ranked
+  * outputs (kNN) round scores to 9dp before ranking so cross-engine
+  * noise cannot flip ranks, and fold doubles strictly left-to-right to
+  * match DuckDB's sequential list_sum (verified bit-exact).
+  * LSH/MinHash variants are model-defined (no SQL oracle) and are
+  * property-tested in the specs instead.
+  */
+object Extensions {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  val defs: Map[String, Q] = Map(
+    // ---- dedup family -------------------------------------------------
+    "q_x_exact_dedup" -> ((s, d) =>
+      Dedup.exactByHash(table(s, d, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("h"), col("n_copies"))
+        .orderBy(col("doc_id"))),
+
+    "q_x_fingerprint" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.bagFingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // MinHash-LSH near-dedup: b=4 bands × r=8 rows ⇒ ~0.99 recall at
+    // jaccard 0.9 while colliding only ~7% of 0.6-similarity pairs.
+    // The fixture corpus is drawn from a tiny vocabulary, so MOST doc
+    // pairs are >0.6-similar — a deterministic 40% sample keeps the
+    // candidate set bounded as sf grows (real corpora aren't
+    // all-pairs-similar; the LSH prune carries the 100 TB case).
+    // No SQL oracle (hash-model-defined); spec asserts recall vs exact
+    // jaccard on the fixture.
+    "q_x_near_dedup" -> ((s, d) =>
+      Dedup.minhashNearDups(
+          table(s, d, "documents").filter(col("doc_id") % 5 < 2),
+          "text", "doc_id", bands = 4, rowsPerBand = 8, threshold = 0.9)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q_x_simhash_dedup" -> ((s, d) =>
+      Dedup.simhashNearDups(table(s, d, "documents"), "text", "doc_id",
+          maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Exact shingled Jaccard on adjacent-id pairs (the fixture plants
+    // near-dups in consecutive docs).
+    "q_x_ngram_jaccard" -> ((s, d) => {
+      val sh = table(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.shinglesExpr("text", 3).as("s"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+      a.join(b, col("doc_a") + 1 === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(TextFunctions.jaccard(col("sa"), col("sb")), 6).as("jaccard"))
+        .orderBy(col("doc_a"))
+    }),
+
+    // ---- similarity search -------------------------------------------
+    "q_x_knn" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.bruteForceKnn(emb.filter(col("vec_id") % 25 === 0), emb, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_x_cos_pairs" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        .withColumn("na", graft.functions.VectorFunctions.norm(col("va")))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        .withColumn("nb", graft.functions.VectorFunctions.norm(col("vb")))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos", round(
+          graft.functions.VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")), 9))
+        .filter(col("cos") >= 0.4)
+        .select(col("id_a"), col("id_b"), col("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Approximate ANN via random-hyperplane LSH with multi-probe.
+    // No oracle (model-defined); spec asserts recall vs brute force.
+    "q_x_ann_lsh" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.lshKnn(s, emb.filter(col("vec_id") % 25 === 0), emb, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_x_vec_stats" -> ((s, d) =>
+      table(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .filter(col("pos") < 8)
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("x").cast("double")), 6).as("avg_x"), count(lit(1)).as("n"))
+        .orderBy(col("label"), col("pos"))),
+
+    // ---- text analysis ------------------------------------------------
+    "q_x_text_stats" -> ((s, d) => {
+      val words = TextFunctions.tokens(col("text"))
+      table(s, d, "documents")
+        .select(col("lang"), size(words).as("nw"), col("n_chars"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("nw").cast("long")).as("total_words"),
+          round(avg(col("nw")), 6).as("avg_words"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    "q_x_top_terms" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(25)),
+
+    "q_x_tfidf" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "word")
+        .crossJoin(broadcast(n))
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("word"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+        .orderBy(col("doc_id"), col("word"))
+    }),
+
+    "q_x_token_count" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.regexTokenCount("text").as("n_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "q_x_quality" -> ((s, d) => {
+      val words = TextFunctions.tokens(col("text"))
+      val nw = size(words).cast("double")
+      val stopRatio = TextFunctions.stopwordHits(words, enStop).cast("double") / nw
+      table(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(words).as("n_words"),
+          round(length(col("text")).cast("double") / nw, 6).as("chars_per_word"),
+          round(stopRatio, 6).as("stop_ratio"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_x_lang_id" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.langId(TextFunctions.tokens(col("text"))).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    // ---- multimodal ---------------------------------------------------
+    // Binary payload column → batched mapPartitions "decode" (stubbed
+    // deterministically — real codecs unavailable in-sandbox; the
+    // schema/batching/encoder plumbing is the real thing).
+    "q_x_multimodal" -> ((s, d) => {
+      val media = Multimodal.attachBinary(table(s, d, "documents"))
+      Multimodal.decodeFeatures(s, media).toDF()
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val knnCosSql =
+    """list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+       / (qn * cn)"""
+
+  val oracle: Map[String, String] = Map(
+    "q_x_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, sha256(text) AS h, count(*) AS n_copies
+         FROM documents GROUP BY sha256(text) ORDER BY doc_id""",
+
+    "q_x_fingerprint" ->
+      """SELECT doc_id,
+                md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "q_x_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  CASE WHEN length(text) < 3 THEN []::VARCHAR[]
+                       ELSE list_distinct(list_transform(range(1, length(text) - 1),
+                              i -> substr(text, CAST(i AS INTEGER), 3))) END AS s
+           FROM documents)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+         ORDER BY doc_a""",
+
+    "q_x_knn" ->
+      s"""WITH nv AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM nv WHERE vec_id % 25 = 0),
+         c AS (SELECT vec_id AS cand_id, embedding AS cv, nrm AS cn FROM nv),
+         p AS (
+           SELECT query_id, cand_id, round($knnCosSql, 9) AS cos
+           FROM q CROSS JOIN c WHERE cand_id <> query_id)
+         SELECT query_id, cand_id, rank FROM (
+           SELECT query_id, cand_id,
+                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rank
+           FROM p)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "q_x_cos_pairs" ->
+      s"""WITH nv AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings),
+         a AS (SELECT vec_id AS id_a, embedding AS qv, nrm AS qn FROM nv),
+         b AS (SELECT vec_id AS id_b, embedding AS cv, nrm AS cn FROM nv)
+         SELECT id_a, id_b, cos FROM (
+           SELECT id_a, id_b, round($knnCosSql, 9) AS cos
+           FROM a JOIN b ON id_a < id_b)
+         WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+
+    "q_x_vec_stats" ->
+      """SELECT label, CAST(i AS INTEGER) AS pos,
+                round(avg(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)), 6) AS avg_x,
+                count(*) AS n
+         FROM embeddings, range(0, 8) r(i)
+         GROUP BY label, i ORDER BY label, pos""",
+
+    "q_x_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+                round(avg(len(string_split(text, ' '))), 6) AS avg_words,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q_x_top_terms" ->
+      """SELECT word, count(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         GROUP BY word ORDER BY cnt DESC, word LIMIT 25""",
+
+    "q_x_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT t.doc_id, t.word, round(t.tf * ln(CAST(n_docs AS DOUBLE) / d.df), 6) AS tfidf
+         FROM tf t JOIN dfreq d USING (word) CROSS JOIN n
+         WHERE t.doc_id < 50
+         ORDER BY t.doc_id, t.word""",
+
+    "q_x_token_count" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INTEGER) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "q_x_quality" ->
+      """WITH w AS (
+           SELECT doc_id, text, string_split(text, ' ') AS words,
+                  len(string_split(text, ' ')) AS nw,
+                  len(list_intersect(string_split(text, ' '),
+                      ['the','a','of','and','to','in','is','it'])) AS hits
+           FROM documents)
+         SELECT doc_id,
+                CAST(nw AS INTEGER) AS n_words,
+                round(CAST(length(text) AS DOUBLE) / CAST(nw AS DOUBLE), 6) AS chars_per_word,
+                round(CAST(hits AS DOUBLE) / CAST(nw AS DOUBLE), 6) AS stop_ratio,
+                round(least(1.0, CAST(nw AS DOUBLE) / 100.0)
+                      * (1.0 - CAST(hits AS DOUBLE) / CAST(nw AS DOUBLE)), 6) AS quality
+         FROM w ORDER BY doc_id""",
+
+    "q_x_lang_id" ->
+      """WITH s AS (
+           SELECT doc_id, lang,
+                  len(list_intersect(string_split(text, ' '),
+                      ['der','die','das','und','ist','ein','zu','nicht'])) AS sc_de,
+                  len(list_intersect(string_split(text, ' '),
+                      ['the','a','of','and','to','in','is','it'])) AS sc_en,
+                  len(list_intersect(string_split(text, ' '),
+                      ['el','la','de','que','y','en','un','es'])) AS sc_es,
+                  len(list_intersect(string_split(text, ' '),
+                      ['le','la','de','et','un','est','que','pour'])) AS sc_fr
+           FROM documents)
+         SELECT doc_id, lang,
+                CASE WHEN greatest(sc_de, sc_en, sc_es, sc_fr) <= 0 THEN 'und'
+                     WHEN sc_de = greatest(sc_de, sc_en, sc_es, sc_fr) THEN 'de'
+                     WHEN sc_en = greatest(sc_de, sc_en, sc_es, sc_fr) THEN 'en'
+                     WHEN sc_es = greatest(sc_de, sc_en, sc_es, sc_fr) THEN 'es'
+                     WHEN sc_fr = greatest(sc_de, sc_en, sc_es, sc_fr) THEN 'fr'
+                     ELSE 'und' END AS lang_pred
+         FROM s ORDER BY doc_id""",
+
+    "q_x_multimodal" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
+                CAST((ascii(substr(text, 1, 1)) & 31) + 1 AS INTEGER) AS height,
+                sha256(text) AS checksum
+         FROM documents ORDER BY doc_id"""
+  )
+}
