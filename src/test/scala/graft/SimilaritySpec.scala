@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+/** Cosine/kNN properties (SURVEY.md §5.2): self-similarity, range,
+  * exactness of the brute-force baseline, and LSH recall against it.
+  */
+class SimilaritySpec extends SparkSuite {
+
+  private def emb = Tables.table(spark, sfDir, "embeddings")
+
+  test("cosine self-similarity is 1, range within [-1, 1]") {
+    val stats = emb.select(
+      round(VectorFunctions.cosine(col("embedding"), col("embedding")), 9).as("self"))
+      .agg(min("self").as("mn"), max("self").as("mx")).collect().head
+    assert(stats.getDouble(0) === 1.0 && stats.getDouble(1) === 1.0)
+
+    val pair = emb.limit(50).select(col("vec_id").as("a"), col("embedding").as("va"))
+      .crossJoin(emb.limit(50).select(col("vec_id").as("b"), col("embedding").as("vb")))
+      .select(VectorFunctions.cosine(col("va"), col("vb")).as("c"))
+      .agg(min("c"), max("c")).collect().head
+    assert(pair.getDouble(0) >= -1.0000001 && pair.getDouble(1) <= 1.0000001)
+  }
+
+  test("brute-force kNN: k rows per query, ranks 1..k, no self-match") {
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+    val knn = Similarity.bruteForceKnn(qs, emb, k = 5).cache()
+    val perQuery = knn.groupBy("query_id").agg(
+      count(lit(1)).as("n"), min("rank").as("mn"), max("rank").as("mx"))
+    assert(perQuery.filter(col("n") =!= 5 || col("mn") =!= 1 || col("mx") =!= 5).isEmpty)
+    assert(knn.filter(col("query_id") === col("cand_id")).isEmpty)
+  }
+
+  test("LSH kNN recall@10 vs brute force is useful (> 0.3) and exact on hits") {
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceKnn(qs, emb, k = 10)
+      .select(col("query_id"), col("cand_id"))
+    val approx = Similarity.lshKnn(spark, qs, emb, k = 10)
+      .select(col("query_id"), col("cand_id"))
+    val hits = approx.intersect(exact).count().toDouble
+    val total = exact.count().toDouble
+    assert(total > 0)
+    val recall = hits / total
+    info(f"LSH recall@10 = $recall%.3f")
+    assert(recall > 0.3)
+  }
+
+  test("hyperplanes are deterministic across invocations") {
+    val a = Similarity.hyperplanes(4, 8)
+    val b = Similarity.hyperplanes(4, 8)
+    assert(a.flatten.toSeq === b.flatten.toSeq)
+    assert(a.flatten.forall(x => x >= -1.0 && x < 1.0))
+  }
+}
