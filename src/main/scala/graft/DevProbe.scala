@@ -1,5 +1,10 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Dev harness: flagship smoke + plan inspection (explain output for
+  * the scale-critical queries — pushdown, broadcast, codegen spans).
+  */
 object DevProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -9,9 +14,17 @@ object DevProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val flagship = SparkEntry.entry(spark)
-    flagship.show(5, false)
-    println(s"flagship rows = ${flagship.count()}")
+    val dir = "/root/testdata/sf0.001"
+    args.headOption match {
+      case Some("explain") =>
+        args.drop(1).foreach { q =>
+          println(s"===== $q =====")
+          SparkEntry.queries(q)(spark, dir).explain("formatted")
+        }
+      case _ =>
+        val flagship = SparkEntry.entry(spark)
+        println(s"flagship rows = ${flagship.count()}")
+    }
     spark.stop()
   }
 }

@@ -15,9 +15,11 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which the
     * Spark Parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos

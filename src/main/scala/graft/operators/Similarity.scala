@@ -65,8 +65,7 @@ object Similarity {
     val planes = hyperplanes(nPlanes, dim, seed = 42L + 1000L * tableIdx)
     val bits = (0 until nPlanes).map { p =>
       val w = array(planes(p).map(lit).toIndexedSeq: _*)
-      val d = aggregate(zip_with(toDouble(col(embCol)), w, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
+      val d = dot(col(embCol), w) // codegen'd ArrayDotProduct
       when(d > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     df.withColumn("lsh_code", bits.reduce(_.bitwiseOR(_)))

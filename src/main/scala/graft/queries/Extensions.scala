@@ -38,14 +38,15 @@ object Extensions {
     // MinHash-LSH near-dedup: b=8 bands × r=6 rows ⇒ ~0.998 recall at
     // jaccard 0.9 while colliding only ~7% of 0.6-similarity pairs.
     // The fixture corpus is drawn from a tiny vocabulary, so MOST doc
-    // pairs are >0.6-similar — a deterministic 40% sample keeps the
-    // candidate set bounded as sf grows (real corpora aren't
-    // all-pairs-similar; the LSH prune carries the 100 TB case).
+    // pairs are >0.6-similar and LSH bucketing cannot prune — a
+    // deterministic 10% sample keeps the candidate set bounded as sf
+    // grows (real corpora aren't all-pairs-similar; the LSH prune
+    // carries the 100 TB case).
     // No SQL oracle (hash-model-defined); spec asserts recall vs exact
     // jaccard on the fixture.
     "q_x_near_dedup" -> ((s, d) =>
       Dedup.minhashNearDups(
-          table(s, d, "documents").filter(col("doc_id") % 5 < 2),
+          table(s, d, "documents").filter(col("doc_id") % 10 === 0),
           "text", "doc_id", bands = 8, rowsPerBand = 6, threshold = 0.9)
         .orderBy(col("doc_a"), col("doc_b"))),
 
