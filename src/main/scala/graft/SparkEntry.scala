@@ -26,6 +26,10 @@ object SparkEntry {
     val dir = "/root/testdata/sf0.001"
     val typed = Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      // structured payload metrics (weather-etl.py:123 analog):
+      // surfaced via QueryExecutionListener / observedMetrics.
+      .observe("graft_ingest", count(lit(1)).as("rows_in"),
+        sum(col("value")).as("value_sum"))
     val deduped = typed.dropDuplicates("event_id")
     val keyed = deduped.withColumn("ws", window(col("ts"), "5 minutes").getField("start"))
     val snapshot = Upsert.dedupKeyed(keyed, Seq("user_id", "ws"), Seq(col("ts"), col("event_id")))

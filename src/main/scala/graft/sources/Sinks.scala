@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink surface (SURVEY.md §2.1): bulk columnar writes replace
+  * the reference's row-at-a-time INSERT loop (weather-etl.py:134-143,
+  * a documented anti-pattern, SURVEY.md §4.1).
+  *
+  * Scale defaults: date-partitioned parquet so downstream reads prune
+  * partitions; append for micro-batches, overwrite for staging; JDBC
+  * writer shape included for parity with the reference's Postgres
+  * target (untestable in-sandbox — no database).
+  */
+object Sinks {
+
+  /** Append a micro-batch to a date-partitioned parquet table — the
+    * engine-native bulk form of the reference's INSERT loop.
+    */
+  def appendPartitioned(df: DataFrame, path: String, tsCol: String): Unit =
+    df.withColumn("p_date", to_date(col(tsCol)))
+      .write.mode(SaveMode.Append)
+      .partitionBy("p_date")
+      .parquet(path)
+
+  /** Overwrite (the staging-table pattern, weather-etl.py:82-94). */
+  def overwrite(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** JDBC append — the reference's actual sink (Postgres via
+    * psycopg2); Spark's batched writer replaces per-row INSERTs.
+    * Shape-only in-sandbox: no reachable database.
+    */
+  def appendJdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties): Unit =
+    df.write.mode(SaveMode.Append).jdbc(url, table, props)
+
+  /** Schema-on-read JSON source (the API payload shape,
+    * weather-etl.py:122) and CSV round-trip helpers — the remaining
+    * file formats of the source surface.
+    */
+  def readJson(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def readCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+}

@@ -101,6 +101,40 @@ object StreamingJobs {
         mergeAndStore(compacted, id)
       }
 
+  /** Per-user running snapshot row. */
+  case class UserSnapshot(user_id: Long, last_ts: java.sql.Timestamp,
+      last_value: Double, n_events: Long)
+
+  /** Arbitrary stateful op (SURVEY.md §2.7 optional row): running
+    * per-key latest snapshot via mapGroupsWithState — the
+    * keyed-latest-state view the reference materializes as its
+    * `weather` table (weather-etl.py:152-163), kept as managed
+    * streaming state instead of a sink table. Output mode: update.
+    */
+  def latestSnapshot(spark: SparkSession, events: DataFrame)
+      : org.apache.spark.sql.Dataset[UserSnapshot] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.selectExpr("ts", "user_id", "value")
+      .as[(java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._2)
+      .mapGroupsWithState[UserSnapshot, UserSnapshot](GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          val prev = state.getOption
+            .getOrElse(UserSnapshot(uid, new java.sql.Timestamp(0L), 0.0, 0L))
+          var lastTs = prev.last_ts
+          var lastV = prev.last_value
+          var n = prev.n_events
+          rows.foreach { case (ts, _, v) =>
+            n += 1
+            if (ts.after(lastTs)) { lastTs = ts; lastV = v }
+          }
+          val snap = UserSnapshot(uid, lastTs, lastV, n)
+          state.update(snap)
+          snap
+      }
+  }
+
   /** One-shot drain for tests/backfills: process everything available
     * then stop — the batch-equivalence harness.
     */

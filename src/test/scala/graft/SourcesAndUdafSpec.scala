@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{MinHashUnionAggregator, TopKAggregator}
+import graft.operators.Dedup
+import graft.sources.{Ddl, Sinks}
+
+class SourcesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("DDL: create-if-not-exists weather table, idempotent (weather-etl.py:67-78)") {
+    val loc = Files.createTempDirectory("graft-ddl").toString
+    Ddl.createWeatherTable(spark, loc)
+    Ddl.createWeatherTable(spark, loc) // IF NOT EXISTS — no throw
+    assert(spark.catalog.tableExists("weather"))
+    assert(spark.table("weather").columns.toSeq ===
+      Seq("time", "city_name", "weather_description", "temperature"))
+    spark.sql("DROP TABLE weather")
+  }
+
+  test("staging view drop + recreate per batch (weather-etl.py:82-94)") {
+    val b1 = Seq((1L, "a")).toDF("k", "v")
+    val b2 = Seq((2L, "b"), (3L, "c")).toDF("k", "v")
+    Ddl.stageBatch(b1)
+    assert(spark.table("weather_temp").count() === 1)
+    Ddl.stageBatch(b2) // replaced, not appended
+    assert(spark.table("weather_temp").count() === 2)
+    Ddl.dropStaging(spark)
+    assert(!spark.catalog.tableExists("weather_temp"))
+  }
+
+  test("partitioned parquet append sink prunes by date partition") {
+    val dir = Files.createTempDirectory("graft-sink").toString
+    val batch = Tables.events(spark, sfDir).limit(500)
+    Sinks.appendPartitioned(batch, dir, "ts")
+    Sinks.appendPartitioned(batch, dir, "ts") // append, not overwrite
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 1000)
+    assert(back.columns.contains("p_date"))
+    // partition pruning: a one-day filter reads a subset of files
+    val day = back.select(max($"p_date")).collect().head.getDate(0)
+    val pruned = back.filter($"p_date" === day)
+    assert(pruned.count() > 0 && pruned.count() < 1000)
+  }
+
+  test("csv round trip preserves data") {
+    val dir = Files.createTempDirectory("graft-csv").toString + "/out"
+    val df = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("k", "name", "v")
+    Sinks.writeCsv(df, dir)
+    val back = Sinks.readCsv(spark, dir, df.schema)
+    assert(back.orderBy("k").collect().toSeq === df.orderBy("k").collect().toSeq)
+  }
+}
+
+class UdafSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("TopKAggregator returns the k largest, descending, O(k) buffer") {
+    val topk = udaf(new TopKAggregator(3))
+    val out = Tables.table(spark, sfDir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(topk($"o_totalprice").as("top3"))
+      .as[(String, Seq[Double])].collect().toMap
+    val expected = Tables.table(spark, sfDir, "orders")
+      .select($"o_orderpriority", $"o_totalprice")
+      .as[(String, Double)].collect()
+      .groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(_._2).sorted(Ordering[Double].reverse).take(3).toSeq }
+    assert(out === expected)
+  }
+
+  test("MinHashUnionAggregator: group sketch == sketch of concatenated group") {
+    val k = 16
+    val docs = Tables.table(spark, sfDir, "documents").limit(100)
+    val sigs = docs.select($"source",
+      Dedup.minhashSignature(array_distinct(split($"text", " ")), k).as("sig"))
+    val unionAgg = udaf(new MinHashUnionAggregator(k))
+    val grouped = sigs.groupBy($"source").agg(unionAgg($"sig").as("gsig"))
+      .as[(String, Seq[Long])].collect().toMap
+    // reference: per-source element-wise min computed via explode
+    val ref = sigs.select($"source", posexplode($"sig"))
+      .groupBy($"source", $"pos").agg(min($"col").as("m"))
+      .groupBy($"source").agg(array_sort(collect_list(struct($"pos", $"m"))).as("ps"))
+      .select($"source", expr("transform(ps, x -> x.m)").as("gsig"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(grouped === ref)
+  }
+}
+
+class StatefulStreamingSpec extends SparkSuite {
+  import org.apache.spark.sql.streaming.Trigger
+
+  test("mapGroupsWithState latest-snapshot matches batch dedupKeyed") {
+    val snap = streaming.StreamingJobs.latestSnapshot(
+      spark, streaming.StreamingJobs.readEvents(spark, sfDir))
+    val q = snap.writeStream.format("memory").queryName("t_snap")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // update mode may emit a row per batch per key — keep the final one
+    val got = operators.Upsert.dedupKeyed(
+      spark.table("t_snap"), Seq("user_id"), Seq(col("n_events")))
+    val expected = operators.Upsert.dedupKeyed(
+      Tables.events(spark, sfDir).select(col("user_id"), col("ts"), col("value")),
+      Seq("user_id"), Seq(col("ts")))
+    assert(got.count() === expected.count())
+    assert(got.select(col("user_id"), col("last_ts"), col("last_value"))
+      .except(expected.select(col("user_id"), col("ts").as("last_ts"),
+        col("value").as("last_value"))).isEmpty)
+  }
+}
