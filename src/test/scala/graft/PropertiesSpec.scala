@@ -1,0 +1,75 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Upsert
+
+/** Property-based tests (SURVEY.md §5.2 item 3) via raw ScalaCheck
+  * (no scalatest-plus bridge in the offline cache): upsert idempotence
+  * and incoming-wins, dedup fixpoint, set-op algebra, jaccard bounds.
+  */
+class PropertiesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(10)
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(params, p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val kvGen: Gen[List[(Int, Int)]] =
+    Gen.listOfN(12, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 100)))
+
+  test("property: merge(merge(t,b),b) == merge(t,b)") {
+    check(Prop.forAll(kvGen, kvGen) { (t, b) =>
+      val target = Upsert.dedupKeyed(t.toDF("k", "v"), Seq("k"), Seq(col("v")))
+      val batch = Upsert.dedupKeyed(b.toDF("k", "v"), Seq("k"), Seq(col("v")))
+      val once = Upsert.upsert(target, batch, Seq("k"))
+      val twice = Upsert.upsert(once, batch, Seq("k"))
+      once.except(twice).isEmpty && twice.except(once).isEmpty
+    })
+  }
+
+  test("property: after merge, every incoming key carries the incoming value") {
+    check(Prop.forAll(kvGen, kvGen) { (t, b) =>
+      val target = Upsert.dedupKeyed(t.toDF("k", "v"), Seq("k"), Seq(col("v")))
+      val batch = Upsert.dedupKeyed(b.toDF("k", "v"), Seq("k"), Seq(col("v")))
+      val merged = Upsert.upsert(target, batch, Seq("k"))
+      merged.as("m").join(batch.as("b"), "k")
+        .filter(col("m.v") =!= col("b.v")).isEmpty
+    })
+  }
+
+  test("property: distinct is a fixpoint") {
+    check(Prop.forAll(kvGen) { xs =>
+      val d1 = xs.toDF("k", "v").distinct()
+      d1.count() == d1.distinct().count()
+    })
+  }
+
+  test("property: (a EXCEPT b) disjoint from b, and union algebra holds") {
+    val setGen = Gen.listOfN(10, Gen.choose(0, 8))
+    check(Prop.forAll(setGen, setGen) { (a, b) =>
+      val da = a.toDF("x"); val db = b.toDF("x")
+      val ex = da.except(db)
+      val in = da.intersect(db)
+      ex.intersect(db).isEmpty &&
+        ex.unionByName(in).distinct().count() == da.distinct().count()
+    })
+  }
+
+  test("property: jaccard of distinct word arrays is in [0,1], self = 1") {
+    val wordsGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e", "f"))
+      .map(_.distinct)
+    check(Prop.forAll(wordsGen, wordsGen) { (x, y) =>
+      val row = Seq((x, y)).toDF("x", "y")
+        .select(
+          TextFunctions.jaccard(col("x"), col("y")).as("xy"),
+          TextFunctions.jaccard(col("x"), col("x")).as("self"))
+        .as[(Double, Double)].collect().head
+      row._1 >= 0.0 && row._1 <= 1.0 && row._2 == 1.0
+    })
+  }
+}
