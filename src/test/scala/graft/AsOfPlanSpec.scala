@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.AsOf
+
+/** The plan-level as-of join (custom LogicalPlan + Strategy +
+  * BinaryExecNode) must agree with the composite union+window form
+  * (queries.Joins q_join_asof) and implement at-or-before semantics.
+  */
+class AsOfPlanSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("picks the latest right row at-or-before each left ts; inner semantics") {
+    val left = Seq((100L, 1L, ts(10)), (101L, 1L, ts(4)), (102L, 2L, ts(50)), (103L, 3L, ts(10)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, ts(5), "a"), (1L, ts(9), "b"), (1L, ts(11), "c"), (2L, ts(50), "x"))
+      .toDF("r_user", "r_ts", "tag")
+    val out = AsOf.join(spark, left, right, "user_id", "ts", "r_user", "r_ts")
+      .select($"event_id", $"tag").as[(Long, String)].collect().toMap
+    assert(out === Map(
+      100L -> "b",  // latest <= t10 is t9
+      102L -> "x")) // equal ts matches (at-or-before)
+    // 101 (no click <= t4) and 103 (no key 3) drop: inner semantics
+  }
+
+  test("plan-level as-of == composite window form on the events fixture") {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("click_value"))
+      .select($"user_id".as("c_user"), $"ts".as("click_ts"), $"click_value")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val planned = AsOf.join(spark, purchases, clicks,
+        "user_id", "ts", "c_user", "click_ts")
+      .select($"event_id", $"user_id", $"ts", $"click_ts", $"click_value")
+    val composite = queries.Joins.defs("q_join_asof")(spark, sfDir)
+    assert(planned.count() === composite.count())
+    assert(planned.except(composite).isEmpty && composite.except(planned).isEmpty)
+  }
+
+  test("physical plan uses AsOfJoinExec with shuffle+sort inserted by Spark") {
+    val ev = Tables.events(spark, sfDir)
+    val l = ev.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"ts")
+    val r = ev.filter($"event_type" === "click")
+      .select($"user_id".as("ru"), $"ts".as("rts"), $"value")
+    val df = AsOf.join(spark, l, r, "user_id", "ts", "ru", "rts")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"))
+    assert(plan.contains("Exchange") && plan.contains("Sort"))
+    assert(df.count() > 0)
+  }
+}
