@@ -86,6 +86,16 @@ object StreamingJobs {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
 
+  /** Watermark-scoped variant (Spark 3.5+): state for an event_id is
+    * dropped once the watermark passes its ts — bounded state for
+    * unbounded key spaces, the 100 TB default when duplicates only
+    * arrive within the lateness horizon.
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Last-writer-wins upsert sink (U2 streaming form;
     * weather-etl.py:152-163): each micro-batch merges into `target`
     * under `mergeAndStore`, which the caller implements over its store
