@@ -97,6 +97,16 @@ object Extensions {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Approximate ANN via IVF (k-means coarse quantizer + inverted
+    // lists, nProbe nearest lists reranked exactly). No oracle
+    // (model-defined); spec asserts recall vs brute force.
+    "q_x_ann_ivf" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      graft.operators.Ivf.ivfKnn(s, emb.filter(col("vec_id") % 25 === 0), emb,
+          k = 10, iters = 1)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_x_vec_stats" -> ((s, d) =>
       table(s, d, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
