@@ -60,6 +60,16 @@ object Aggregates {
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
         .orderBy(col("l_returnflag"))),
 
+    // Approximate percentile (mergeable quantile sketch) — the
+    // 100 TB form of q_agg_stats' exact percentile. No oracle
+    // (approx by design); spec bounds error vs exact.
+    "q_agg_approx_pct" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95"))
+        .orderBy(col("l_returnflag"))),
+
     "q_agg_stats" -> ((s, d) =>
       table(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
