@@ -36,7 +36,8 @@ import org.apache.spark.sql.classic.Strategy
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftTs: Attribute,
-    rightKey: Attribute, rightTs: Attribute) extends BinaryNode {
+    rightKey: Attribute, rightTs: Attribute,
+    toleranceUs: Option[Long]) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -48,7 +49,8 @@ case class AsOfJoin(
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, leftTs: Attribute,
-    rightKey: Attribute, rightTs: Attribute) extends BinaryExecNode {
+    rightKey: Attribute, rightTs: Attribute,
+    toleranceUs: Option[Long]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -76,7 +78,9 @@ case class AsOfJoinExec(
         // last right row matching the current left key with ts <= left.ts
         private var held: InternalRow = _
         private var heldKey = 0L
+        private var heldTs = 0L
         private var out: InternalRow = _
+        private val tol = toleranceUs.getOrElse(Long.MaxValue)
 
         private def advance(): Unit = {
           out = null
@@ -94,11 +98,15 @@ case class AsOfJoinExec(
                   val rk = r.getLong(rKeyIdx)
                   if (rk < lk || (rk == lk && r.getLong(rTsIdx) <= lt)) {
                     val consumed = rBuf.next()
-                    if (rk == lk) { held = consumed.copy(); heldKey = rk }
+                    if (rk == lk) {
+                      heldTs = consumed.getLong(rTsIdx)
+                      held = consumed.copy(); heldKey = rk
+                    }
                   } else go = false
                 }
               }
-              if (held != null && heldKey == lk) out = joined(l, held)
+              if (held != null && heldKey == lk && lt - heldTs <= tol)
+                out = joined(l, held)
             }
           }
         }
@@ -119,8 +127,8 @@ case class AsOfJoinExec(
 
 object AsOfStrategy extends Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, lt, rk, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt) :: Nil
+    case AsOfJoin(l, r, lk, lt, rk, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tol) :: Nil
     case _ => Nil
   }
 }
@@ -131,9 +139,13 @@ object AsOf {
     * row per key at-or-before the left timestamp. Right columns must
     * be pre-renamed to avoid collisions.
     */
+  /** @param within optional max age: a right row older than this
+    *        relative to the left timestamp does not match.
+    */
   def join(spark: SparkSession, left: DataFrame, right: DataFrame,
       leftKey: String, leftTs: String,
-      rightKey: String, rightTs: String): DataFrame = {
+      rightKey: String, rightTs: String,
+      within: Option[java.time.Duration] = None): DataFrame = {
     if (!spark.experimental.extraStrategies.contains(AsOfStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfStrategy
@@ -146,6 +158,7 @@ object AsOf {
     org.apache.spark.sql.graft.Shim.ofRows(spark,
       AsOfJoin(lPlan, rPlan,
         attr(lPlan, leftKey), attr(lPlan, leftTs),
-        attr(rPlan, rightKey), attr(rPlan, rightTs)))
+        attr(rPlan, rightKey), attr(rPlan, rightTs),
+        within.map(d => d.toNanos / 1000L)))
   }
 }

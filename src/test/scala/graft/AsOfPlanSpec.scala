@@ -28,6 +28,24 @@ class AsOfPlanSpec extends SparkSuite {
     // 101 (no click <= t4) and 103 (no key 3) drop: inner semantics
   }
 
+  test("tolerance: matches older than `within` are dropped") {
+    val left = Seq((100L, 1L, ts(100))).toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, ts(10), "old"), (1L, ts(95), "recent"))
+      .toDF("r_user", "r_ts", "tag")
+    // no tolerance → latest at-or-before (t95)
+    val loose = AsOf.join(spark, left, right, "user_id", "ts", "r_user", "r_ts")
+      .select($"tag").as[String].collect().toSeq
+    assert(loose === Seq("recent"))
+    // 3s tolerance → t95 is 5s old → no match at all
+    val tight = AsOf.join(spark, left, right, "user_id", "ts", "r_user", "r_ts",
+      within = Some(java.time.Duration.ofSeconds(3)))
+    assert(tight.isEmpty)
+    // 10s tolerance → t95 within range
+    val mid = AsOf.join(spark, left, right, "user_id", "ts", "r_user", "r_ts",
+      within = Some(java.time.Duration.ofSeconds(10)))
+    assert(mid.select($"tag").as[String].collect().toSeq === Seq("recent"))
+  }
+
   test("plan-level as-of == composite window form on the events fixture") {
     val ev = Tables.events(spark, sfDir)
     val clicks = ev.filter($"event_type" === "click")
