@@ -54,8 +54,14 @@ case class AsOfJoinExec(
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
-  override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+  // requiredNumPartitions pinned (as stateful ops do): prevents AQE
+  // from coalescing the two sides to different partition counts,
+  // which would break the zipPartitions pairing.
+  override def requiredChildDistribution: Seq[Distribution] = {
+    val n = Some(conf.numShufflePartitions)
+    ClusteredDistribution(Seq(leftKey), requiredNumPartitions = n) ::
+      ClusteredDistribution(Seq(rightKey), requiredNumPartitions = n) :: Nil
+  }
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
