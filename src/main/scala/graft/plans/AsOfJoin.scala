@@ -29,9 +29,9 @@ import org.apache.spark.sql.classic.Strategy
   * queries.Joins is the portable fallback; the spec asserts both
   * produce identical results.)
   *
-  * v1 restriction: key must be LongType, ts TimestampType (micros) —
-  * the fixture shape; generalizing to arbitrary keys means swapping
-  * the two getLong calls for a generated ordering.
+  * Keys may be any orderable atomic type (compared through the
+  * type's interpreted ordering); timestamps must be TimestampType /
+  * LongType (micros).
   */
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
@@ -76,6 +76,11 @@ case class AsOfJoinExec(
     val rKeyIdx = right.output.indexWhere(_.exprId == rightKey.exprId)
     val rTsIdx = right.output.indexWhere(_.exprId == rightTs.exprId)
     require(lKeyIdx >= 0 && lTsIdx >= 0 && rKeyIdx >= 0 && rTsIdx >= 0)
+    require(leftKey.dataType == rightKey.dataType,
+      s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+    val keyType = leftKey.dataType
+    val keyOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(keyType)
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       new Iterator[InternalRow] {
@@ -83,7 +88,7 @@ case class AsOfJoinExec(
         private val rBuf = rIter.buffered
         // last right row matching the current left key with ts <= left.ts
         private var held: InternalRow = _
-        private var heldKey = 0L
+        private var heldKey: Any = _
         private var heldTs = 0L
         private var out: InternalRow = _
         private val tol = toleranceUs.getOrElse(Long.MaxValue)
@@ -93,7 +98,7 @@ case class AsOfJoinExec(
           while (out == null && lIter.hasNext) {
             val l = lIter.next()
             if (!l.isNullAt(lKeyIdx) && !l.isNullAt(lTsIdx)) {
-              val lk = l.getLong(lKeyIdx)
+              val lk = l.get(lKeyIdx, keyType)
               val lt = l.getLong(lTsIdx)
               // consume right rows up to (lk, lt]
               var go = true
@@ -101,17 +106,18 @@ case class AsOfJoinExec(
                 val r = rBuf.head
                 if (r.isNullAt(rKeyIdx) || r.isNullAt(rTsIdx)) { rBuf.next(); go = true }
                 else {
-                  val rk = r.getLong(rKeyIdx)
-                  if (rk < lk || (rk == lk && r.getLong(rTsIdx) <= lt)) {
+                  val cmp = keyOrd.compare(r.get(rKeyIdx, keyType), lk)
+                  if (cmp < 0 || (cmp == 0 && r.getLong(rTsIdx) <= lt)) {
                     val consumed = rBuf.next()
-                    if (rk == lk) {
+                    if (cmp == 0) {
                       heldTs = consumed.getLong(rTsIdx)
-                      held = consumed.copy(); heldKey = rk
+                      held = consumed.copy()
+                      heldKey = held.get(rKeyIdx, keyType) // from the copy
                     }
                   } else go = false
                 }
               }
-              if (held != null && heldKey == lk && lt - heldTs <= tol)
+              if (held != null && keyOrd.compare(heldKey, lk) == 0 && lt - heldTs <= tol)
                 out = joined(l, held)
             }
           }

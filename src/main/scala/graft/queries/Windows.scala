@@ -81,6 +81,14 @@ object Windows {
           expr("count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)").as("n_in_range"))
         .orderBy(col("o_orderkey"))),
 
+    // Time-range frame: events per user in the trailing 10 minutes.
+    "q_win_trange" -> ((s, d) =>
+      table(s, d, "events")
+        .select(
+          col("event_id"), col("user_id"),
+          expr("count(*) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)").as("n_10m"))
+        .orderBy(col("event_id"))),
+
     "q_win_firstlast" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -136,6 +144,12 @@ object Windows {
                 count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
                                RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS n_in_range
          FROM orders ORDER BY o_orderkey""",
+
+    "q_win_trange" ->
+      """SELECT event_id, user_id,
+                count(*) OVER (PARTITION BY user_id ORDER BY ts
+                               RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW) AS n_10m
+         FROM events ORDER BY event_id""",
 
     "q_win_firstlast" ->
       """SELECT event_id, user_id,

@@ -28,6 +28,16 @@ class AsOfPlanSpec extends SparkSuite {
     // 101 (no click <= t4) and 103 (no key 3) drop: inner semantics
   }
 
+  test("string keys: as-of join works for any orderable key type") {
+    val left = Seq(("pageA", 100L, ts(10)), ("pageB", 101L, ts(10)))
+      .toDF("page", "event_id", "ts")
+    val right = Seq(("pageA", ts(5), 1.0), ("pageA", ts(9), 2.0), ("pageB", ts(11), 3.0))
+      .toDF("r_page", "r_ts", "v")
+    val out = AsOf.join(spark, left, right, "page", "ts", "r_page", "r_ts")
+      .select($"event_id", $"v").as[(Long, Double)].collect().toMap
+    assert(out === Map(100L -> 2.0)) // pageB's only click is later -> drop
+  }
+
   test("tolerance: matches older than `within` are dropped") {
     val left = Seq((100L, 1L, ts(100))).toDF("event_id", "user_id", "ts")
     val right = Seq((1L, ts(10), "old"), (1L, ts(95), "recent"))
