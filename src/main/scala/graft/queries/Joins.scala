@@ -118,7 +118,17 @@ object Joins {
     "q_cross" -> ((s, d) =>
       table(s, d, "region").crossJoin(table(s, d, "nation"))
         .select(col("r_name"), col("n_name"))
-        .orderBy(col("r_name"), col("n_name")))
+        .orderBy(col("r_name"), col("n_name"))),
+
+    // Two broadcast dims off the fact table (part + supplier).
+    "q_join_dims" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .join(broadcast(table(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(table(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_brand"), col("s_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("total"))
+        .orderBy(col("p_brand"), col("s_name")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -180,6 +190,14 @@ object Joins {
          ORDER BY p.event_id""",
 
     "q_cross" ->
-      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+
+    "q_join_dims" ->
+      """SELECT p_brand, s_name, count(*) AS n,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY p_brand, s_name ORDER BY p_brand, s_name"""
   )
 }
