@@ -96,7 +96,8 @@ object Ivf {
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("centroid_id"))
 
-    val cands = probes.join(lists, Seq("centroid_id"))
+    // probes = |queries| × nProbe rows — always the broadcast side
+    val cands = lists.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 9))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
