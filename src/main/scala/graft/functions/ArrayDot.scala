@@ -90,10 +90,18 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")
-    if (!registry.functionExists(id)) {
+    val dotId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")
+    if (!registry.functionExists(dotId)) {
       registry.createOrReplaceTempFunction(
         "graft_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
+    }
+    val mhId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash")
+    if (!registry.functionExists(mhId)) {
+      registry.createOrReplaceTempFunction(
+        "graft_minhash",
+        exprs => MinHashSig(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue()),
+        "built-in")
     }
   }
 }

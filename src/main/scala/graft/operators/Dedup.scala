@@ -28,9 +28,16 @@ object Dedup {
 
   /** MinHash signature: k independent permutations approximated by
     * k seeded xxhash64 functions; sig[i] = min over tokens of
-    * hash_i(token). Pure higher-order expressions — codegen'd, no UDF.
+    * hash_i(token). Codegen'd [[graft.functions.MinHashSig]]
+    * expression (registered as graft_minhash).
     */
   def minhashSignature(words: Column, k: Int): Column =
+    call_function("graft_minhash", words, lit(k))
+
+  /** Reference higher-order formulation of [[minhashSignature]]
+    * (interpreted; kept for the bit-equivalence spec).
+    */
+  def minhashSignatureHof(words: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(words, w => xxhash64(i, w))))
 
