@@ -103,5 +103,11 @@ object GraftFunctions {
           exprs(1).eval().asInstanceOf[Number].intValue()),
         "built-in")
     }
+    val icId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_intersect_count")
+    if (!registry.functionExists(icId)) {
+      registry.createOrReplaceTempFunction(
+        "graft_intersect_count",
+        exprs => ArrayIntersectCount(exprs(0), exprs(1)), "built-in")
+    }
   }
 }

@@ -34,12 +34,13 @@ object TextFunctions {
       s"ELSE array_distinct(transform(sequence(1, length($textCol) - ${n - 1}), i -> substring($textCol, i, $n))) END")
 
   /** Jaccard similarity between two (deduplicated) string-array sets.
-    * |A∪B| computed as |A|+|B|−|A∩B| — skips materializing the union
-    * array, which halves the per-pair cost in the near-dedup verify
-    * hot path. Value is identical for set-valued inputs.
+    * |A∩B| via the codegen'd [[ArrayIntersectCount]] (no result-array
+    * allocation); |A∪B| as |A|+|B|−|A∩B| (no union materialization).
+    * Values identical to the array_intersect/array_union formulation
+    * for set-valued inputs (spec-asserted).
     */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
+    val inter = call_function("graft_intersect_count", a, b)
     inter.cast("double") / (size(a) + size(b) - inter).cast("double")
   }
 
@@ -49,9 +50,11 @@ object TextFunctions {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
     "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour"))
 
-  /** Count of words from `dict` present in the token array. */
+  /** Count of distinct words from `dict` present in the token array
+    * (codegen'd; same value as size(array_intersect(words, dict))).
+    */
   def stopwordHits(words: Column, dict: Seq[String]): Column =
-    size(array_intersect(words, array(dict.map(lit): _*)))
+    call_function("graft_intersect_count", words, array(dict.map(lit): _*))
 
   /** n-gram/stopword language-ID heuristic: argmax of per-language
     * stopword hit counts; 'und' (undetermined) when no list scores.
