@@ -109,5 +109,6 @@ object GraftFunctions {
         "graft_intersect_count",
         exprs => ArrayIntersectCount(exprs(0), exprs(1)), "built-in")
     }
+    graft.plans.IntersectCountRewrite.install(spark)
   }
 }

@@ -115,6 +115,28 @@ object Extensions {
         .agg(round(avg(col("x").cast("double")), 6).as("avg_x"), count(lit(1)).as("n"))
         .orderBy(col("label"), col("pos"))),
 
+    // Corpus-level MinHash profile per source: per-doc signatures
+    // united by the O(k)-buffer MinHashUnionAggregator UDAF, then
+    // pairwise sketch-estimated jaccard between sources. Rows-only
+    // (hash-model-defined); the aggregator itself is spec-verified
+    // against an explode/min reference.
+    "q_x_source_profile" -> ((s, d) => {
+      val k = 32
+      val unionAgg = udaf(new graft.functions.MinHashUnionAggregator(k))
+      val sigs = table(s, d, "documents")
+        .select(col("source"),
+          Dedup.minhashSignature(array_distinct(split(col("text"), " ")), k).as("sig"))
+        .groupBy(col("source"))
+        .agg(unionAgg(col("sig")).as("gsig"))
+      val a = sigs.select(col("source").as("src_a"), col("gsig").as("ga"))
+      val b = sigs.select(col("source").as("src_b"), col("gsig").as("gb"))
+      a.join(b, col("src_a") < col("src_b"))
+        .withColumn("est_jaccard",
+          expr(s"round(size(filter(zip_with(ga, gb, (x, y) -> x = y), v -> v)) / ${k}D, 6)"))
+        .select(col("src_a"), col("src_b"), col("est_jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // ---- text analysis ------------------------------------------------
     "q_x_text_stats" -> ((s, d) => {
       val words = TextFunctions.tokens(col("text"))
