@@ -204,6 +204,57 @@ object Extensions {
           TextFunctions.langId(TextFunctions.tokens(col("text"))).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // ---- training-data assembly --------------------------------------
+    // Deterministic train/val/test split: reproducible on any cluster,
+    // any partitioning (pure function of the id — never rand()).
+    "q_x_split" -> ((s, d) =>
+      table(s, d, "documents")
+        .withColumn("split",
+          when(col("doc_id") % 10 < 8, "train")
+            .when(col("doc_id") % 10 < 9, "val")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"))),
+
+    // Source mixing by deterministic per-source keep-ratios (the
+    // data-mixture op of a pretraining pipeline).
+    "q_x_mix" -> ((s, d) =>
+      table(s, d, "documents")
+        .withColumn("keep_ratio",
+          when(col("source").isin("src0", "src1", "src2"), 8).otherwise(3))
+        // sample basis div 20: `source` is doc_id%20 in the fixture, so
+        // a plain doc_id%10 basis would keep/drop whole sources
+        .filter(expr("(doc_id div 20) % 10") < col("keep_ratio"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))),
+
+    // Token-budget packing: per source, keep the doc_id-ordered prefix
+    // whose cumulative word count fits the budget.
+    "q_x_token_budget" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      table(s, d, "documents")
+        .withColumn("nw", size(TextFunctions.tokens(col("text"))))
+        .withColumn("cum_tokens", sum(col("nw").cast("long")).over(w))
+        .filter(col("cum_tokens") <= 2000)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), max(col("cum_tokens")).as("tokens_used"))
+        .orderBy(col("source"))
+    }),
+
+    // Redaction / normalization pass (digits + a blocked term).
+    "q_x_redact" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          substring(
+            regexp_replace(regexp_replace(col("text"), "[0-9]+", "<num>"),
+              "\\bdata\\b", "<redacted>"), 1, 80).as("clean_prefix"))
+        .orderBy(col("doc_id"))),
+
     // ---- multimodal ---------------------------------------------------
     // Binary payload column → batched mapPartitions "decode" (stubbed
     // deterministically — real codecs unavailable in-sandbox; the
@@ -340,6 +391,37 @@ object Extensions {
                      WHEN sc_fr = greatest(sc_de, sc_en, sc_es, sc_fr) THEN 'fr'
                      ELSE 'und' END AS lang_pred
          FROM s ORDER BY doc_id""",
+
+    "q_x_split" ->
+      """SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+                     WHEN doc_id % 10 < 9 THEN 'val'
+                     ELSE 'test' END AS split,
+                count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY 1 ORDER BY split""",
+
+    "q_x_mix" ->
+      """SELECT source, count(*) AS n_kept
+         FROM documents
+         WHERE (doc_id // 20) % 10 < (CASE WHEN source IN ('src0','src1','src2') THEN 8 ELSE 3 END)
+         GROUP BY source ORDER BY source""",
+
+    "q_x_token_budget" ->
+      """WITH c AS (
+           SELECT source, doc_id,
+                  sum(len(string_split(text, ' '))) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+           FROM documents)
+         SELECT source, count(*) AS n_docs, CAST(max(cum_tokens) AS BIGINT) AS tokens_used
+         FROM c WHERE cum_tokens <= 2000
+         GROUP BY source ORDER BY source""",
+
+    "q_x_redact" ->
+      """SELECT doc_id,
+                substr(regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
+                       '\bdata\b', '<redacted>', 'g'), 1, 80) AS clean_prefix
+         FROM documents ORDER BY doc_id""",
 
     "q_x_multimodal" ->
       """SELECT doc_id,
