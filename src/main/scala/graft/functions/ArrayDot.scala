@@ -20,8 +20,10 @@ import org.apache.spark.sql.types._
   * are widened to double BEFORE multiplying and accumulated strictly
   * left-to-right (the DuckDB-oracle parity requirement, §7.4).
   * Supports float and double element types; returns null if either
-  * side is null; lengths must match (min length is used, consistent
-  * with zip_with-on-equal-length usage in this codebase).
+  * side is null OR either array contains a null element (matching
+  * zip_with+aggregate, where a null product nulls the fold); lengths
+  * must match (min length is used, consistent with
+  * zip_with-on-equal-length usage in this codebase).
   */
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -45,6 +47,8 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     case _ => false
   }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -53,6 +57,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -72,6 +77,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += ((double) $a.$aGet($i)) * ((double) $b.$bGet($i));
          |}
          |${ev.value} = $acc;
@@ -99,8 +105,16 @@ object GraftFunctions {
     if (!registry.functionExists(mhId)) {
       registry.createOrReplaceTempFunction(
         "graft_minhash",
-        exprs => MinHashSig(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue()),
+        { exprs =>
+          require(exprs.length == 2, "graft_minhash(words, k) takes 2 arguments")
+          val kExpr = exprs(1)
+          require(kExpr.foldable, "graft_minhash: k must be a literal")
+          kExpr.eval() match {
+            case n: Number => MinHashSig(exprs(0), n.intValue())
+            case other => throw new IllegalArgumentException(
+              s"graft_minhash: k must be a numeric literal, got $other")
+          }
+        },
         "built-in")
     }
     val icId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_intersect_count")

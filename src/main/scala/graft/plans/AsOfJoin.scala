@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, JoinedRow, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{Distribution, StatefulOpClusteredDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.classic.Strategy
 
@@ -54,13 +54,16 @@ case class AsOfJoinExec(
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
-  // requiredNumPartitions pinned (as stateful ops do): prevents AQE
-  // from coalescing the two sides to different partition counts,
-  // which would break the zipPartitions pairing.
+  // StatefulOpClusteredDistribution: demands EXACT HashPartitioning
+  // on the key with an exact partition count on BOTH sides. Plain
+  // ClusteredDistribution is satisfied by e.g. RangePartitioning of a
+  // pre-sorted child, which would pair zipPartitions misaligned with
+  // the other side's hash partitions and silently drop matches; it
+  // also stops AQE coalescing the two sides differently.
   override def requiredChildDistribution: Seq[Distribution] = {
-    val n = Some(conf.numShufflePartitions)
-    ClusteredDistribution(Seq(leftKey), requiredNumPartitions = n) ::
-      ClusteredDistribution(Seq(rightKey), requiredNumPartitions = n) :: Nil
+    val n = conf.numShufflePartitions
+    StatefulOpClusteredDistribution(Seq(leftKey), n) ::
+      StatefulOpClusteredDistribution(Seq(rightKey), n) :: Nil
   }
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
@@ -78,6 +81,11 @@ case class AsOfJoinExec(
     require(lKeyIdx >= 0 && lTsIdx >= 0 && rKeyIdx >= 0 && rTsIdx >= 0)
     require(leftKey.dataType == rightKey.dataType,
       s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+    Seq(leftTs, rightTs).foreach { ts =>
+      require(ts.dataType == org.apache.spark.sql.types.TimestampType ||
+        ts.dataType == org.apache.spark.sql.types.LongType,
+        s"as-of ts column ${ts.name} must be TIMESTAMP or BIGINT, got ${ts.dataType}")
+    }
     val keyType = leftKey.dataType
     val keyOrd = org.apache.spark.sql.catalyst.util.TypeUtils
       .getInterpretedOrdering(keyType)

@@ -75,12 +75,12 @@ object StreamingBatch {
 
     "q_s_session" ->
       """WITH g AS (
-           SELECT user_id, ts, value,
+           SELECT user_id, event_id, ts, value,
                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                             >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
            FROM events),
          sess AS (
-           SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+           SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
            FROM g)
          SELECT user_id, min(ts) AS session_start,

@@ -41,8 +41,11 @@ object StreamingJobs {
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(s"$dir/events.parquet")
+    // staging key includes file size+mtime so a changed fixture or a
+    // path-hash collision can't serve stale data
+    val sig = s"${dir.hashCode}-${Files.size(src)}-${Files.getLastModifiedTime(src).toMillis}"
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-events-${Integer.toHexString(dir.hashCode)}")
+      s"graft-events-${Integer.toHexString(sig.hashCode)}-${Files.size(src)}")
     Files.createDirectories(stage)
     val dst = stage.resolve("events.parquet")
     if (!Files.exists(dst)) Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
@@ -148,11 +151,13 @@ object StreamingJobs {
   /** One-shot drain for tests/backfills: process everything available
     * then stop — the batch-equivalence harness.
     */
-  def runAvailableNow(df: DataFrame, queryName: String): Unit = {
+  def runAvailableNow(df: DataFrame, queryName: String,
+      outputMode: String = "complete"): Unit = {
     val q = df.writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode("complete")
+      .outputMode(outputMode) // complete for aggregates; append/update
+                              // for dedup / mapGroupsWithState streams
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -61,8 +61,9 @@ object WeatherIngest {
       import ExecutionContext.Implicits.global
       val client = java.net.http.HttpClient.newHttpClient()
       val bodies = Await.result(Future.sequence(cities.map(city => Future {
+        val q = java.net.URLEncoder.encode(city, "UTF-8")
         val uri = java.net.URI.create(
-          s"https://api.openweathermap.org/data/2.5/weather?q=$city&appid=$apiKey&units=metric")
+          s"https://api.openweathermap.org/data/2.5/weather?q=$q&appid=$apiKey&units=metric")
         client.send(
           java.net.http.HttpRequest.newBuilder(uri).GET().build(),
           java.net.http.HttpResponse.BodyHandlers.ofString()).body()

@@ -34,6 +34,15 @@ class ArrayDotSpec extends SparkSuite {
     assert(row._2 === 4.0 + 0.25 + 1.0)
   }
 
+  test("graft_dot nulls out on null ELEMENTS, like the zip_with fold") {
+    val out = Seq((Seq[java.lang.Float](1.0f, null, 3.0f), Seq[java.lang.Float](1.0f, 1.0f, 1.0f)))
+      .toDF("a", "b")
+      .select(VectorFunctions.dot($"a", $"b").as("fast"),
+        VectorFunctions.dotHof($"a", $"b").as("ref"))
+      .collect().head
+    assert(out.isNullAt(0) && out.isNullAt(1))
+  }
+
   test("graft_dot is null-safe") {
     val out = Seq((Some(Seq(1.0f)), Option.empty[Seq[Float]]))
       .toDF("a", "b")

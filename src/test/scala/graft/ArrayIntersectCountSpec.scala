@@ -16,6 +16,8 @@ class ArrayIntersectCountSpec extends SparkSuite {
       (Seq.empty[String], Seq("a")),              // empty left
       (Seq("a", "b"), Seq.empty[String])          // empty right
     ).toDF("a", "b")
+      .unionByName(Seq((Seq("a", null), Seq(null.asInstanceOf[String], "b")))
+        .toDF("a", "b"))                          // shared null element
       .select(
         call_function("graft_intersect_count", $"a", $"b").as("fast"),
         size(array_intersect($"a", $"b")).as("ref"))
