@@ -148,6 +148,34 @@ object StreamingJobs {
       }
   }
 
+  /** Stream-static enrichment join: the streaming fact side joins a
+    * broadcast dimension snapshot — no streaming state at all, the
+    * 100 TB default for dimension lookups.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), key)
+
+  /** Stream-stream inner join: purchases matched to same-user clicks
+    * within the preceding 30 minutes. Both sides watermarked so join
+    * state is bounded: a buffered click is dropped once the watermark
+    * passes click_ts + 30 minutes.
+    */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", "30 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "30 minutes")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("event_id"), col("user_id"), col("purchase_ts"),
+        col("click_ts"), col("click_value"))
+  }
+
   /** One-shot drain for tests/backfills: process everything available
     * then stop — the batch-equivalence harness.
     */
