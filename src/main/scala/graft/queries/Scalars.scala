@@ -143,6 +143,18 @@ object Scalars {
           get_json_object(col("props"), "$.k").cast("long").as("k_num"))
         .orderBy(col("event_id"))),
 
+    // Map-typed view of the JSON payload (schema-on-read to
+    // map<string,string> — the dynamic-key form of q_nested_get).
+    "q_map_funcs" -> ((s, d) =>
+      table(s, d, "events")
+        .withColumn("m", from_json(col("props"), "map<string,string>", Map.empty[String, String]))
+        .select(
+          col("event_id"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("keys"),
+          element_at(col("m"), "k").cast("long").as("k_val"),
+          size(map_keys(col("m"))).as("n_keys"))
+        .orderBy(col("event_id"))),
+
     "q_array_funcs" -> ((s, d) => {
       val words = split(col("text"), " ")
       table(s, d, "documents")
@@ -233,6 +245,13 @@ object Scalars {
       """SELECT event_id,
                 json_extract_string(props, '$.k') AS k_str,
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+         FROM events ORDER BY event_id""",
+
+    "q_map_funcs" ->
+      """SELECT event_id,
+                array_to_string(list_sort(json_keys(props)), ',') AS keys,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+                CAST(len(json_keys(props)) AS INTEGER) AS n_keys
          FROM events ORDER BY event_id""",
 
     "q_array_funcs" ->
