@@ -14,21 +14,27 @@ object Bench {
     // timing (SURVEY.md §6/M5: cache shared scans across queries).
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.enableCaching(spark, sfDir)
-    // One cold (warm-up) + one timed run per query: reported times are
-    // steady-state; the cold pass total is included for transparency.
+    // One cold (warm-up) pass + two timed runs per query, reporting the
+    // min (steady-state, scheduler-noise-resistant); the cold pass
+    // total is included for transparency.
     var coldTotal = 0.0
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val c0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       coldTotal += (System.nanoTime() - c0) / 1e9
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          if (!failed.contains(name)) {
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
