@@ -46,6 +46,17 @@ class SourcesSpec extends SparkSuite {
     assert(pruned.count() > 0 && pruned.count() < 1000)
   }
 
+  test("schema-on-read JSON source parses the payload shape") {
+    val dir = Files.createTempDirectory("graft-json").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/p.json"),
+      """{"dt": 1704067200, "timezone": 3600, "name": "Rotterdam",""" +
+        """ "weather": [{"description": "mist"}], "main": {"temp": 7.3}}""")
+    val df = Sinks.readJson(spark, dir, graft.streaming.WeatherIngest.owmSchema)
+    val row = df.collect().head
+    assert(row.getAs[Long]("dt") === 1704067200L)
+    assert(row.getAs[org.apache.spark.sql.Row]("main").getDouble(0) === 7.3)
+  }
+
   test("csv round trip preserves data") {
     val dir = Files.createTempDirectory("graft-csv").toString + "/out"
     val df = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("k", "name", "v")

@@ -34,6 +34,16 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("streaming sliding windows == batch sliding windows (counts)") {
+    val streamed = drain(
+      StreamingJobs.sliding(StreamingJobs.readEvents(spark, sfDir)),
+      "t_slide", "complete")
+      .select(col("ws"), col("event_type"), col("n"))
+    val batch = queries.StreamingBatch.defs("q_s_slide")(spark, sfDir)
+      .select(col("ws"), col("event_type"), col("n"))
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("streaming session windows == batch session windows") {
     val streamed = drain(
       StreamingJobs.sessions(StreamingJobs.readEvents(spark, sfDir)),
