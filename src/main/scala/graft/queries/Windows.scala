@@ -81,6 +81,21 @@ object Windows {
           expr("count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)").as("n_in_range"))
         .orderBy(col("o_orderkey"))),
 
+    // cume_dist / nth_value — the remaining analytic functions.
+    "q_win_cume" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(floor(col("o_totalprice") / 50000))
+      val wf = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      table(s, d, "orders")
+        .select(
+          col("o_orderkey"), col("o_orderpriority"),
+          round(cume_dist().over(w), 6).as("cd"),
+          nth_value(col("o_orderkey"), 2).over(wf).as("second_key"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Time-range frame: events per user in the trailing 10 minutes.
     "q_win_trange" -> ((s, d) =>
       table(s, d, "events")
@@ -143,6 +158,15 @@ object Windows {
       """SELECT o_orderkey, o_orderpriority,
                 count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
                                RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS n_in_range
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_win_cume" ->
+      """SELECT o_orderkey, o_orderpriority,
+                round(cume_dist() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY floor(o_totalprice / 50000)), 6) AS cd,
+                nth_value(o_orderkey, 2) OVER (
+                  PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
          FROM orders ORDER BY o_orderkey""",
 
     "q_win_trange" ->

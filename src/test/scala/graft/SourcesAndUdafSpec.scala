@@ -57,6 +57,15 @@ class SourcesSpec extends SparkSuite {
     assert(row.getAs[org.apache.spark.sql.Row]("main").getDouble(0) === 7.3)
   }
 
+  test("orc round trip preserves data") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/out"
+    val df = Tables.table(spark, sfDir, "nation")
+    Sinks.writeOrc(df, dir)
+    val back = Sinks.readOrc(spark, dir)
+    assert(back.orderBy("n_nationkey").collect().toSeq ===
+      df.orderBy("n_nationkey").collect().toSeq)
+  }
+
   test("csv round trip preserves data") {
     val dir = Files.createTempDirectory("graft-csv").toString + "/out"
     val df = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("k", "name", "v")
