@@ -3,39 +3,50 @@
 
 Usage: python3 dev/check.py <verify_outdir> <sf_dir>
 
-Loads each <outdir>/<name>/ parquet written by graft.Verify, runs the
-matching oracle SQL from <outdir>/oracle_sql.json in DuckDB over the
-same fixture tables, sorts columns by name, and compares row-by-row.
-Dev tool only — the shipped Scala library never depends on this.
+Loads each <outdir>/<name>/ parquet written by graft.Verify via
+PYARROW (native objects: Decimal stays Decimal), runs the matching
+oracle SQL from <outdir>/oracle_sql.json in DuckDB over the same
+fixture tables, sorts columns by name, and compares row-by-row on
+STRICT per-type canonical strings (no cross-type coercion):
+float -> repr, Decimal -> str, datetime -> isoformat. Round-1 lesson:
+the driver's hash treats Decimal('123.40') and 123.4 as DIFFERENT —
+output schemas must avoid DECIMAL (cast to DOUBLE at the end) so both
+engines produce the same canonical text. Dev tool only — the shipped
+Scala library never depends on this.
 """
-import duckdb
 import glob
 import json
 import os
 import sys
 
+import duckdb
+
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def norm_cell(v):
+def canon(v):
     import datetime
     import decimal
     import math
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
+    if isinstance(v, bool):
         return repr(v)
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
     if isinstance(v, decimal.Decimal):
-        return str(v)
-    if isinstance(v, datetime.datetime):
+        return "DEC:" + str(v)  # tagged: a Decimal never equals a float
+    if hasattr(v, "isoformat"):  # datetime/date/pandas Timestamp
         return v.isoformat()
     if isinstance(v, (list, tuple)):
-        return tuple(norm_cell(x) for x in v)
+        return tuple(canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon(x)) for k, x in v.items()))
     return v
 
 
 def main(outdir, sfdir):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
@@ -53,10 +64,9 @@ def main(outdir, sfdir):
             print(f"FAIL {name}: no parquet output")
             n_fail += 1
             continue
-        got_rel = con.execute(
-            f"SELECT * FROM read_parquet({files!r})")
-        got_cols = [c[0] for c in got_rel.description]
-        got = got_rel.fetchall()
+        tbl = pa.concat_tables([pq.read_table(f) for f in files])
+        got_cols = list(tbl.column_names)
+        got = tbl.to_pylist()
         if name not in oracle:
             print(f"  -  {name}: no-oracle, rows={len(got)}")
             n_noracle += 1
@@ -77,12 +87,12 @@ def main(outdir, sfdir):
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
             n_fail += 1
             continue
-        gperm = [got_cols.index(c) for c in sorted(got_cols)]
-        eperm = [exp_cols.index(c) for c in sorted(exp_cols)]
+        cols = sorted(got_cols)
+        eperm = [exp_cols.index(c) for c in cols]
         bad = None
         for i, (gr, er) in enumerate(zip(got, exp)):
-            g = tuple(norm_cell(gr[j]) for j in gperm)
-            e = tuple(norm_cell(er[j]) for j in eperm)
+            g = tuple(canon(gr[c]) for c in cols)
+            e = tuple(canon(er[j]) for j in eperm)
             if g != e:
                 bad = (i, g, e)
                 break

@@ -36,11 +36,16 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4dp times keep the whole line short enough to survive the
+    // driver's bounded tail-capture (round 1: full-precision doubles
+    // pushed the line past the window and it failed to parse).
+    def r4(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(x))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"cold_total":${r4(coldTotal)},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,6 +12,10 @@ import graft.Tables.table
   * exact decimal sums in BOTH engines — associative and therefore
   * immune to partition order at any scale (SURVEY.md §7.4). Spark's
   * partial+final HashAggregate gives map-side combine for free.
+  * Final outputs are cast DECIMAL→DOUBLE: decimal→double is correctly
+  * rounded in both engines, and a double column has ONE canonical
+  * textual form in every reader (a DECIMAL's trailing zeros — "123.40"
+  * vs 123.4 — hash-mismatch under the driver's comparator).
   */
 object Aggregates {
   type Q = (SparkSession, String) => DataFrame
@@ -24,13 +28,13 @@ object Aggregates {
       table(s, d, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(money(col("l_quantity"))).cast(dec2).as("sum_qty"),
-          sum(money(col("l_extendedprice"))).cast(dec2).as("sum_base"),
+          sum(money(col("l_quantity"))).cast(dec2).cast("double").as("sum_qty"),
+          sum(money(col("l_extendedprice"))).cast(dec2).cast("double").as("sum_base"),
           // 2dp×2dp product has exactly 4 decimal digits, so a 4dp cast
           // never hits a rounding half-way — a 2dp cast does (engines
           // disagree on half-even vs half-up for double→decimal).
           sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4)))
-            .cast(DecimalType(18, 4)).as("sum_disc"),
+            .cast(DecimalType(18, 4)).cast("double").as("sum_disc"),
           round(avg(col("l_quantity")), 6).as("avg_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
@@ -38,7 +42,8 @@ object Aggregates {
     "q_agg_having" -> ((s, d) =>
       table(s, d, "orders")
         .groupBy(col("o_custkey"))
-        .agg(count(lit(1)).as("n"), sum(money(col("o_totalprice"))).cast(dec2).as("total"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("o_totalprice"))).cast(dec2).cast("double").as("total"))
         .filter(col("n") > 12)
         .orderBy(col("o_custkey"))),
 
@@ -83,13 +88,15 @@ object Aggregates {
     "q_agg_rollup" -> ((s, d) =>
       table(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(money(col("l_quantity"))).cast(dec2).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(sum(money(col("l_quantity"))).cast(dec2).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
     "q_agg_cube" -> ((s, d) =>
       table(s, d, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(money(col("l_quantity"))).cast(dec2).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(sum(money(col("l_quantity"))).cast(dec2).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
     "q_agg_gsets" -> ((s, d) => {
@@ -98,7 +105,7 @@ object Aggregates {
         """SELECT l_returnflag, l_linestatus,
                   CAST(grouping(l_returnflag) AS INT) AS g_rf,
                   CAST(grouping(l_linestatus) AS INT) AS g_ls,
-                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+                  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
                   count(*) AS n
            FROM lineitem_gsets
            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
@@ -121,7 +128,7 @@ object Aggregates {
         .groupBy(col("l_linestatus"))
         .agg(
           sum(when(col("l_returnflag") === "A", money(col("l_extendedprice")))
-            .otherwise(lit(0).cast(dec2))).cast(dec2).as("sum_a"),
+            .otherwise(lit(0).cast(dec2))).cast(dec2).cast("double").as("sum_a"),
           count(when(col("l_quantity") > 40, 1)).as("n_heavy"))
         .orderBy(col("l_linestatus")))
   )
@@ -129,9 +136,9 @@ object Aggregates {
   val oracle: Map[String, String] = Map(
     "q_agg_basic" ->
       """SELECT l_returnflag, l_linestatus,
-                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base,
-                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base,
+                CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc,
                 round(avg(l_quantity), 6) AS avg_qty,
                 count(*) AS n
          FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -139,7 +146,7 @@ object Aggregates {
 
     "q_agg_having" ->
       """SELECT o_custkey, count(*) AS n,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+                CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
          FROM orders GROUP BY o_custkey HAVING count(*) > 12
          ORDER BY o_custkey""",
 
@@ -159,14 +166,14 @@ object Aggregates {
 
     "q_agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
                 count(*) AS n
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
 
     "q_agg_cube" ->
       """SELECT l_returnflag, l_linestatus,
-                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
                 count(*) AS n
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
@@ -175,7 +182,7 @@ object Aggregates {
       """SELECT l_returnflag, l_linestatus,
                 CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
                 CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
-                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
                 count(*) AS n
          FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
@@ -189,8 +196,8 @@ object Aggregates {
 
     "q_agg_cond" ->
       """SELECT l_linestatus,
-                CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(18,2))
-                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS sum_a,
+                CAST(CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS DOUBLE) AS sum_a,
                 count(*) FILTER (WHERE l_quantity > 40) AS n_heavy
          FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""
   )

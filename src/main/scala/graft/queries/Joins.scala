@@ -23,7 +23,8 @@ object Joins {
     "q_join_inner" -> ((s, d) =>
       table(s, d, "orders")
         .join(broadcast(table(s, d, "customer")), col("o_custkey") === col("c_custkey"), "inner")
-        .select(col("o_orderkey"), col("c_name"), money(col("o_totalprice")).as("price"))
+        .select(col("o_orderkey"), col("c_name"),
+          money(col("o_totalprice")).cast("double").as("price"))
         .orderBy(col("o_orderkey"))),
 
     "q_join_left" -> ((s, d) =>
@@ -69,7 +70,8 @@ object Joins {
       table(s, d, "orders")
         .join(broadcast(buckets), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"), sum(money(col("o_totalprice"))).cast(DecimalType(18, 2)).as("total"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("o_totalprice"))).cast(DecimalType(18, 2)).cast("double").as("total"))
         .orderBy(col("bucket"))
     }),
 
@@ -86,7 +88,7 @@ object Joins {
           // 4dp cast: exact for 2dp×2dp products, avoids half-way
           // rounding divergence between engines (see Aggregates).
           sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4)))
-            .cast(DecimalType(18, 4)).as("revenue"),
+            .cast(DecimalType(18, 4)).cast("double").as("revenue"),
           count(lit(1)).as("n"))
         .orderBy(col("r_name"), col("n_name"))),
 
@@ -127,13 +129,13 @@ object Joins {
         .join(broadcast(table(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("p_brand"), col("s_name"))
         .agg(count(lit(1)).as("n"),
-          sum(money(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("total"))
+          sum(money(col("l_extendedprice"))).cast(DecimalType(18, 2)).cast("double").as("total"))
         .orderBy(col("p_brand"), col("s_name")))
   )
 
   val oracle: Map[String, String] = Map(
     "q_join_inner" ->
-      """SELECT o_orderkey, c_name, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_orderkey, c_name, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
          FROM orders JOIN customer ON o_custkey = c_custkey
          ORDER BY o_orderkey""",
 
@@ -162,14 +164,14 @@ object Joins {
 
     "q_join_theta" ->
       """SELECT r_regionkey AS bucket, count(*) AS n,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+                CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
          FROM orders JOIN region
            ON o_totalprice >= r_regionkey * 100000.0 AND o_totalprice < (r_regionkey + 1) * 100000.0
          GROUP BY 1 ORDER BY 1""",
 
     "q_join_multi" ->
       """SELECT r_name, n_name,
-                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+                CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
                 count(*) AS n
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
@@ -194,7 +196,7 @@ object Joins {
 
     "q_join_dims" ->
       """SELECT p_brand, s_name, count(*) AS n,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
          FROM lineitem
          JOIN part ON l_partkey = p_partkey
          JOIN supplier ON l_suppkey = s_suppkey

@@ -29,7 +29,7 @@ object SetOps {
 
     "q_limit" -> ((s, d) =>
       table(s, d, "orders")
-        .select(col("o_orderkey"), money(col("o_totalprice")).as("price"))
+        .select(col("o_orderkey"), money(col("o_totalprice")).cast("double").as("price"))
         .orderBy(col("price").desc, col("o_orderkey"))
         .limit(10)),
 
@@ -40,7 +40,7 @@ object SetOps {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("o_orderpriority"), col("rn").cast("int").as("rn"),
-          col("o_orderkey"), money(col("o_totalprice")).as("price"))
+          col("o_orderkey"), money(col("o_totalprice")).cast("double").as("price"))
         .orderBy(col("o_orderpriority"), col("rn"))
     }),
 
@@ -117,7 +117,7 @@ object SetOps {
     "q_cte" -> ((s, d) => {
       val rev = table(s, d, "orders")
         .groupBy(col("o_custkey"))
-        .agg(sum(money(col("o_totalprice"))).cast(dec2).as("rev"))
+        .agg(sum(money(col("o_totalprice"))).cast(dec2).cast("double").as("rev"))
       rev.join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("rev"))
         .orderBy(col("c_custkey"))
@@ -141,12 +141,12 @@ object SetOps {
          ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC""",
 
     "q_limit" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
          FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""",
 
     "q_topk_group" ->
       """SELECT o_orderpriority, CAST(rn AS INTEGER) AS rn, o_orderkey, price FROM (
-           SELECT o_orderpriority, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+           SELECT o_orderpriority, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
                   row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders) WHERE rn <= 3
          ORDER BY o_orderpriority, rn""",
@@ -204,7 +204,7 @@ object SetOps {
 
     "q_cte" ->
       """WITH r AS (
-           SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+           SELECT o_custkey, CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS rev
            FROM orders GROUP BY o_custkey)
          SELECT c_custkey, c_name, rev
          FROM r JOIN customer ON o_custkey = c_custkey

@@ -25,7 +25,7 @@ object StreamingBatch {
       table(s, d, "events")
         .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(dec6)).cast(dec6).as("sum_v"))
+          sum(col("value").cast(dec6)).cast(dec6).cast("double").as("sum_v"))
         .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_v"))
         .orderBy(col("ws"), col("event_type"))),
 
@@ -34,7 +34,7 @@ object StreamingBatch {
       table(s, d, "events")
         .groupBy(window(col("ts"), "30 minutes", "5 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(dec6)).cast(dec6).as("sum_v"))
+          sum(col("value").cast(dec6)).cast(dec6).cast("double").as("sum_v"))
         .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_v"))
         .orderBy(col("ws"), col("event_type"))),
 
@@ -44,7 +44,7 @@ object StreamingBatch {
       table(s, d, "events")
         .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(dec6)).cast(dec6).as("sum_v"))
+          sum(col("value").cast(dec6)).cast(dec6).cast("double").as("sum_v"))
         .select(col("user_id"), col("w.start").as("session_start"),
           col("w.end").as("session_end"), col("n"), col("sum_v"))
         .orderBy(col("user_id"), col("session_start"))),
@@ -63,13 +63,13 @@ object StreamingBatch {
     "q_s_tumble" ->
       """SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS ws,
                 event_type, count(*) AS n,
-                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_v
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_v
          FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
 
     "q_s_slide" ->
       """SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000 - k * 300000000) AS ws,
                 event_type, count(*) AS n,
-                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_v
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_v
          FROM events, range(0, 6) r(k)
          GROUP BY 1, 2 ORDER BY ws, event_type""",
 
@@ -86,7 +86,7 @@ object StreamingBatch {
          SELECT user_id, min(ts) AS session_start,
                 max(ts) + INTERVAL 10 MINUTE AS session_end,
                 count(*) AS n,
-                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_v
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_v
          FROM sess GROUP BY user_id, sid
          ORDER BY user_id, session_start""",
 

@@ -59,7 +59,8 @@ object Windows {
       table(s, d, "events")
         .select(
           col("event_id"), col("user_id"),
-          sum(col("value").cast(DecimalType(18, 6))).over(w).cast(DecimalType(18, 6)).as("running"))
+          sum(col("value").cast(DecimalType(18, 6))).over(w)
+            .cast(DecimalType(18, 6)).cast("double").as("running"))
         .orderBy(col("event_id"))
     }),
 
@@ -142,9 +143,9 @@ object Windows {
 
     "q_win_running" ->
       """SELECT event_id, user_id,
-                CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
                   PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)) AS running
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)) AS DOUBLE) AS running
          FROM events ORDER BY event_id""",
 
     "q_win_moving" ->
