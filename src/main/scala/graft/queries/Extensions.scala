@@ -75,19 +75,9 @@ object Extensions {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    "q_x_cos_pairs" -> ((s, d) => {
-      val emb = table(s, d, "embeddings")
-      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-        .withColumn("na", graft.functions.VectorFunctions.norm(col("va")))
-      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-        .withColumn("nb", graft.functions.VectorFunctions.norm(col("vb")))
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cos", round(
-          graft.functions.VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")), 9))
-        .filter(col("cos") >= 0.4)
-        .select(col("id_a"), col("id_b"), col("cos"))
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    "q_x_cos_pairs" -> ((s, d) =>
+      Similarity.exactCosinePairs(s, table(s, d, "embeddings"), threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
 
     // Approximate ANN via random-hyperplane LSH with multi-probe.
     // No oracle (model-defined); spec asserts recall vs brute force.

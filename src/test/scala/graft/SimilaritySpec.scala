@@ -48,6 +48,20 @@ class SimilaritySpec extends SparkSuite {
     assert(recall > 0.3)
   }
 
+  test("exactCosinePairs kernel == declarative BNLJ form, bit-exact") {
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .withColumn("na", VectorFunctions.norm(col("va")))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      .withColumn("nb", VectorFunctions.norm(col("vb")))
+    val declarative = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")), 9).as("cos"))
+      .filter(col("cos") >= 0.4)
+    val kernel = Similarity.exactCosinePairs(spark, emb, threshold = 0.4)
+    assert(kernel.count() > 0)
+    assert(kernel.exceptAll(declarative).isEmpty && declarative.exceptAll(kernel).isEmpty)
+  }
+
   test("hyperplanes are deterministic across invocations") {
     val a = Similarity.hyperplanes(4, 8)
     val b = Similarity.hyperplanes(4, 8)
