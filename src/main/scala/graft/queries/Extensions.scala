@@ -97,6 +97,25 @@ object Extensions {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Int8-style embedding quantization (the storage-compression pass
+    // of an embedding pipeline): per-vector absmax scale, elements
+    // mapped by floor(x·127/mx) — floor (not round) because Spark
+    // HALF_UP vs DuckDB half-even disagree exactly at quantization
+    // boundaries. Emits per-vector quantization stats.
+    "q_x_quantize" -> ((s, d) => {
+      val xd = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val mx = aggregate(col("embedding"), lit(0.0), (a, x) => greatest(a, abs(xd(x))))
+      val qv = transform(col("embedding"),
+        x => floor(xd(x) * lit(127.0) / col("mx")).cast("long"))
+      table(s, d, "embeddings")
+        .withColumn("mx", mx)
+        .withColumn("qv", qv)
+        .select(col("vec_id"), round(col("mx"), 9).as("qscale"),
+          aggregate(col("qv"), lit(0L), (a, x) => a + x).as("qsum"),
+          array_min(col("qv")).as("qmin"), array_max(col("qv")).as("qmax"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_x_vec_stats" -> ((s, d) =>
       table(s, d, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -312,6 +331,22 @@ object Extensions {
            SELECT id_a, id_b, round($knnCosSql, 9) AS cos
            FROM a JOIN b ON id_a < id_b)
          WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+
+    "q_x_quantize" ->
+      """WITH m AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+           FROM embeddings),
+         q AS (
+           SELECT vec_id, mx,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT)) AS qv
+           FROM m)
+         SELECT vec_id, round(mx, 9) AS qscale,
+                CAST(list_sum(qv) AS BIGINT) AS qsum,
+                CAST(list_min(qv) AS BIGINT) AS qmin,
+                CAST(list_max(qv) AS BIGINT) AS qmax
+         FROM q ORDER BY vec_id""",
 
     "q_x_vec_stats" ->
       """SELECT label, CAST(i AS INTEGER) AS pos,

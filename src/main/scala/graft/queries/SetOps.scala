@@ -123,6 +123,35 @@ object SetOps {
         .orderBy(col("c_custkey"))
     }),
 
+    // Recursive CTE (PG13 WITH RECURSIVE; Spark 4 native): a gap-free
+    // month spine generated by recursion, left-joined to orders — the
+    // time-series gap-fill idiom. The spine join is an equi hash join
+    // on the month bucket (scale-safe), not a range BNLJ.
+    "q_recursive_cte" -> ((s, d) => graft.Sql.adhoc(s, d,
+      """WITH RECURSIVE months(m) AS (
+           SELECT DATE '1995-01-01' AS m
+           UNION ALL
+           SELECT add_months(m, 1) FROM months WHERE m < DATE '1995-12-01'
+         )
+         SELECT m, count(o_orderkey) AS n_orders
+         FROM months LEFT JOIN orders
+           ON CAST(date_trunc('MONTH', o_orderdate) AS DATE) = m
+         GROUP BY m ORDER BY m""")),
+
+    // Correlated LATERAL subquery (PG13 LATERAL): top-2 orders per
+    // customer. Catalyst decorrelates the ORDER BY/LIMIT-2 subquery
+    // into a partitioned window — no per-customer re-execution.
+    "q_lateral" -> ((s, d) => graft.Sql.adhoc(s, d,
+      """SELECT c.c_custkey, l.o_orderkey, l.price
+         FROM customer c
+         JOIN LATERAL (
+           SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+           FROM orders WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+           LIMIT 2
+         ) l
+         ORDER BY c.c_custkey, l.price DESC, l.o_orderkey""")),
+
     "q_pivot" -> ((s, d) => {
       val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
       val piv = table(s, d, "customer")
@@ -209,6 +238,27 @@ object SetOps {
          SELECT c_custkey, c_name, rev
          FROM r JOIN customer ON o_custkey = c_custkey
          ORDER BY c_custkey""",
+
+    "q_recursive_cte" ->
+      """WITH RECURSIVE months(m) AS (
+           SELECT DATE '1995-01-01'
+           UNION ALL
+           SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months WHERE m < DATE '1995-12-01'
+         )
+         SELECT m, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+         FROM months LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+         GROUP BY m ORDER BY m""",
+
+    "q_lateral" ->
+      """SELECT c.c_custkey, l.o_orderkey, l.price
+         FROM customer c
+         JOIN LATERAL (
+           SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+           FROM orders WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+           LIMIT 2
+         ) l ON TRUE
+         ORDER BY c.c_custkey, l.price DESC, l.o_orderkey""",
 
     "q_pivot" ->
       """SELECT c_nationkey,

@@ -50,6 +50,19 @@ object Sinks {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** Binary-file source — the ingestion path for multimodal payloads
+    * (images/audio/video as opaque bytes, SURVEY.md §2.8): one row per
+    * file with (path, modificationTime, length, content). Globbed and
+    * distributed by Spark's file index, so a 100 TB media corpus scans
+    * in parallel like any other source; decode happens downstream in
+    * [[graft.multimodal.Multimodal]].
+    */
+  def readBinaryDir(spark: SparkSession, path: String,
+      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+
   /** ORC — the other columnar at-rest format Spark ships natively. */
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)

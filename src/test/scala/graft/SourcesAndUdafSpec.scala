@@ -66,6 +66,21 @@ class SourcesSpec extends SparkSuite {
       df.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("binaryFile source reads media payloads with glob filter") {
+    val dir = Files.createTempDirectory("graft-bin").toString
+    val payloads = Seq("img0" -> Array[Byte](1, 2, 3, 4), "img1" -> Array[Byte](9, 8, 7))
+    payloads.foreach { case (n, bytes) =>
+      Files.write(java.nio.file.Paths.get(dir, s"$n.bin"), bytes)
+    }
+    Files.write(java.nio.file.Paths.get(dir, "skip.txt"), Array[Byte](0))
+    val df = Sinks.readBinaryDir(spark, dir, glob = "*.bin")
+    val rows = df.select(col("path"), col("length"), col("content"))
+      .orderBy(col("path")).collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getAs[Long]("length")).toSeq === Seq(4L, 3L))
+    assert(rows(1).getAs[Array[Byte]]("content").toSeq === Seq[Byte](9, 8, 7))
+  }
+
   test("csv round trip preserves data") {
     val dir = Files.createTempDirectory("graft-csv").toString + "/out"
     val df = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("k", "name", "v")
