@@ -16,9 +16,12 @@ import org.apache.spark.sql.classic.Strategy
   * order (compose < Expression < LogicalPlan+Strategy).
   *
   * Semantics: for each left row, the right row with the same key and
-  * the greatest ts ≤ left.ts (inner: unmatched left rows drop) — the
+  * — direction backward (default) — the greatest ts ≤ left.ts, or
+  * — direction forward — the smallest ts ≥ left.ts;
+  * unmatched left rows drop (inner) or null-extend (leftOuter) — the
   * time-series lookup implied by the reference's keyed weather table
-  * (weather-etl.py:76).
+  * (weather-etl.py:76), in the four modes of DuckDB ASOF [LEFT] JOIN /
+  * pandas merge_asof.
   *
   * Physical algorithm: both sides hash-clustered by key and sorted by
   * (key, ts) — Spark's EnsureRequirements inserts the exchanges/sorts
@@ -37,9 +40,13 @@ case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftTs: Attribute,
     rightKey: Attribute, rightTs: Attribute,
-    toleranceUs: Option[Long]) extends BinaryNode {
+    toleranceUs: Option[Long],
+    forward: Boolean = false,
+    leftOuter: Boolean = false) extends BinaryNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
@@ -50,9 +57,13 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, leftTs: Attribute,
     rightKey: Attribute, rightTs: Attribute,
-    toleranceUs: Option[Long]) extends BinaryExecNode {
+    toleranceUs: Option[Long],
+    forward: Boolean = false,
+    leftOuter: Boolean = false) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   // StatefulOpClusteredDistribution: demands EXACT HashPartitioning
   // on the key with an exact partition count on BOTH sides. Plain
@@ -94,39 +105,70 @@ case class AsOfJoinExec(
       new Iterator[InternalRow] {
         private val joined = new JoinedRow
         private val rBuf = rIter.buffered
-        // last right row matching the current left key with ts <= left.ts
+        // backward: last right row matching the current left key with ts <= left.ts
         private var held: InternalRow = _
         private var heldKey: Any = _
         private var heldTs = 0L
         private var out: InternalRow = _
         private val tol = toleranceUs.getOrElse(Long.MaxValue)
+        private val nullRight =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(right.output.size)
+
+        private def emit(l: InternalRow, r: InternalRow): Unit =
+          if (r != null) out = joined(l, r)
+          else if (leftOuter) out = joined(l, nullRight)
 
         private def advance(): Unit = {
           out = null
           while (out == null && lIter.hasNext) {
             val l = lIter.next()
-            if (!l.isNullAt(lKeyIdx) && !l.isNullAt(lTsIdx)) {
+            if (l.isNullAt(lKeyIdx) || l.isNullAt(lTsIdx)) emit(l, null)
+            else {
               val lk = l.get(lKeyIdx, keyType)
               val lt = l.getLong(lTsIdx)
-              // consume right rows up to (lk, lt]
-              var go = true
-              while (go && rBuf.hasNext) {
-                val r = rBuf.head
-                if (r.isNullAt(rKeyIdx) || r.isNullAt(rTsIdx)) { rBuf.next(); go = true }
-                else {
-                  val cmp = keyOrd.compare(r.get(rKeyIdx, keyType), lk)
-                  if (cmp < 0 || (cmp == 0 && r.getLong(rTsIdx) <= lt)) {
-                    val consumed = rBuf.next()
-                    if (cmp == 0) {
-                      heldTs = consumed.getLong(rTsIdx)
-                      held = consumed.copy()
-                      heldKey = held.get(rKeyIdx, keyType) // from the copy
-                    }
-                  } else go = false
+              if (!forward) {
+                // consume right rows up to (lk, lt]; hold the last same-key one
+                var go = true
+                while (go && rBuf.hasNext) {
+                  val r = rBuf.head
+                  if (r.isNullAt(rKeyIdx) || r.isNullAt(rTsIdx)) { rBuf.next(); go = true }
+                  else {
+                    val cmp = keyOrd.compare(r.get(rKeyIdx, keyType), lk)
+                    if (cmp < 0 || (cmp == 0 && r.getLong(rTsIdx) <= lt)) {
+                      val consumed = rBuf.next()
+                      if (cmp == 0) {
+                        heldTs = consumed.getLong(rTsIdx)
+                        held = consumed.copy()
+                        heldKey = held.get(rKeyIdx, keyType) // from the copy
+                      }
+                    } else go = false
+                  }
                 }
+                val ok = held != null && keyOrd.compare(heldKey, lk) == 0 && lt - heldTs <= tol
+                emit(l, if (ok) held else null)
+              } else {
+                // forward: discard right rows strictly before (lk, lt); the
+                // head (not consumed — later left rows may share it) is the
+                // candidate first-at-or-after match
+                var go = true
+                while (go && rBuf.hasNext) {
+                  val r = rBuf.head
+                  if (r.isNullAt(rKeyIdx) || r.isNullAt(rTsIdx)) { rBuf.next(); go = true }
+                  else {
+                    val cmp = keyOrd.compare(r.get(rKeyIdx, keyType), lk)
+                    if (cmp < 0 || (cmp == 0 && r.getLong(rTsIdx) < lt)) { rBuf.next(); go = true }
+                    else go = false
+                  }
+                }
+                var cand: InternalRow = null
+                if (rBuf.hasNext) {
+                  val r = rBuf.head
+                  if (!r.isNullAt(rKeyIdx) && !r.isNullAt(rTsIdx) &&
+                      keyOrd.compare(r.get(rKeyIdx, keyType), lk) == 0 &&
+                      r.getLong(rTsIdx) - lt <= tol) cand = r
+                }
+                emit(l, cand)
               }
-              if (held != null && keyOrd.compare(heldKey, lk) == 0 && lt - heldTs <= tol)
-                out = joined(l, held)
             }
           }
         }
@@ -147,25 +189,33 @@ case class AsOfJoinExec(
 
 object AsOfStrategy extends Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, lt, rk, rt, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tol) :: Nil
+    case AsOfJoin(l, r, lk, lt, rk, rt, tol, fwd, outer) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tol, fwd, outer) :: Nil
     case _ => Nil
   }
 }
 
 /** Public API: plan-level as-of join of two DataFrames. */
 object AsOf {
-  /** Inner as-of join: rows of `left` matched with the latest `right`
-    * row per key at-or-before the left timestamp. Right columns must
-    * be pre-renamed to avoid collisions.
-    */
-  /** @param within optional max age: a right row older than this
-    *        relative to the left timestamp does not match.
+  /** As-of join: rows of `left` matched with the latest `right` row
+    * per key at-or-before the left timestamp (direction "backward",
+    * default) or the earliest at-or-after ("forward"). Right columns
+    * must be pre-renamed to avoid collisions.
+    *
+    * @param within optional max distance: a right row further than
+    *        this from the left timestamp does not match.
+    * @param direction "backward" | "forward".
+    * @param leftOuter keep unmatched left rows, null-extended (the
+    *        ASOF LEFT JOIN / merge_asof default shape).
     */
   def join(spark: SparkSession, left: DataFrame, right: DataFrame,
       leftKey: String, leftTs: String,
       rightKey: String, rightTs: String,
-      within: Option[java.time.Duration] = None): DataFrame = {
+      within: Option[java.time.Duration] = None,
+      direction: String = "backward",
+      leftOuter: Boolean = false): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"as-of direction must be backward|forward, got $direction")
     if (!spark.experimental.extraStrategies.contains(AsOfStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfStrategy
@@ -179,6 +229,8 @@ object AsOf {
       AsOfJoin(lPlan, rPlan,
         attr(lPlan, leftKey), attr(lPlan, leftTs),
         attr(rPlan, rightKey), attr(rPlan, rightTs),
-        within.map(d => d.toNanos / 1000L)))
+        within.map(d => d.toNanos / 1000L),
+        forward = direction == "forward",
+        leftOuter = leftOuter))
   }
 }

@@ -117,6 +117,40 @@ object Joins {
         .orderBy(col("event_id"))
     }),
 
+    // Plan-level as-of join (plans.AsOfJoinExec — custom LogicalPlan →
+    // Strategy → streaming-merge BinaryExecNode), forward direction:
+    // FIRST click at-or-after each purchase. One shuffle+sort per
+    // side, O(n+m) merge, one-row state.
+    "q_join_asof_fwd" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_value"))
+        .select(col("user_id").as("c_uid"), col("ts").as("click_ts"), col("click_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.plans.AsOf.join(s, purchases, clicks,
+          "user_id", "ts", "c_uid", "click_ts", direction = "forward")
+        .select(col("event_id"), col("user_id"), col("ts"), col("click_ts"), col("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Plan-level as-of join, left-outer backward: every purchase kept,
+    // null click columns where no click precedes it (ASOF LEFT JOIN).
+    "q_join_asof_outer" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_value"))
+        .select(col("user_id").as("c_uid"), col("ts").as("click_ts"), col("click_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.plans.AsOf.join(s, purchases, clicks,
+          "user_id", "ts", "c_uid", "click_ts", leftOuter = true)
+        .select(col("event_id"), col("user_id"), col("ts"), col("click_ts"), col("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_cross" -> ((s, d) =>
       table(s, d, "region").crossJoin(table(s, d, "nation"))
         .select(col("r_name"), col("n_name"))
@@ -189,6 +223,26 @@ object Joins {
            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
          SELECT p.event_id, p.user_id, p.ts AS ts, c.ts AS click_ts, c.click_value
          FROM purch p ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.event_id""",
+
+    "q_join_asof_fwd" ->
+      """WITH clicks AS (
+           SELECT user_id, ts, max(value) AS click_value
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         purch AS (
+           SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.ts AS ts, c.ts AS click_ts, c.click_value
+         FROM purch p ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts <= c.ts
+         ORDER BY p.event_id""",
+
+    "q_join_asof_outer" ->
+      """WITH clicks AS (
+           SELECT user_id, ts, max(value) AS click_value
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         purch AS (
+           SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.ts AS ts, c.ts AS click_ts, c.click_value
+         FROM purch p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
          ORDER BY p.event_id""",
 
     "q_cross" ->

@@ -56,6 +56,40 @@ class AsOfPlanSpec extends SparkSuite {
     assert(mid.select($"tag").as[String].collect().toSeq === Seq("recent"))
   }
 
+  test("forward direction picks the earliest right row at-or-after") {
+    val left = Seq((100L, 1L, ts(10)), (101L, 1L, ts(12)), (102L, 2L, ts(50)), (103L, 1L, ts(99)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, ts(5), "a"), (1L, ts(11), "b"), (1L, ts(20), "c"), (2L, ts(50), "x"))
+      .toDF("r_user", "r_ts", "tag")
+    val out = AsOf.join(spark, left, right, "user_id", "ts", "r_user", "r_ts",
+        direction = "forward")
+      .select($"event_id", $"tag").as[(Long, String)].collect().toMap
+    assert(out === Map(
+      100L -> "b",  // earliest >= t10 is t11
+      101L -> "c",  // earliest >= t12 is t20
+      102L -> "x")) // equal ts matches (at-or-after)
+    // 103 (no click >= t99) drops: inner semantics
+
+    // forward tolerance: t20 is 8s after t12 → dropped at within=5s
+    val tight = AsOf.join(spark, left, right, "user_id", "ts", "r_user", "r_ts",
+      within = Some(java.time.Duration.ofSeconds(5)), direction = "forward")
+      .select($"event_id", $"tag").as[(Long, String)].collect().toMap
+    assert(tight === Map(100L -> "b", 102L -> "x"))
+  }
+
+  test("leftOuter keeps unmatched left rows null-extended") {
+    val left = Seq((100L, 1L, ts(10)), (101L, 1L, ts(4)), (103L, 3L, ts(10)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, ts(9), "b")).toDF("r_user", "r_ts", "tag")
+    val out = AsOf.join(spark, left, right, "user_id", "ts", "r_user", "r_ts",
+        leftOuter = true)
+      .select($"event_id", $"tag").as[(Long, Option[String])].collect().toMap
+    assert(out === Map(
+      100L -> Some("b"),
+      101L -> None,   // no click at-or-before t4 → kept, null right
+      103L -> None))  // key absent on the right → kept, null right
+  }
+
   test("plan-level as-of == composite window form on the events fixture") {
     val ev = Tables.events(spark, sfDir)
     val clicks = ev.filter($"event_type" === "click")
