@@ -264,6 +264,71 @@ object Extensions {
               "\\bdata\\b", "<redacted>"), 1, 80).as("clean_prefix"))
         .orderBy(col("doc_id"))),
 
+    // Near-duplicate CLUSTER assignment: adjacent-id shingled-jaccard
+    // edges (the fixture plants near-dups consecutively) → generic
+    // distributed connected components (operators.Components,
+    // O(log diameter) label-propagation rounds). The oracle exploits
+    // that the edge set is chain-shaped (window run-detection); the
+    // Spark side runs the general graph algorithm.
+    "q_x_dup_clusters" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val sh = docs.select(col("doc_id"), TextFunctions.shinglesExpr("text", 3).as("sh"))
+      val a = sh.select(col("doc_id").as("a"), col("sh").as("sa"))
+      val b = sh.select(col("doc_id").as("b"), col("sh").as("sb"))
+      val edges = a.join(b, col("a") + 1 === col("b"))
+        .filter(TextFunctions.jaccard(col("sa"), col("sb")) >= 0.6)
+        .select(col("a"), col("b"))
+      graft.operators.Components
+        .connectedComponents(s, docs.select(col("doc_id").as("id")), edges)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic stratified sampling: keep-decision is a pure
+    // function of (salt, doc_id) via md5 — reproducible on any cluster
+    // and any partitioning, per-stratum rates out of 256 buckets.
+    "q_x_sample" -> ((s, d) => {
+      val hex = lit("0123456789abcdef")
+      val h = md5(concat(lit("graft"), col("doc_id").cast("string")))
+      val bucket = (instr(hex, substring(h, 1, 1)) - 1) * 16 +
+        (instr(hex, substring(h, 2, 1)) - 1)
+      val rate = when(col("lang") === "en", 200)
+        .when(col("lang") === "de", 128).otherwise(64)
+      table(s, d, "documents")
+        .filter(bucket < rate)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("chars_sampled"))
+        .orderBy(col("lang"))
+    }),
+
+    // Token-distribution quality signals: word entropy
+    // H = ln(N) − Σ c·ln(c) / N (one aggregation, no self-join) and
+    // distinct-token ratio — the repetition filters of a corpus
+    // quality pipeline.
+    "q_x_entropy" -> ((s, d) => {
+      val tf = table(s, d, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      tf.groupBy(col("doc_id")).agg(
+          round(log(sum(col("c"))) - sum(col("c") * log(col("c"))) / sum(col("c")), 6)
+            .as("entropy"),
+          round(count(lit(1)).cast("double") / sum(col("c")), 6).as("distinct_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Fixed-size token chunking (context-window packing): one output
+    // row per 64-token chunk, computed arithmetically from the token
+    // count — no per-token explosion.
+    "q_x_chunks" -> ((s, d) =>
+      table(s, d, "documents")
+        .withColumn("nt", size(TextFunctions.tokens(col("text"))))
+        .withColumn("chunk_idx",
+          explode(sequence(lit(0), greatest(lit(0), expr("(nt - 1) div 64")))))
+        .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+          (col("chunk_idx") * 64).cast("int").as("tok_start"),
+          least(lit(64), col("nt") - col("chunk_idx") * 64).cast("int").as("tok_len"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // ---- multimodal ---------------------------------------------------
     // Binary payload column → batched mapPartitions "decode" (stubbed
     // deterministically — real codecs unavailable in-sandbox; the
@@ -447,6 +512,52 @@ object Extensions {
                 substr(regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
                        '\bdata\b', '<redacted>', 'g'), 1, 80) AS clean_prefix
          FROM documents ORDER BY doc_id""",
+
+    "q_x_dup_clusters" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  CASE WHEN length(text) < 3 THEN []::VARCHAR[]
+                       ELSE list_distinct(list_transform(range(1, length(text) - 1),
+                              i -> substr(text, CAST(i AS INTEGER), 3))) END AS s
+           FROM documents),
+         e AS (
+           SELECT b.doc_id AS b FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.6),
+         d AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id IN (SELECT b FROM e) THEN NULL ELSE doc_id END AS start_id
+           FROM documents)
+         SELECT doc_id,
+                max(start_id) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cluster_id
+         FROM d ORDER BY doc_id""",
+
+    "q_x_sample" ->
+      """SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+         FROM documents
+         WHERE (strpos('0123456789abcdef', substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), 2, 1)) - 1)
+               < (CASE WHEN lang = 'en' THEN 200 WHEN lang = 'de' THEN 128 ELSE 64 END)
+         GROUP BY lang ORDER BY lang""",
+
+    "q_x_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         tf AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2)
+         SELECT doc_id,
+                round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / CAST(sum(c) AS DOUBLE), 6) AS entropy,
+                round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS distinct_ratio
+         FROM tf GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_x_chunks" ->
+      """WITH n AS (SELECT doc_id, len(string_split(text, ' ')) AS nt FROM documents),
+         u AS (SELECT doc_id, nt,
+                      unnest(range(0, greatest(1, CAST(ceil(nt / 64.0) AS BIGINT)))) AS i
+               FROM n)
+         SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+                CAST(i * 64 AS INTEGER) AS tok_start,
+                CAST(least(64, nt - i * 64) AS INTEGER) AS tok_len
+         FROM u ORDER BY doc_id, chunk_idx""",
 
     "q_x_multimodal" ->
       """SELECT doc_id,

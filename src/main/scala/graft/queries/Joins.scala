@@ -151,6 +151,19 @@ object Joins {
         .orderBy(col("event_id"))
     }),
 
+    // Bloom-pruned selective semi join (operators.BloomPrune): dim
+    // keys → broadcast bloom filter → fact rows drop BEFORE the
+    // shuffle; the final exact semi join removes false positives, so
+    // the result equals the plain semi join (its oracle) at any fpp.
+    "q_join_bloom" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+      val urgent = table(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      graft.operators.BloomPrune.semiJoin(li, urgent, "l_orderkey", "o_orderkey",
+          expectedNumItems = 100000L)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
     "q_cross" -> ((s, d) =>
       table(s, d, "region").crossJoin(table(s, d, "nation"))
         .select(col("r_name"), col("n_name"))
@@ -244,6 +257,11 @@ object Joins {
          SELECT p.event_id, p.user_id, p.ts AS ts, c.ts AS click_ts, c.click_value
          FROM purch p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
          ORDER BY p.event_id""",
+
+    "q_join_bloom" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         ORDER BY l_orderkey, l_linenumber, l_quantity""",
 
     "q_cross" ->
       "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
