@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Dev-only plan audit: for every declared query, list each parquet
+  * scan's read schema and pushed filters — the §4.2 pruning/pushdown
+  * checklist (a scan reading all columns for a 2-column projection is
+  * a bug). Run: sbt "runMain graft.PlanAudit [queryName...]"
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val scans = plan.collectLeaves().map {
+        case s: FileSourceScanExec =>
+          val table = s.relation.location.rootPaths.headOption
+            .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
+          val cols = s.requiredSchema.fieldNames.mkString(",")
+          val pushed = s.metadata.getOrElse("PushedFilters", "[]")
+          s"$table[$cols] pushed=$pushed"
+        case other => other.getClass.getSimpleName
+      }
+      println(s"AUDIT $name :: ${scans.mkString(" | ")}")
+    }
+    spark.stop()
+  }
+}

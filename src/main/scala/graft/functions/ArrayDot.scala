@@ -117,6 +117,11 @@ object GraftFunctions {
         },
         "built-in")
     }
+    val shId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash")
+    if (!registry.functionExists(shId)) {
+      registry.createOrReplaceTempFunction(
+        "graft_simhash", exprs => SimHash64(exprs(0)), "built-in")
+    }
     val icId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_intersect_count")
     if (!registry.functionExists(icId)) {
       registry.createOrReplaceTempFunction(

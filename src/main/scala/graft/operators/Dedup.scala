@@ -82,9 +82,19 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document: per-token xxhash64 bit votes summed,
-    * sign → bit. Near-dups have small hamming distance.
+    * sign → bit. Near-dups have small hamming distance. Map-only
+    * projection via the codegen'd [[graft.functions.SimHash64]] — no
+    * explode, no shuffle (the aggregate form below ships one row per
+    * token into a 64-column hash aggregate).
     */
-  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      call_function("graft_simhash", TextFunctions.tokens(col(textCol))).as("simhash"))
+
+  /** Explode/groupBy reference formulation of [[simhash]] (drops
+    * empty documents; kept for the bit-equivalence spec).
+    */
+  def simhashAgg(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextFunctions.tokens(col(textCol))).as("word"))
       .withColumn("wh", xxhash64(col("word")))

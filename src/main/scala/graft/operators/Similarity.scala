@@ -149,11 +149,17 @@ object Similarity {
     */
   private def lshCodes(spark: SparkSession, df: DataFrame, embCol: String,
       nPlanes: Int, dim: Int, nTables: Int): DataFrame = {
-    val tables = (0 until nTables).map { t =>
-      lshCode(spark, df, embCol, nPlanes, dim, t)
-        .withColumn("lsh_table", lit(t))
-    }
-    tables.reduce(_.unionByName(_))
+    // All tables' codes in ONE projection + posexplode — a single scan
+    // of the input, where a per-table union would rescan it nTables
+    // times (plan audit: 8 parquet scans → 2 for the kNN query).
+    val codes = array((0 until nTables).map { t =>
+      val planes = hyperplanes(nPlanes, dim, seed = 42L + 1000L * t)
+      (0 until nPlanes).map { p =>
+        val w = array(planes(p).map(lit).toIndexedSeq: _*)
+        when(dot(col(embCol), w) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }: _*)
+    df.select(col("*"), posexplode(codes).as(Seq("lsh_table", "lsh_code")))
   }
 
   /** Approximate top-k: per hash table, queries probe their own bucket

@@ -72,6 +72,13 @@ class DedupSpec extends SparkSuite {
     assert(hammingNear < hammingFar)
   }
 
+  test("codegen simhash expression == explode/groupBy aggregate form") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val expr = Dedup.simhash(docs, "text", "doc_id").as[(Long, Long)].collect().toMap
+    val agg = Dedup.simhashAgg(docs, "text", "doc_id").as[(Long, Long)].collect().toMap
+    assert(agg.nonEmpty && agg.forall { case (id, v) => expr.get(id).contains(v) })
+  }
+
   test("simhashNearDups returns sorted unique pairs within threshold") {
     val pairs = Dedup.simhashNearDups(corpus, "text", "doc_id", maxHamming = 3)
       .as[(Long, Long, Int)].collect()
