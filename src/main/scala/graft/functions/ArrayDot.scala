@@ -122,6 +122,11 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         "graft_simhash", exprs => SimHash64(exprs(0)), "built-in")
     }
+    val muId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_union")
+    if (!registry.functionExists(muId)) {
+      registry.createOrReplaceTempFunction(
+        "graft_minhash_union", exprs => MinHashUnion(exprs(0)), "built-in")
+    }
     val icId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_intersect_count")
     if (!registry.functionExists(icId)) {
       registry.createOrReplaceTempFunction(

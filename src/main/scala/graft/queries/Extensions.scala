@@ -125,18 +125,19 @@ object Extensions {
         .orderBy(col("label"), col("pos"))),
 
     // Corpus-level MinHash profile per source: per-doc signatures
-    // united by the O(k)-buffer MinHashUnionAggregator UDAF, then
-    // pairwise sketch-estimated jaccard between sources. Rows-only
-    // (hash-model-defined); the aggregator itself is spec-verified
-    // against an explode/min reference.
+    // united by the native TypedImperativeAggregate
+    // graft_minhash_union (primitive long[k] buffer, map-side partial
+    // aggregation), then pairwise sketch-estimated jaccard between
+    // sources. Rows-only (hash-model-defined); the aggregate is
+    // spec-verified against the Aggregator UDAF and an explode/min
+    // reference.
     "q_x_source_profile" -> ((s, d) => {
       val k = 32
-      val unionAgg = udaf(new graft.functions.MinHashUnionAggregator(k))
       val sigs = table(s, d, "documents")
         .select(col("source"),
           Dedup.minhashSignature(array_distinct(split(col("text"), " ")), k).as("sig"))
         .groupBy(col("source"))
-        .agg(unionAgg(col("sig")).as("gsig"))
+        .agg(call_function("graft_minhash_union", col("sig")).as("gsig"))
       val a = sigs.select(col("source").as("src_a"), col("gsig").as("ga"))
       val b = sigs.select(col("source").as("src_b"), col("gsig").as("gb"))
       a.join(b, col("src_a") < col("src_b"))

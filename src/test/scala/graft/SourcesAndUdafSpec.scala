@@ -123,6 +123,25 @@ class UdafSpec extends SparkSuite {
       .as[(String, Seq[Long])].collect().toMap
     assert(grouped === ref)
   }
+
+  test("native graft_minhash_union TypedImperativeAggregate == Aggregator UDAF") {
+    val k = 16
+    val docs = Tables.table(spark, sfDir, "documents")
+    val sigs = docs.select($"source",
+      Dedup.minhashSignature(array_distinct(split($"text", " ")), k).as("sig"))
+    val native = sigs.groupBy($"source")
+      .agg(call_function("graft_minhash_union", $"sig").as("gsig"))
+      .as[(String, Seq[Long])].collect().toMap
+    val unionAgg = udaf(new MinHashUnionAggregator(k))
+    val viaUdaf = sigs.groupBy($"source").agg(unionAgg($"sig").as("gsig"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(native === viaUdaf)
+    // also survives a repartition (exercises merge + serialize paths)
+    val shuffled = sigs.repartition(7).groupBy($"source")
+      .agg(call_function("graft_minhash_union", $"sig").as("gsig"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(shuffled === native)
+  }
 }
 
 class StatefulStreamingSpec extends SparkSuite {
