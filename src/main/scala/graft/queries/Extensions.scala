@@ -273,7 +273,10 @@ object Extensions {
     // Spark side runs the general graph algorithm.
     "q_x_dup_clusters" -> ((s, d) => {
       val docs = table(s, d, "documents")
+      // one shingle pass shared by both join sides (localCheckpoint —
+      // a plain self-join would recompute the shingling per side)
       val sh = docs.select(col("doc_id"), TextFunctions.shinglesExpr("text", 3).as("sh"))
+        .localCheckpoint()
       val a = sh.select(col("doc_id").as("a"), col("sh").as("sa"))
       val b = sh.select(col("doc_id").as("b"), col("sh").as("sb"))
       val edges = a.join(b, col("a") + 1 === col("b"))
