@@ -127,6 +127,11 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         "graft_minhash_union", exprs => MinHashUnion(exprs(0)), "built-in")
     }
+    val zoId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_zorder")
+    if (!registry.functionExists(zoId)) {
+      registry.createOrReplaceTempFunction(
+        "graft_zorder", exprs => ZOrderKey(exprs(0), exprs(1)), "built-in")
+    }
     val icId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_intersect_count")
     if (!registry.functionExists(icId)) {
       registry.createOrReplaceTempFunction(

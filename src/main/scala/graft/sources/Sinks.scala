@@ -35,6 +35,27 @@ object Sinks {
       props: java.util.Properties): Unit =
     df.write.mode(SaveMode.Append).jdbc(url, table, props)
 
+  /** Z-ordered parquet write: range-partition + sort by the Morton
+    * key of two columns ([[graft.functions.ZOrderKey]]) so row groups
+    * are tight in BOTH dimensions — min/max statistics then prune
+    * scans filtering on either column. The write-once layout
+    * optimization for 100 TB tables queried along two axes (a linear
+    * sort only prunes its leading column).
+    *
+    * Columns must be non-negative integral (ranks/quantized values);
+    * repartitionByRange keeps key ranges disjoint ACROSS files so
+    * file-level pruning works too, not just row-group-level.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int = 0): Unit = {
+    val keyed = df.withColumn("z",
+      call_function("graft_zorder", col(colA).cast("long"), col(colB).cast("long")))
+    val ranged = if (numFiles > 0) keyed.repartitionByRange(numFiles, col("z"))
+      else keyed.repartitionByRange(col("z"))
+    ranged.sortWithinPartitions(col("z")).drop("z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Schema-on-read JSON source (the API payload shape,
     * weather-etl.py:122) and CSV round-trip helpers — the remaining
     * file formats of the source surface.
