@@ -58,6 +58,11 @@ def main(outdir, sfdir):
     qdirs = sorted(d for d in os.listdir(outdir)
                    if os.path.isdir(os.path.join(outdir, d)))
     n_pass = n_fail = n_noracle = 0
+    # a query that THREW in Verify writes nothing and would silently
+    # vanish from the walk below — flag every oracle'd name with no dump
+    for name in sorted(set(oracle) - set(qdirs)):
+        print(f"FAIL {name}: declared oracle but Verify wrote no output (query threw?)")
+        n_fail += 1
     for name in qdirs:
         files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
         if not files:

@@ -151,6 +151,27 @@ object Joins {
         .orderBy(col("event_id"))
     }),
 
+    // Binned range join (operators.RangeJoin): interval containment
+    // rewritten as an equi-join on a bin id — both sides hash-shuffle
+    // (NO broadcast, NO nested loop), so both can be arbitrarily
+    // large; the exact predicate filters within-bin candidates.
+    "q_join_range" -> ((s, d) => {
+      // fixture timestamps are NTZ: hop via TIMESTAMP (session TZ is
+      // UTC) to get epoch seconds
+      val epoch = (c: org.apache.spark.sql.Column) => c.cast("timestamp").cast("long")
+      val li = table(s, d, "lineitem")
+        .select(col("l_orderkey"), epoch(col("l_shipdate")).as("ship_s"))
+      val hot = table(s, d, "orders")
+        .filter(col("o_totalprice") > 499000.0)
+        .select(col("o_orderkey"), epoch(col("o_orderdate")).as("lo_s"),
+          (epoch(col("o_orderdate")) + 86400L).as("hi_s"))
+      graft.operators.RangeJoin
+        .binnedCount(li, hot, "ship_s", "lo_s", "hi_s",
+          binWidth = 86400.0, groupCols = Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("n"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Bloom-pruned selective semi join (operators.BloomPrune): dim
     // keys → broadcast bloom filter → fact rows drop BEFORE the
     // shuffle; the final exact semi join removes false positives, so
@@ -257,6 +278,14 @@ object Joins {
          SELECT p.event_id, p.user_id, p.ts AS ts, c.ts AS click_ts, c.click_value
          FROM purch p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
          ORDER BY p.event_id""",
+
+    "q_join_range" ->
+      """SELECT o_orderkey, count(*) AS n
+         FROM orders o JOIN lineitem l
+           ON l.l_shipdate >= o.o_orderdate
+          AND l.l_shipdate < o.o_orderdate + INTERVAL 1 DAY
+         WHERE o.o_totalprice > 499000
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
 
     "q_join_bloom" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
