@@ -35,6 +35,35 @@ object Sinks {
       props: java.util.Properties): Unit =
     df.write.mode(SaveMode.Append).jdbc(url, table, props)
 
+  /** Compact a parquet directory's many small files into
+    * ~`targetMb`-sized ones — the maintenance pass every long-running
+    * micro-batch ingest needs (each 5-minute batch appends small
+    * files; scan efficiency at 100 TB needs row groups near the HDFS
+    * block size). File count from actual on-disk bytes, data
+    * round-tripped via a temp dir so the rewrite is atomic-ish
+    * (write new, then swap).
+    */
+  def compact(spark: SparkSession, path: String, targetMb: Int = 128): Unit = {
+    val dir = new java.io.File(path)
+    val bytes = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-")).map(_.length()).sum
+    val nFiles = math.max(1, (bytes / (targetMb.toLong << 20)).toInt +
+      (if (bytes % (targetMb.toLong << 20) > 0) 1 else 0))
+    val tmp = path.stripSuffix("/") + "_compact_tmp"
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val target = java.nio.file.Paths.get(path)
+    // swap: remove originals, move compacted files in
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (!f.isDirectory) f.delete()
+    }
+    Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty).foreach { f =>
+      java.nio.file.Files.move(f.toPath, target.resolve(f.getName),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    new java.io.File(tmp).delete()
+  }
+
   /** Z-ordered parquet write: range-partition + sort by the Morton
     * key of two columns ([[graft.functions.ZOrderKey]]) so row groups
     * are tight in BOTH dimensions — min/max statistics then prune

@@ -67,3 +67,21 @@ class ZOrderSpec extends SparkSuite {
     assert(ly > n / 2 && zy < ly)
   }
 }
+
+class CompactionSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("compact merges small files, preserves data, bounds file count") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val df = spark.range(0, 50000).select($"id", ($"id" % 97).as("k"))
+    df.repartition(40).write.mode("overwrite").parquet(dir)
+    def parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts.length === 40)
+    Sinks.compact(spark, dir, targetMb = 128)
+    assert(parts.length === 1) // 50k rows ≪ 128 MB
+    val got = spark.read.parquet(dir).as[(Long, Long)].collect().toSet
+    val want = df.as[(Long, Long)].collect().toSet
+    assert(got === want)
+  }
+}
