@@ -57,6 +57,17 @@ object Aggregates {
           countDistinct(col("l_suppkey")).as("nd_supp"))
         .orderBy(col("l_returnflag"))),
 
+    // Equi-width histogram — the profiling aggregation of a data-quality
+    // pass; bucket arithmetic, one shuffle of (bucket, partials).
+    "q_agg_hist" -> ((s, d) =>
+      table(s, d, "orders")
+        .withColumn("bucket", floor(col("o_totalprice") / 50000.0).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy(col("bucket"))),
+
     // Approximate distinct (HLL) — the 100 TB-scale form of the above.
     // No oracle: approximate by design; spec asserts rsd bound vs exact.
     "q_agg_approx" -> ((s, d) =>
@@ -155,6 +166,13 @@ object Aggregates {
                 count(DISTINCT l_partkey) AS nd_part,
                 count(DISTINCT l_suppkey) AS nd_supp
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_agg_hist" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+                count(*) AS n,
+                round(min(o_totalprice), 2) AS lo,
+                round(max(o_totalprice), 2) AS hi
+         FROM orders GROUP BY 1 ORDER BY bucket""",
 
     "q_agg_stats" ->
       """SELECT l_returnflag,

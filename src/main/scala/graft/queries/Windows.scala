@@ -105,6 +105,20 @@ object Windows {
           expr("count(*) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)").as("n_10m"))
         .orderBy(col("event_id"))),
 
+    // Fill-forward (last non-null) — the gap-fill of a keyed time
+    // series; nulls injected deterministically since the fixture has
+    // none. event_id is unique → the window order is total.
+    "q_win_fill" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, d, "events")
+        .withColumn("masked",
+          when(col("event_id") % 5 < 2, lit(null)).otherwise(col("value")))
+        .select(col("event_id"), col("user_id"), col("masked"),
+          last(col("masked"), ignoreNulls = true).over(w).as("filled"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_win_firstlast" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -175,6 +189,17 @@ object Windows {
                 count(*) OVER (PARTITION BY user_id ORDER BY ts
                                RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW) AS n_10m
          FROM events ORDER BY event_id""",
+
+    "q_win_fill" ->
+      """WITH m AS (
+           SELECT event_id, user_id, ts,
+                  CASE WHEN event_id % 5 < 2 THEN NULL ELSE value END AS masked
+           FROM events)
+         SELECT event_id, user_id, masked,
+                last_value(masked IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         FROM m ORDER BY event_id""",
 
     "q_win_firstlast" ->
       """SELECT event_id, user_id,
