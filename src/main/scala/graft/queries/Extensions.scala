@@ -333,6 +333,21 @@ object Extensions {
           least(lit(64), col("nt") - col("chunk_idx") * 64).cast("int").as("tok_len"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // End-to-end cleaning pipeline (operators.TrainingPipeline):
+    // quality gate → exact dedup (keep-min) → deterministic 50%
+    // sample → split assignment, reported per (split, lang). One
+    // shuffle (dedup by content hash); every decision a pure function
+    // of (content, id, salt).
+    "q_x_pipeline" -> ((s, d) => {
+      val cleaned = graft.operators.TrainingPipeline
+        .clean(table(s, d, "documents"), "text", "doc_id")
+      cleaned
+        .withColumn("nw", size(TextFunctions.tokens(col("text"))))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw").cast("long")).as("total_words"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
     // ---- multimodal ---------------------------------------------------
     // Binary payload column → batched mapPartitions "decode" (stubbed
     // deterministically — real codecs unavailable in-sandbox; the
@@ -516,6 +531,27 @@ object Extensions {
                 substr(regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
                        '\bdata\b', '<redacted>', 'g'), 1, 80) AS clean_prefix
          FROM documents ORDER BY doc_id""",
+
+    "q_x_pipeline" ->
+      """WITH g AS (
+           SELECT doc_id, text, lang,
+                  len(string_split(text, ' ')) AS nw,
+                  len(list_intersect(string_split(text, ' '),
+                      ['the','a','of','and','to','in','is','it'])) AS hits
+           FROM documents),
+         q AS (SELECT * FROM g
+               WHERE nw >= 20 AND CAST(hits AS DOUBLE) / CAST(nw AS DOUBLE) < 0.5),
+         d AS (SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+               FROM q),
+         s AS (SELECT * FROM d WHERE rn = 1 AND
+               (strpos('0123456789abcdef', substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), 2, 1)) - 1) < 128),
+         t AS (SELECT *, CASE WHEN doc_id % 10 < 8 THEN 'train'
+                              WHEN doc_id % 10 < 9 THEN 'val'
+                              ELSE 'test' END AS split
+               FROM s)
+         SELECT split, lang, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS total_words
+         FROM t GROUP BY split, lang ORDER BY split, lang""",
 
     "q_x_dup_clusters" ->
       """WITH sh AS (
