@@ -60,12 +60,15 @@ object Dedup {
       array_distinct(TextFunctions.tokens(col(textCol))).as("words"))
     val sigs = base.withColumn("sig", minhashSignature(col("words"), k))
 
+    // materialize once: the a/b self-join below would otherwise
+    // re-tokenize + re-hash the corpus per side
     val banded = sigs.select(
       col("doc_id"), col("words"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+      .localCheckpoint()
 
     val a = banded.select(col("band"), col("bucket"),
       col("doc_id").as("doc_a"), col("words").as("words_a"))
@@ -114,11 +117,14 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sh = simhash(docs, textCol, idCol)
+    // materialize once: the a/b self-join below would otherwise
+    // re-hash the corpus per side
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
+      .localCheckpoint()
     val a = banded.select(col("chunk"), col("chunk_val"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("chunk"), col("chunk_val"),
