@@ -51,4 +51,76 @@ object TransformWithStateJobs {
   def withRocksDb(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  // ---- event-time sessionization with timers ------------------------
+
+  case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class Session(user_id: Long, start_ms: Long, end_ms: Long, n: Long, total: Double)
+
+  /** Custom event-time sessionization: per-key ValueState holds the
+    * open session; a gap-break inside a batch emits the closed
+    * session immediately, and an EVENT-TIME TIMER at (end + gap)
+    * flushes the open session once the watermark passes — the state
+    * never outlives the data (the hand-built analog of
+    * `session_window`, demonstrating the full Spark 4 timer API).
+    *
+    * Rows inside one handleInputRows call are not ordered; the batch
+    * is sorted by ts in the handler (bounded by per-key batch volume).
+    */
+  class SessionizeProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, TimedEvent, Session] {
+    @transient private var open: org.apache.spark.sql.streaming.ValueState[Session] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[Session](
+        "open", Encoders.product[Session], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
+        timers: TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      val out = scala.collection.mutable.ListBuffer.empty[Session]
+      var cur = Option(open.get())
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.end_ms <= gapMs =>
+            cur = Some(Session(key, s.start_ms, math.max(s.end_ms, t), s.n + 1,
+              s.total + e.value))
+          case Some(s) =>
+            out += s // gap break: close the previous session
+            cur = Some(Session(key, t, t, 1L, e.value))
+          case None =>
+            cur = Some(Session(key, t, t, 1L, e.value))
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        // flush when the watermark passes the session's gap horizon
+        getHandle.registerTimer(s.end_ms + gapMs)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Session] = {
+      val s = open.get()
+      if (s != null && s.end_ms + gapMs <= expired.getExpiryTimeInMs) {
+        open.clear()
+        Iterator.single(s)
+      } else Iterator.empty
+    }
+  }
+
+  /** Sessionize the events stream with a 10-minute gap (the
+    * session_window analog, state flushed by event-time timers).
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gap: java.time.Duration = java.time.Duration.ofMinutes(10)): Dataset[Session] = {
+    import spark.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .selectExpr("user_id", "ts", "value").as[TimedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizeProcessor(gap.toMillis),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -31,4 +31,42 @@ class TransformWithStateSpec extends SparkSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("timer-flushed sessionization == batch session_window") {
+    TransformWithStateJobs.withRocksDb(spark)
+    try {
+      val out = TransformWithStateJobs.sessionize(
+        spark, StreamingJobs.readEvents(spark, sfDir))
+      val q = out.toDF().writeStream.format("memory").queryName("t_sess")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val gapMs = 10 * 60 * 1000L
+      val got = spark.table("t_sess")
+        .select(col("user_id"), col("start_ms"), (col("end_ms") + gapMs).as("wend_ms"),
+          col("n"), round(col("total"), 6).as("total"))
+      val expected = Tables.events(spark, sfDir)
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total"))
+        .select(col("user_id"),
+          (unix_millis(col("w.start"))).as("start_ms"),
+          (unix_millis(col("w.end"))).as("wend_ms"),
+          col("n"), col("total"))
+      // timers fire in the trailing no-data micro-batch for every
+      // session whose (end + gap) the FINAL watermark passed; sessions
+      // beyond it (those containing/following the globally latest
+      // events) stay open — the stream cannot know it is over. Emitted
+      // set must match exactly up to that horizon, with nothing bogus.
+      val maxTs = Tables.events(spark, sfDir)
+        .agg(max(unix_millis(col("ts")))).collect()(0).getLong(0)
+      val watermarkMs = maxTs - gapMs
+      assert(got.except(expected).isEmpty, "sessionization diverged from session_window")
+      val missing = expected.except(got)
+      assert(missing.filter(col("wend_ms") <= lit(watermarkMs)).isEmpty,
+        "a session below the final watermark was not flushed")
+      assert(got.count() >= expected.count() - 5,
+        s"too many unflushed: got=${got.count()} expected=${expected.count()}")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
