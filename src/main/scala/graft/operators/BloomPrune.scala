@@ -29,21 +29,39 @@ object BloomPrune {
       factKey: String, dimKey: String,
       expectedNumItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val spark = fact.sparkSession
-    val bloom = dim.stat.bloomFilter(dimKey, expectedNumItems, fpp)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    fact.filter(mightContain(col(factKey).cast("long")))
-      .join(dim.select(col(dimKey)).distinct(), col(factKey) === col(dimKey), "left_semi")
+    val exact = fact.join(
+      dim.select(col(dimKey)).distinct(), col(factKey) === col(dimKey), "left_semi")
+    buildBloom(dim, dimKey, expectedNumItems, fpp) match {
+      case Some(bloom) =>
+        val bc = spark.sparkContext.broadcast(bloom)
+        val mightContain = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+        fact.filter(mightContain(col(factKey).cast("long")))
+          .join(dim.select(col(dimKey)).distinct(), col(factKey) === col(dimKey), "left_semi")
+      case None => exact // empty dim: nothing to prune with (result is empty anyway)
+    }
   }
+
+  /** `stat.bloomFilter` over ZERO rows yields a filter with a null bit
+    * array that NPEs on probe — detect it with a driver-side probe.
+    */
+  private def buildBloom(dim: DataFrame, dimKey: String,
+      expectedNumItems: Long, fpp: Double) =
+    try {
+      val b = dim.stat.bloomFilter(dimKey, expectedNumItems, fpp)
+      b.mightContainLong(0L)
+      Some(b)
+    } catch { case _: NullPointerException => None }
 
   /** The pruning predicate alone (for composing into a larger plan:
     * e.g. prune a scan feeding an aggregation rather than a join).
     */
   def pruneCol(dim: DataFrame, dimKey: String, factKey: Column,
-      expectedNumItems: Long = 1000000L, fpp: Double = 0.01): Column = {
-    val bc = dim.sparkSession.sparkContext.broadcast(
-      dim.stat.bloomFilter(dimKey, expectedNumItems, fpp))
-    val mightContain = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    mightContain(factKey.cast("long"))
-  }
+      expectedNumItems: Long = 1000000L, fpp: Double = 0.01): Column =
+    buildBloom(dim, dimKey, expectedNumItems, fpp) match {
+      case Some(bloom) =>
+        val bc = dim.sparkSession.sparkContext.broadcast(bloom)
+        val mightContain = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+        mightContain(factKey.cast("long"))
+      case None => lit(false) // empty dim: no key can match
+    }
 }

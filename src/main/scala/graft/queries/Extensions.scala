@@ -333,6 +333,21 @@ object Extensions {
           least(lit(64), col("nt") - col("chunk_idx") * 64).cast("int").as("tok_len"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // Fuzzy-match blocking + edit distance — the entity-resolution
+    // primitive of a dedup pipeline: block candidates on a cheap key
+    // (here adjacent ids — in production a phonetic/prefix key), then
+    // verify with levenshtein ≤ k. Never all-pairs.
+    "q_x_fuzzy" -> ((s, d) => {
+      val c = table(s, d, "customer").select(col("c_custkey"), col("c_name"))
+      val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"))
+      val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"))
+      a.join(b, col("id_a") + 1 === col("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 2)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy(col("id_a"))
+    }),
+
     // End-to-end cleaning pipeline (operators.TrainingPipeline):
     // quality gate → exact dedup (keep-min) → deterministic 50%
     // sample → split assignment, reported per (split, lang). One
@@ -531,6 +546,13 @@ object Extensions {
                 substr(regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
                        '\bdata\b', '<redacted>', 'g'), 1, 80) AS clean_prefix
          FROM documents ORDER BY doc_id""",
+
+    "q_x_fuzzy" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+         FROM customer a JOIN customer b ON a.c_custkey + 1 = b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 2
+         ORDER BY id_a""",
 
     "q_x_pipeline" ->
       """WITH g AS (
