@@ -123,4 +123,58 @@ object TransformWithStateJobs {
       .transformWithState(new SessionizeProcessor(gap.toMillis),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  // ---- MapState + ListState profile -----------------------------------
+
+  case class TypedEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String, value: Double)
+  case class UserProfile(user_id: Long, type_counts: String, recent_avg: Double)
+
+  /** Per-user profile from the remaining state primitives: MapState
+    * (count per event_type — O(distinct types) per key, updated
+    * point-wise, no full-value rewrite like ValueState[Map]) and
+    * ListState (the last `keep` values by event time — appended,
+    * trimmed on read). Emits one snapshot per key per batch.
+    */
+  class ProfileProcessor(keep: Int)
+    extends StatefulProcessor[Long, TypedEvent, UserProfile] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var recent: org.apache.spark.sql.streaming.ListState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      recent = getHandle.getListState[(Long, Double)](
+        "recent", Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timers: TimerValues): Iterator[UserProfile] = {
+      rows.foreach { e =>
+        val c = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, c + 1)
+        recent.appendValue((e.ts.getTime, e.value))
+      }
+      // trim the list to the last `keep` by event time (value as
+      // tie-break: duplicate (user, ts) pairs exist in the fixture)
+      val all = recent.get().toSeq.sortBy(t => (-t._1, t._2))
+      val kept = all.take(keep)
+      recent.put(kept.toArray)
+      val profile = counts.iterator().toSeq.sortBy(_._1)
+        .map { case (t, n) => s"$t=$n" }.mkString(",")
+      val avg = if (kept.isEmpty) 0.0 else kept.map(_._2).sum / kept.size
+      Iterator.single(UserProfile(key, profile, avg))
+    }
+  }
+
+  /** Per-user (type counts, recent-N average) over the events stream. */
+  def profiles(spark: SparkSession, events: DataFrame, keep: Int = 3): Dataset[UserProfile] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "ts", "event_type", "value").as[TypedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new ProfileProcessor(keep),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

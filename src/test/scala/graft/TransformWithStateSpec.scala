@@ -32,6 +32,35 @@ class TransformWithStateSpec extends SparkSuite {
     }
   }
 
+  test("MapState+ListState profile final snapshot == batch equivalent") {
+    TransformWithStateJobs.withRocksDb(spark)
+    try {
+      val out = TransformWithStateJobs.profiles(
+        spark, StreamingJobs.readEvents(spark, sfDir))
+      val q = out.toDF().writeStream.format("memory").queryName("t_prof")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = operators.Upsert.dedupKeyed(
+        spark.table("t_prof"), Seq("user_id"),
+        Seq(length(col("type_counts")))) // final row has the fullest counts
+        .select(col("user_id"), col("type_counts"), round(col("recent_avg"), 6).as("ravg"))
+      val ev = Tables.events(spark, sfDir)
+      val typeCounts = ev.groupBy(col("user_id"), col("event_type")).count()
+        .groupBy(col("user_id"))
+        .agg(array_join(array_sort(collect_list(
+          concat(col("event_type"), lit("="), col("count")))), ",").as("type_counts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").desc, col("value").asc)
+      val recent = ev.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .groupBy(col("user_id")).agg(round(avg(col("value")), 6).as("ravg"))
+      val expected = typeCounts.join(recent, "user_id")
+      assert(got.count() === expected.count())
+      assert(got.except(expected).isEmpty, "profile diverged from batch")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("timer-flushed sessionization == batch session_window") {
     TransformWithStateJobs.withRocksDb(spark)
     try {
