@@ -333,6 +333,21 @@ object Extensions {
           least(lit(64), col("nt") - col("chunk_idx") * 64).cast("int").as("tok_len"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // Keyword search with tf ranking — the ts_rank-style full-text
+    // surface of the reference's ad-hoc PG SQL (README.md:62-78),
+    // engine-shaped: explode → term filter (pushes into the scan of a
+    // token-indexed layout at scale) → per-doc score → global top-k.
+    "q_x_search" -> ((s, d) => {
+      val terms = Seq("data", "model", "training", "learning")
+      table(s, d, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("score"), countDistinct(col("w")).as("n_terms"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Fuzzy-match blocking + edit distance — the entity-resolution
     // primitive of a dedup pipeline: block candidates on a cheap key
     // (here adjacent ids — in production a phonetic/prefix key), then
@@ -546,6 +561,12 @@ object Extensions {
                 substr(regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
                        '\bdata\b', '<redacted>', 'g'), 1, 80) AS clean_prefix
          FROM documents ORDER BY doc_id""",
+
+    "q_x_search" ->
+      """SELECT doc_id, count(*) AS score, count(DISTINCT w) AS n_terms
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE w IN ('data', 'model', 'training', 'learning')
+         GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""",
 
     "q_x_fuzzy" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
