@@ -340,6 +340,10 @@ object Extensions {
     "q_x_search" -> ((s, d) => {
       val terms = Seq("data", "model", "training", "learning")
       table(s, d, "documents")
+        // cheap containment gate BEFORE the explode: docs with no hit
+        // never produce token rows (at scale this is the pushdown-able
+        // prefilter over the raw column)
+        .filter(col("text").rlike(terms.mkString("\\b(", "|", ")\\b")))
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
         .filter(col("w").isin(terms: _*))
         .groupBy(col("doc_id"))
