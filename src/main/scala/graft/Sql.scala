@@ -10,10 +10,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Sql {
 
-  /** Register all fixture tables of `dir` as temp views (idempotent). */
+  private val registeredDir =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+
+  /** Register all fixture tables of `dir` as temp views. Skipped when
+    * this session already has `dir`'s views (ad-hoc queries re-enter
+    * here per statement; 10 view re-registrations per statement showed
+    * up in the bench profile).
+    */
   def registerViews(spark: SparkSession, dir: String): Unit =
-    Tables.names.foreach { n =>
-      Tables.table(spark, dir, n).createOrReplaceTempView(n)
+    if (!registeredDir.get(spark).contains(dir)) {
+      Tables.names.foreach { n =>
+        Tables.table(spark, dir, n).createOrReplaceTempView(n)
+      }
+      registeredDir(spark) = dir
     }
 
   /** Run ad-hoc SQL against the registered views. */
