@@ -10,20 +10,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Sql {
 
+  // weak keys: long-lived drivers creating many sessions must not be
+  // pinned by this cache
   private val registeredDir =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
 
   /** Register all fixture tables of `dir` as temp views. Skipped when
     * this session already has `dir`'s views (ad-hoc queries re-enter
     * here per statement; 10 view re-registrations per statement showed
-    * up in the bench profile).
+    * up in the bench profile). Assumes nothing else reuses the fixture
+    * table names as temp views in the same session.
     */
   def registerViews(spark: SparkSession, dir: String): Unit =
-    if (!registeredDir.get(spark).contains(dir)) {
+    if (registeredDir.get(spark) != dir) {
       Tables.names.foreach { n =>
         Tables.table(spark, dir, n).createOrReplaceTempView(n)
       }
-      registeredDir(spark) = dir
+      registeredDir.put(spark, dir)
     }
 
   /** Run ad-hoc SQL against the registered views. */

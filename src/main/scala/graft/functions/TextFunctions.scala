@@ -44,7 +44,7 @@ object TextFunctions {
     inter.cast("double") / (size(a) + size(b) - inter).cast("double")
   }
 
-  private val stopwordsByLang: Map[String, Seq[String]] = Map(
+  val stopwordsByLang: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "nicht"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),

@@ -36,7 +36,10 @@ object RangeJoin {
     // interval [lo, hi) overlaps bins floor(lo/w) .. floor(hi/w) (hi
     // exclusive, but an interval ending exactly on a bin edge still
     // explodes into that bin — harmless: the exact predicate prunes)
-    val iv = intervals.withColumn("_bin",
+    // inverted intervals (hi < lo) match nothing, but Spark's
+    // sequence(start, stop) would COUNT DOWN for them, exploding one
+    // bad row into millions of bins — drop them before binning
+    val iv = intervals.filter(col(loCol) <= col(hiCol)).withColumn("_bin",
       explode(sequence(
         floor(col(loCol) / binWidth).cast("long"),
         floor(col(hiCol) / binWidth).cast("long"))))

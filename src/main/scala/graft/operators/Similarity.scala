@@ -65,10 +65,18 @@ object Similarity {
       threshold: Double): DataFrame = {
     import spark.implicits._
     val vecs = vectors
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
       .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
     val corpus = vecs.collect().sortBy(_._1)
     val ids = corpus.map(_._1)
+    // duplicate ids would make the binary-search pairing emit (id, id)
+    // self-pairs — fail fast instead of returning wrong pairs
+    var di = 1
+    while (di < ids.length) {
+      require(ids(di - 1) != ids(di), s"exactCosinePairs: duplicate vec_id ${ids(di)}")
+      di += 1
+    }
     val vs = corpus.map(_._2)
     val norms = vs.map { v =>
       var s = 0.0; var i = 0

@@ -26,7 +26,7 @@ object TrainingPipeline {
   def qualityGate(docs: DataFrame, textCol: String,
       minWords: Int = 20, maxStopRatio: Double = 0.5): DataFrame = {
     val words = TextFunctions.tokens(col(textCol))
-    val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val enStop = TextFunctions.stopwordsByLang("en")
     val nw = size(words)
     val hits = TextFunctions.stopwordHits(words, enStop)
     docs.filter(nw >= minWords &&

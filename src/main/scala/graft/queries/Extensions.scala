@@ -21,7 +21,7 @@ import graft.operators.{Dedup, Similarity}
 object Extensions {
   type Q = (SparkSession, String) => DataFrame
 
-  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private val enStop = TextFunctions.stopwordsByLang("en")
 
   val defs: Map[String, Q] = Map(
     // ---- dedup family -------------------------------------------------
@@ -105,8 +105,11 @@ object Extensions {
     "q_x_quantize" -> ((s, d) => {
       val xd = (c: org.apache.spark.sql.Column) => c.cast("double")
       val mx = aggregate(col("embedding"), lit(0.0), (a, x) => greatest(a, abs(xd(x))))
+      // all-zero vectors have mx=0: quantize to 0 rather than NaN
+      // (Spark would cast NaN→0 silently; DuckDB errors on the cast)
       val qv = transform(col("embedding"),
-        x => floor(xd(x) * lit(127.0) / col("mx")).cast("long"))
+        x => when(col("mx") === 0.0, lit(0L))
+          .otherwise(floor(xd(x) * lit(127.0) / col("mx")).cast("long")))
       table(s, d, "embeddings")
         .withColumn("mx", mx)
         .withColumn("qv", qv)
@@ -292,10 +295,7 @@ object Extensions {
     // function of (salt, doc_id) via md5 — reproducible on any cluster
     // and any partitioning, per-stratum rates out of 256 buckets.
     "q_x_sample" -> ((s, d) => {
-      val hex = lit("0123456789abcdef")
-      val h = md5(concat(lit("graft"), col("doc_id").cast("string")))
-      val bucket = (instr(hex, substring(h, 1, 1)) - 1) * 16 +
-        (instr(hex, substring(h, 2, 1)) - 1)
+      val bucket = graft.operators.TrainingPipeline.sampleBucket(col("doc_id"), "graft")
       val rate = when(col("lang") === "en", 200)
         .when(col("lang") === "de", 128).otherwise(64)
       table(s, d, "documents")
@@ -458,7 +458,8 @@ object Extensions {
          q AS (
            SELECT vec_id, mx,
                   list_transform(embedding,
-                    x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT)) AS qv
+                    x -> CASE WHEN mx = 0 THEN 0
+                         ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT) END) AS qv
            FROM m)
          SELECT vec_id, round(mx, 9) AS qscale,
                 CAST(list_sum(qv) AS BIGINT) AS qsum,

@@ -45,6 +45,19 @@ object Sinks {
     */
   def compact(spark: SparkSession, path: String, targetMb: Int = 128): Unit = {
     val dir = new java.io.File(path)
+    // A hive-partitioned dir (key=value subdirs) must be compacted
+    // leaf-by-leaf: the flat rewrite below would land files with the
+    // partition columns re-materialized NEXT TO the old partition
+    // dirs — readers then see conflicting directory structures.
+    val subdirs = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith("_"))
+    if (subdirs.nonEmpty) {
+      require(subdirs.forall(_.getName.contains("=")),
+        s"compact: unrecognized subdirectories under $path: " +
+          subdirs.map(_.getName).mkString(", "))
+      subdirs.foreach(d => compact(spark, d.getAbsolutePath, targetMb))
+      return
+    }
     val bytes = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("part-")).map(_.length()).sum
     val nFiles = math.max(1, (bytes / (targetMb.toLong << 20)).toInt +

@@ -77,28 +77,34 @@ object TransformWithStateJobs {
 
     override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
         timers: TimerValues): Iterator[Session] = {
-      val sorted = rows.toSeq.sortBy(_.ts.getTime)
-      val out = scala.collection.mutable.ListBuffer.empty[Session]
-      var cur = Option(open.get())
-      sorted.foreach { e =>
+      // sessionize THIS batch locally, then coalesce with the open
+      // session from state — late cross-batch events (before the open
+      // session's start, bridged chains of them, anything the
+      // watermark admits) land exactly as session_window would place
+      // them, instead of inheriting the open session's boundaries
+      val batch = scala.collection.mutable.ListBuffer.empty[Session]
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
         val t = e.ts.getTime
-        cur match {
+        batch.lastOption match {
           case Some(s) if t - s.end_ms <= gapMs =>
-            cur = Some(Session(key, s.start_ms, math.max(s.end_ms, t), s.n + 1,
-              s.total + e.value))
-          case Some(s) =>
-            out += s // gap break: close the previous session
-            cur = Some(Session(key, t, t, 1L, e.value))
-          case None =>
-            cur = Some(Session(key, t, t, 1L, e.value))
+            batch(batch.length - 1) =
+              Session(key, s.start_ms, math.max(s.end_ms, t), s.n + 1, s.total + e.value)
+          case _ => batch += Session(key, t, t, 1L, e.value)
         }
       }
-      cur.foreach { s =>
+      val merged = (Option(open.get()).toSeq ++ batch).sortBy(_.start_ms)
+        .foldLeft(List.empty[Session]) {
+          case (prev :: done, s) if s.start_ms - prev.end_ms <= gapMs =>
+            Session(key, prev.start_ms, math.max(prev.end_ms, s.end_ms),
+              prev.n + s.n, prev.total + s.total) :: done
+          case (acc, s) => s :: acc
+        }.reverse
+      merged.lastOption.foreach { s =>
         open.update(s)
         // flush when the watermark passes the session's gap horizon
         getHandle.registerTimer(s.end_ms + gapMs)
       }
-      out.iterator
+      merged.dropRight(1).iterator
     }
 
     override def handleExpiredTimer(key: Long, timers: TimerValues,

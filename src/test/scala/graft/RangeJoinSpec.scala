@@ -35,6 +35,14 @@ class RangeJoinSpec extends SparkSuite {
     assert(got === Set((1L, 10L), (2L, 10L))) // 150.0 excluded, 50.0 below lo
   }
 
+  test("inverted intervals are dropped, not exploded into a descending bin range") {
+    val points = Seq((1L, 5.0)).toDF("pid", "v")
+    val intervals = Seq((9L, 1e9, 0.0), (10L, 0.0, 10.0)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.binned(points, intervals, "v", "lo", "hi", binWidth = 10.0)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L)))
+  }
+
   test("plan is a shuffle equi-join, not a nested loop") {
     val points = spark.range(1000).select($"id".cast("double").as("v"), $"id".as("pid"))
     val intervals = spark.range(100)

@@ -84,4 +84,21 @@ class CompactionSpec extends SparkSuite {
     val want = df.as[(Long, Long)].collect().toSet
     assert(got === want)
   }
+
+  test("compact recurses into hive partitions instead of flattening them") {
+    val dir = java.nio.file.Files.createTempDirectory("compactp").toString
+    val df = spark.range(0, 10000).select($"id", ($"id" % 4).as("p"))
+    df.repartition(10).write.partitionBy("p").mode("overwrite").parquet(dir)
+    Sinks.compact(spark, dir, targetMb = 128)
+    val leaves = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("p="))
+    assert(leaves.length === 4)
+    leaves.foreach { leaf =>
+      assert(leaf.listFiles().count(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet")) === 1)
+    }
+    val got = spark.read.parquet(dir).selectExpr("id", "CAST(p AS LONG)")
+      .as[(Long, Long)].collect().toSet
+    assert(got === df.as[(Long, Long)].collect().toSet)
+  }
 }
