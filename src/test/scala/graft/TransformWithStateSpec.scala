@@ -61,6 +61,45 @@ class TransformWithStateSpec extends SparkSuite {
     }
   }
 
+  test("late cross-batch event extends the open session's START (not just its end)") {
+    TransformWithStateJobs.withRocksDb(spark)
+    try {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("late_sess").toString
+      def ts(m: Int) = new java.sql.Timestamp(3600000L + m * 60000L)
+      def stage(name: String, rows: Seq[(Long, java.sql.Timestamp, Double)], modMs: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("late_tmp").toString
+        rows.toDF("user_id", "ts", "value").coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        val target = new java.io.File(dir, name)
+        java.nio.file.Files.move(part.toPath, target.toPath)
+        target.setLastModified(modMs)
+      }
+      // batch 1: events at 10:00, 10:05 — batch 2: LATE 9:58 (admitted,
+      // watermark 9:55) — batch 3: 11:00 pushes the watermark past the
+      // merged session's gap horizon and gap-breaks it
+      stage("f1.parquet", Seq((1L, ts(0), 1.0), (1L, ts(5), 2.0)), 1000000L)
+      stage("f2.parquet", Seq((1L, ts(-2), 4.0)), 2000000L)
+      stage("f3.parquet", Seq((1L, ts(60), 8.0)), 3000000L)
+      val schema = "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val out = TransformWithStateJobs.sessionize(spark, stream)
+      val q = out.toDF().writeStream.format("memory").queryName("t_late")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table("t_late")
+        .as[TransformWithStateJobs.Session].collect().toSet
+      // ONE session [9:58 .. 10:05] with all 3 events — the late 9:58
+      // extended the start; the 11:00 session stays open (unflushable)
+      assert(got === Set(TransformWithStateJobs.Session(
+        1L, ts(-2).getTime, ts(5).getTime, 3L, 7.0)), got.toString)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("timer-flushed sessionization == batch session_window") {
     TransformWithStateJobs.withRocksDb(spark)
     try {
