@@ -17,12 +17,20 @@ object TransformWithStateJobs {
   case class EventIn(user_id: Long, value: Double)
   case class UserAgg(user_id: Long, n: Long, total: Double)
 
-  class RunningAggProcessor extends StatefulProcessor[Long, EventIn, UserAgg] {
+  /** @param ttl optional state TTL: per-key state not updated within
+    *        the duration is expired by the store (the production
+    *        hygiene knob for unbounded key spaces — abandoned keys
+    *        stop costing memory without hand-rolled timeouts).
+    */
+  class RunningAggProcessor(ttl: Option[java.time.Duration] = None)
+    extends StatefulProcessor[Long, EventIn, UserAgg] {
     @transient private var state: org.apache.spark.sql.streaming.ValueState[UserAgg] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[UserAgg](
-        "agg", Encoders.product[UserAgg], org.apache.spark.sql.streaming.TTLConfig.NONE)
+        "agg", Encoders.product[UserAgg],
+        ttl.map(org.apache.spark.sql.streaming.TTLConfig.apply)
+          .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE))
 
     override def handleInputRows(key: Long, rows: Iterator[EventIn],
         timers: TimerValues): Iterator[UserAgg] = {
@@ -39,12 +47,14 @@ object TransformWithStateJobs {
   /** Running (count, sum) per user over the events stream. Requires
     * the RocksDB state store provider (set by [[withRocksDb]]).
     */
-  def runningAgg(spark: SparkSession, events: DataFrame): Dataset[UserAgg] = {
+  def runningAgg(spark: SparkSession, events: DataFrame,
+      ttl: Option[java.time.Duration] = None): Dataset[UserAgg] = {
     import spark.implicits._
     events.selectExpr("user_id", "value").as[EventIn]
       .groupByKey(_.user_id)
-      .transformWithState(new RunningAggProcessor,
-        TimeMode.None(), OutputMode.Update())
+      .transformWithState(new RunningAggProcessor(ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** transformWithState requires RocksDB-backed state. */

@@ -32,6 +32,51 @@ class TransformWithStateSpec extends SparkSuite {
     }
   }
 
+  test("state TTL expires idle keys between micro-batches") {
+    TransformWithStateJobs.withRocksDb(spark)
+    // ProcessingTime time-mode keeps scheduling no-data micro-batches
+    // (for TTL/timer progress) — AvailableNow would never terminate
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("ttl_sess").toString
+      def stage(name: String, rows: Seq[(Long, Double)], modMs: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("ttl_tmp").toString
+        rows.toDF("user_id", "value").coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        val target = new java.io.File(dir, name)
+        java.nio.file.Files.move(part.toPath, target.toPath)
+        target.setLastModified(modMs)
+      }
+      stage("f1.parquet", Seq((1L, 1.0), (1L, 2.0)), 1000000L)
+      stage("f2.parquet", Seq((1L, 4.0)), 2000000L)
+      val stream = spark.readStream.schema("user_id BIGINT, value DOUBLE")
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val out = TransformWithStateJobs.runningAgg(spark, stream,
+        ttl = Some(java.time.Duration.ofMillis(500)))
+      val batches = scala.collection.mutable.ListBuffer.empty[Seq[(Long, Double)]]
+      val q = out.toDF().writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          batches.synchronized {
+            batches += b.collect().toSeq.map(r => (r.getLong(1), r.getDouble(2)))
+          }
+          // wall-clock gap so batch 1's state outlives its 500 ms TTL
+          if (id == 0) Thread.sleep(2000)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // batch 0 accumulates (n=2, total=3); batch 1 starts FRESH
+      // because the 500 ms TTL expired during the 2 s gap
+      assert(batches.head === Seq((2L, 3.0)), batches.toString)
+      assert(batches(1) === Seq((1L, 4.0)), batches.toString)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("MapState+ListState profile final snapshot == batch equivalent") {
     TransformWithStateJobs.withRocksDb(spark)
     try {
