@@ -29,16 +29,14 @@ object BloomPrune {
       factKey: String, dimKey: String,
       expectedNumItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val spark = fact.sparkSession
-    val exact = fact.join(
-      dim.select(col(dimKey)).distinct(), col(factKey) === col(dimKey), "left_semi")
-    buildBloom(dim, dimKey, expectedNumItems, fpp) match {
+    val pruned = buildBloom(dim, dimKey, expectedNumItems, fpp) match {
       case Some(bloom) =>
         val bc = spark.sparkContext.broadcast(bloom)
         val mightContain = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
         fact.filter(mightContain(col(factKey).cast("long")))
-          .join(dim.select(col(dimKey)).distinct(), col(factKey) === col(dimKey), "left_semi")
-      case None => exact // empty dim: nothing to prune with (result is empty anyway)
+      case None => fact // empty dim: nothing to prune with (result is empty anyway)
     }
+    pruned.join(dim.select(col(dimKey)).distinct(), col(factKey) === col(dimKey), "left_semi")
   }
 
   /** `stat.bloomFilter` over ZERO rows yields a filter with a null bit
