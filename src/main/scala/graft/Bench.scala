@@ -11,6 +11,11 @@ object Bench {
       .withExtensions(new GraftSparkExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Bench profile only: the fixture corpus is all-pairs-similar (tiny
+    // vocabulary), so full-corpus LSH near-dedup verification is
+    // quadratic on it. The declared query defaults to the FULL corpus
+    // (Verify/correctness runs unsampled); this knob bounds the bench.
+    spark.conf.set("spark.graft.nearDedup.sampleMod", "10")
     // Warm up JIT/codegen and pin the fixture tables in memory before
     // timing (SURVEY.md §6/M5: cache shared scans across queries).
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -151,6 +151,27 @@ object Joins {
         .orderBy(col("event_id"))
     }),
 
+    // Plan-level as-of join with TOLERANCE: latest click at-or-before
+    // each purchase, but only within 6 hours — a match further back
+    // is discarded (merge_asof(tolerance=...) semantics). Oracled via
+    // DuckDB ASOF JOIN + distance post-filter, which is exactly
+    // tolerance semantics for the inner as-of (the nearest preceding
+    // row is the ONLY candidate; if it is too far there is no match).
+    "q_join_asof_tol" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_value"))
+        .select(col("user_id").as("c_uid"), col("ts").as("click_ts"), col("click_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.plans.AsOf.join(s, purchases, clicks,
+          "user_id", "ts", "c_uid", "click_ts",
+          within = Some(java.time.Duration.ofHours(6)))
+        .select(col("event_id"), col("user_id"), col("ts"), col("click_ts"), col("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Binned range join (operators.RangeJoin): interval containment
     // rewritten as an equi-join on a bin id — both sides hash-shuffle
     // (NO broadcast, NO nested loop), so both can be arbitrarily
@@ -277,6 +298,17 @@ object Joins {
            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
          SELECT p.event_id, p.user_id, p.ts AS ts, c.ts AS click_ts, c.click_value
          FROM purch p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.event_id""",
+
+    "q_join_asof_tol" ->
+      """WITH clicks AS (
+           SELECT user_id, ts, max(value) AS click_value
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         purch AS (
+           SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.ts AS ts, c.ts AS click_ts, c.click_value
+         FROM purch p ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+         WHERE p.ts - c.ts <= INTERVAL 6 HOUR
          ORDER BY p.event_id""",
 
     "q_join_range" ->

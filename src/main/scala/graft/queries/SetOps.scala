@@ -96,6 +96,21 @@ object SetOps {
         .orderBy(col("event_id"))
     }),
 
+    // PG DISTINCT ON (reference README.md:62-78 ad-hoc surface):
+    // keyed top-1 — the latest order per customer. Spark-first shape:
+    // row_number window + rn=1 filter (WindowGroupLimit pushes the
+    // per-key limit below the sort at scale).
+    "q_distinct_on" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      table(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          money(col("o_totalprice")).cast("double").as("price"))
+        .orderBy(col("o_custkey"))
+    }),
+
     "q_subq_scalar" -> ((s, d) => {
       val c = table(s, d, "customer")
       val avgBal = c.agg(avg(col("c_acctbal")).as("ab"))
@@ -220,6 +235,12 @@ object SetOps {
            UNION ALL
            SELECT event_id, value + 1000 AS value, 'new' AS src FROM events WHERE event_id % 2 = 0)
          ORDER BY event_id""",
+
+    "q_distinct_on" ->
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+         FROM orders
+         ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC""",
 
     "q_subq_scalar" ->
       """SELECT c_custkey, c_acctbal FROM customer

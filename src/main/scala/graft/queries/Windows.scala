@@ -119,6 +119,24 @@ object Windows {
         .orderBy(col("event_id"))
     }),
 
+    // Window EXCLUDE CURRENT ROW equivalent (PG/DuckDB frame EXCLUDE):
+    // mean of the ±3-row peer values around each event, current row
+    // excluded. Spark lacks frame EXCLUDE — compose it exactly as
+    // (frame_sum − current) / (frame_count − 1) on DECIMAL sums (both
+    // engines then divide the identical exact numerator).
+    "q_win_exclude" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, 3)
+      val dec = col("value").cast(DecimalType(18, 6))
+      val sumAll = sum(dec).over(w)
+      val cntAll = count(lit(1)).over(w)
+      table(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          when(cntAll > 1,
+            round((sumAll - dec).cast("double") / (cntAll - 1), 6)).as("peer_avg"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_win_firstlast" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -200,6 +218,16 @@ object Windows {
                   PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
          FROM m ORDER BY event_id""",
+
+    "q_win_exclude" ->
+      """SELECT event_id, user_id,
+                CASE WHEN count(*) OVER we > 0 THEN
+                  round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER we AS DOUBLE)
+                        / (count(*) OVER we), 6) END AS peer_avg
+         FROM events
+         WINDOW we AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW)
+         ORDER BY event_id""",
 
     "q_win_firstlast" ->
       """SELECT event_id, user_id,

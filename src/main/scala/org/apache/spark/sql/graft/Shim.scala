@@ -11,4 +11,18 @@ object Shim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** `df.cache()` unless an equivalent plan is already cached.
+    * CacheManager keys cache entries on the analyzed plan, so a query
+    * that caches an intermediate and is invoked repeatedly (bench
+    * warm/timed runs) re-caches the same plan and logs
+    * "Asked to cache already cached data" every time; this guard is
+    * lazy (no job) and idempotent.
+    */
+  def cacheIfNeeded(df: DataFrame): DataFrame = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val cm = classic.sparkSession.sharedState.cacheManager
+    if (cm.lookupCachedData(classic).isEmpty) df.cache()
+    df
+  }
 }

@@ -62,6 +62,44 @@ class SimilaritySpec extends SparkSuite {
     assert(kernel.exceptAll(declarative).isEmpty && declarative.exceptAll(kernel).isEmpty)
   }
 
+  test("blockedCosinePairs == exactCosinePairs kernel, any block count") {
+    val kernel = Similarity.exactCosinePairs(spark, emb, threshold = 0.4)
+    for (b <- Seq(3, 8)) {
+      val blocked = Similarity.blockedCosinePairs(spark, emb, threshold = 0.4, numBlocks = b)
+      assert(blocked.exceptAll(kernel).isEmpty && kernel.exceptAll(blocked).isEmpty,
+        s"numBlocks=$b diverges from the exact kernel")
+    }
+  }
+
+  test("declared q_x_cos_pairs / q_x_ann_ivf launch NO job at construction") {
+    // The round-2 q_x_cos_pairs collect()ed the corpus to the driver
+    // while BUILDING the DataFrame; IVF training ran a count(). Both
+    // are gone: constructing the plan must be fully lazy (no driver-
+    // side materialization of data).
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        // parquet footer/schema metadata reads are benign (every
+        // spark.read.parquet call lists + reads footers) — only DATA
+        // materialization (collect/count at construction) is the bug.
+        val names = js.stageInfos.map(_.name)
+        if (!names.forall(_.startsWith("parquet at "))) {
+          jobs.add(s"job ${js.jobId} (${names.mkString("; ")})")
+        }
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      queries.Extensions.defs("q_x_cos_pairs")(spark, sfDir)
+      queries.Extensions.defs("q_x_ann_ivf")(spark, sfDir)
+      Thread.sleep(500) // listener delivery is async; no wait API is public
+      assert(jobs.isEmpty,
+        s"query construction launched Spark jobs (driver-side materialization): $jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("hyperplanes are deterministic across invocations") {
     val a = Similarity.hyperplanes(4, 8)
     val b = Similarity.hyperplanes(4, 8)
