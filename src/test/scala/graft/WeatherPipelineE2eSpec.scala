@@ -63,4 +63,51 @@ class WeatherPipelineE2eSpec extends SparkSuite {
     val replayed = WeatherIngest.merge(after2, batch2)
     assert(replayed.except(after2).isEmpty && after2.except(replayed).isEmpty)
   }
+
+  test("DSv2 replay source: one micro-batch per tick, >=2 partitions, merge golden") {
+    val dir = Files.createTempDirectory("graft-dsv2").toString
+    def write(tick: Int, city: String, dt: Long, temp: Double): Unit = {
+      val d = java.nio.file.Paths.get(s"$dir/tick=$tick")
+      Files.createDirectories(d)
+      Files.writeString(d.resolve(s"$city.json"), payload(city, dt, temp))
+    }
+    // tick 0 = first poll cycle (3 cities); tick 1 = second cycle:
+    // Rotterdam re-polled (same dt key -> upsert replaces) + a new city
+    write(0, "Rotterdam", 1704067200L, 7.3)
+    write(0, "Delft", 1704067200L, 6.8)
+    write(0, "Leiden", 1704067200L, 4.1)
+    write(1, "Rotterdam", 1704067200L, 9.9)
+    write(1, "Gouda", 1704067500L, 5.5)
+
+    var target: DataFrame = null
+    val batchParts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val batchTicks = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val q = spark.readStream
+      .format(classOf[graft.streaming.WeatherReplayProvider].getName)
+      .option("path", dir)
+      .load()
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batchParts += batch.rdd.getNumPartitions
+        batchTicks += batch.select("tick").distinct().as[Long].collect().sorted.toSeq
+        val transformed = WeatherIngest.transform(batch.select("body").as[String])
+        val base = if (target == null) transformed.filter("1 = 0") else target
+        target = WeatherIngest.merge(base, transformed).cache()
+        target.count()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // admission control: one tick per micro-batch, in order
+    assert(batchTicks.toSeq === Seq(Seq(0L), Seq(1L)))
+    // partitioned by city file: 3 then 2 input partitions, never 1
+    assert(batchParts.toSeq === Seq(3, 2))
+    // golden end state: 4 cities, Rotterdam overwritten by tick 1
+    assert(target.count() === 4)
+    assert(target.filter($"city_name" === "Rotterdam").collect().head.getDouble(3) === 9.9)
+    assert(target.filter($"city_name" === "Leiden").collect().head.getDouble(3) === 4.1)
+  }
 }
