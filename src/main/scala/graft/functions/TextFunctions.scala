@@ -33,6 +33,16 @@ object TextFunctions {
     expr(s"CASE WHEN length($textCol) < $n THEN CAST(array() AS array<string>) " +
       s"ELSE array_distinct(transform(sequence(1, length($textCol) - ${n - 1}), i -> substring($textCol, i, $n))) END")
 
+  /** WORD n-grams (space-joined, NOT deduplicated — repetition
+    * filters need the multiplicity) over a text column name; empty
+    * array for texts with fewer than n words. The unit of the
+    * repetition and benchmark-decontamination filters.
+    */
+  def wordNgramsExpr(textCol: String, n: Int): Column =
+    expr(s"CASE WHEN size(split($textCol, ' ')) < $n THEN CAST(array() AS array<string>) " +
+      s"ELSE transform(sequence(1, size(split($textCol, ' ')) - ${n - 1}), " +
+      s"i -> concat_ws(' ', slice(split($textCol, ' '), i, $n))) END")
+
   /** Jaccard similarity between two (deduplicated) string-array sets.
     * |A∩B| via the codegen'd [[ArrayIntersectCount]] (no result-array
     * allocation); |A∪B| as |A|+|B|−|A∩B| (no union materialization).

@@ -229,6 +229,46 @@ object Extensions {
           TextFunctions.langId(TextFunctions.tokens(col("text"))).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // Repetition filter (Gopher-style): fraction of duplicated word
+    // trigrams per doc — the "looped text" quality gate of a
+    // pretraining pipeline. Map-only (per-row array work, no shuffle
+    // beyond the final sort).
+    "q_x_rep_ngrams" -> ((s, d) => {
+      val grams = TextFunctions.wordNgramsExpr("text", 3)
+      table(s, d, "documents")
+        .withColumn("g", grams)
+        .select(col("doc_id"), size(col("g")).as("n_grams"),
+          size(array_distinct(col("g"))).as("n_distinct"))
+        .withColumn("dup_ratio",
+          when(col("n_grams") > 0,
+            round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
+            .otherwise(lit(0.0)))
+        .select(col("doc_id"), col("n_grams"), col("dup_ratio"),
+          (col("dup_ratio") > 0.2).as("repetitive"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination: flag training docs sharing any word
+    // trigram with the (tiny) benchmark split. Scale shape: the
+    // benchmark gram set is broadcast by construction (benchmarks are
+    // small vs the corpus); the corpus side is one explode + semi
+    // join + per-doc count — no corpus self-join.
+    "q_x_contam" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val grams = TextFunctions.wordNgramsExpr("text", 3)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(array_distinct(grams)).as("g")).distinct()
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), array_distinct(grams).as("gs"))
+        .select(col("doc_id"), size(col("gs")).as("n_grams"), explode(col("gs")).as("g"))
+      train.join(broadcast(bench), Seq("g"), "left_semi")
+        .groupBy(col("doc_id"), col("n_grams"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("doc_id"), col("n_hits"), col("n_grams"),
+          round(col("n_hits").cast("double") / col("n_grams"), 6).as("contam_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- training-data assembly --------------------------------------
     // Deterministic train/val/test split: reproducible on any cluster,
     // any partitioning (pure function of the id — never rand()).
@@ -511,6 +551,36 @@ object Extensions {
     "q_x_token_count" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INTEGER) AS n_tokens
          FROM documents ORDER BY doc_id""",
+
+    "q_x_rep_ngrams" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                      ELSE list_transform(range(1, len(ws) - 1),
+                        i -> array_to_string(ws[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ')) END AS gs
+               FROM w),
+         r AS (SELECT doc_id, len(gs) AS n_grams,
+                 CASE WHEN len(gs) > 0
+                      THEN round(CAST(1 AS DOUBLE) - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 6)
+                      ELSE CAST(0 AS DOUBLE) END AS dup_ratio
+               FROM g)
+         SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams, dup_ratio,
+                dup_ratio > 0.2 AS repetitive
+         FROM r ORDER BY doc_id""",
+
+    "q_x_contam" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                      ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                        i -> array_to_string(ws[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))) END AS gs
+               FROM w),
+         t AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS tg FROM g WHERE doc_id % 97 <> 0)
+         SELECT doc_id, count(*) AS n_hits, CAST(n_grams AS INTEGER) AS n_grams,
+                round(CAST(count(*) AS DOUBLE) / n_grams, 6) AS contam_ratio
+         FROM t
+         WHERE tg IN (SELECT DISTINCT unnest(gs) FROM g WHERE doc_id % 97 = 0)
+         GROUP BY doc_id, n_grams ORDER BY doc_id""",
 
     "q_x_quality" ->
       """WITH w AS (
