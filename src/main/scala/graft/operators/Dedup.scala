@@ -26,6 +26,43 @@ object Dedup {
       .groupBy(col("h"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup: the distinct documents of `incoming`
+    * whose content hash does not already exist in `corpus` — the
+    * per-micro-batch form of [[exactByHash]] against a large
+    * historical corpus (the reference's staging-vs-target DISTINCT
+    * merge, weather-etl.py:152-163, at corpus scale).
+    *
+    * Scale shape: a bloom filter over the corpus hashes (one
+    * distributed pass, ~1.2 MB per 10⁶ keys) is broadcast to the
+    * incoming side; rows the bloom rejects are DEFINITELY new and
+    * bypass the join entirely — only possible-duplicates (bloom hits,
+    * ~fpp of new rows plus true dups) shuffle into the exact anti
+    * join. With a 100 TB corpus and a small batch, shuffled bytes are
+    * the corpus HASH column plus the few candidate rows, never the
+    * batch payloads. False positives are removed by the exact join;
+    * false negatives are impossible, so the result equals the plain
+    * anti join (spec-asserted).
+    *
+    * @return (idCol, h) — one row per distinct new text, smallest id.
+    */
+  def incrementalExact(corpus: DataFrame, incoming: DataFrame,
+      textCol: String, idCol: String,
+      expectedNumItems: Long = 1000000L): DataFrame = {
+    val inc = exactByHash(incoming, textCol, idCol)
+      .select(col(idCol), col("h"))
+    val corp = corpus.select(sha2(col(textCol), 256).as("ch")).distinct()
+    // bloom keys are a 64-bit fold of the 256-bit hash — collisions
+    // only add false positives, which the exact join removes
+    val mightBeDup = BloomPrune.pruneCol(
+      corp.select(xxhash64(col("ch")).as("chk")), "chk",
+      xxhash64(col("h")), expectedNumItems)
+    val definitelyNew = inc.filter(!mightBeDup)
+    val confirmedNew = inc.filter(mightBeDup)
+      .join(corp, col("h") === col("ch"), "left_anti")
+      .select(col(idCol), col("h"))
+    definitelyNew.unionByName(confirmedNew)
+  }
+
   /** MinHash signature: k independent permutations approximated by
     * k seeded xxhash64 functions; sig[i] = min over tokens of
     * hash_i(token). Codegen'd [[graft.functions.MinHashSig]]

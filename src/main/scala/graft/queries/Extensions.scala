@@ -54,6 +54,18 @@ object Extensions {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Incremental exact dedup: which docs of the "new batch"
+    // (doc_id % 5 == 0) are content-new vs the historical corpus —
+    // bloom-gated anti join (only possible-dups shuffle).
+    "q_x_incr_dedup" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Dedup.incrementalExact(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_x_simhash_dedup" -> ((s, d) =>
       Dedup.simhashNearDups(table(s, d, "documents"), "text", "doc_id",
           maxHamming = 3)
@@ -458,6 +470,15 @@ object Extensions {
       """SELECT doc_id,
                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
          FROM documents ORDER BY doc_id""",
+
+    "q_x_incr_dedup" ->
+      """WITH inc AS (
+           SELECT min(doc_id) AS doc_id, sha256(text) AS h
+           FROM documents WHERE doc_id % 5 = 0 GROUP BY sha256(text)),
+         corp AS (SELECT DISTINCT sha256(text) AS ch FROM documents WHERE doc_id % 5 <> 0)
+         SELECT i.doc_id, i.h FROM inc i
+         ANTI JOIN corp c ON i.h = c.ch
+         ORDER BY i.doc_id""",
 
     "q_x_ngram_jaccard" ->
       """WITH sh AS (

@@ -34,6 +34,36 @@ class DedupSpec extends SparkSuite {
     assert(fp(0L) !== fp(1L))                      // theta vs iota
   }
 
+  test("incrementalExact == plain anti join; bloom path changes nothing") {
+    val hist = corpus.filter($"doc_id" < 3)   // texts of docs 0,1,2
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of hist 0
+      (11L, "totally fresh content nine ten eleven twelve"),  // new
+      (12L, "totally fresh content nine ten eleven twelve"),  // dup WITHIN batch
+      (13L, "one two three four five six seven eight")        // dup of hist 2
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(hist, batch, "text", "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out === Set(11L)) // one survivor: the fresh text, min id
+
+    // reference: exactByHash(batch) anti-join hist hashes, no bloom
+    val ref = Dedup.exactByHash(batch, "text", "doc_id")
+      .join(hist.select(sha2($"text", 256).as("ch")).distinct(),
+        $"h" === $"ch", "left_anti")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out === ref)
+
+    // empty corpus: every distinct batch text is new
+    val emptyHist = hist.filter("1 = 0")
+    val all = Dedup.incrementalExact(emptyHist, batch, "text", "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(all === Set(10L, 11L, 13L))
+
+    // all-dup batch: nothing survives
+    val dupBatch = hist.withColumn("doc_id", $"doc_id" + 100)
+    assert(Dedup.incrementalExact(hist, dupBatch, "text", "doc_id").isEmpty)
+  }
+
   test("minhash LSH finds exact + near dups, not unrelated docs") {
     val pairs = Dedup.minhashNearDups(corpus, "text", "doc_id",
         bands = 8, rowsPerBand = 4, threshold = 0.7)
