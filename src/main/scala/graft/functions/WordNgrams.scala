@@ -43,7 +43,7 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.WordNgrams.compute($c, $n);")
 
-  override protected def withNewChildrenInternal(newChild: Expression): Expression =
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
     copy(child = newChild)
 }
 
