@@ -56,6 +56,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
 
+    ext.injectFunction((FunctionIdentifier("graft_word_ngrams"),
+      info("graft_word_ngrams", classOf[WordNgrams].getName),
+      (exprs: Seq[Expression]) => WordNgrams.build(exprs)))
+
     ext.injectFunction((FunctionIdentifier("graft_minhash_union"),
       info("graft_minhash_union", classOf[MinHashUnion].getName),
       (exprs: Seq[Expression]) => MinHashUnion(exprs(0))))

@@ -138,6 +138,11 @@ object GraftFunctions {
         "graft_intersect_count",
         exprs => ArrayIntersectCount(exprs(0), exprs(1)), "built-in")
     }
+    val wnId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_word_ngrams")
+    if (!registry.functionExists(wnId)) {
+      registry.createOrReplaceTempFunction(
+        "graft_word_ngrams", exprs => WordNgrams.build(exprs), "built-in")
+    }
     graft.plans.IntersectCountRewrite.install(spark)
   }
 }

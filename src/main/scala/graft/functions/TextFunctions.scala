@@ -37,8 +37,24 @@ object TextFunctions {
     * filters need the multiplicity) over a text column name; empty
     * array for texts with fewer than n words. The unit of the
     * repetition and benchmark-decontamination filters.
+    *
+    * Built on the codegen'd [[WordNgrams]] expression: one split and
+    * one primitive loop per row inside whole-stage codegen, vs the
+    * interpreted higher-order `transform(sequence(...), i ->
+    * concat_ws(' ', slice(split(...), i, n)))` formulation, which
+    * re-splits the text per CASE reference and allocates a closure +
+    * slice array per gram. Value-identity with that formulation
+    * (empty string, size < n, trailing/repeated separators) is
+    * asserted by WordNgramsSpec.
     */
   def wordNgramsExpr(textCol: String, n: Int): Column =
+    call_function("graft_word_ngrams", col(textCol), lit(n))
+
+  /** The interpreted higher-order formulation of [[wordNgramsExpr]] —
+    * retained as the value-identity oracle for WordNgramsSpec (and a
+    * pure-built-in fallback for sessions without graft extensions).
+    */
+  def wordNgramsHigherOrder(textCol: String, n: Int): Column =
     expr(s"CASE WHEN size(split($textCol, ' ')) < $n THEN CAST(array() AS array<string>) " +
       s"ELSE transform(sequence(1, size(split($textCol, ' ')) - ${n - 1}), " +
       s"i -> concat_ws(' ', slice(split($textCol, ' '), i, $n))) END")

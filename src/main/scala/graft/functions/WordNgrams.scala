@@ -50,6 +50,20 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
 object WordNgrams {
   private val SPACE = UTF8String.fromString(" ")
 
+  /** Registry constructor: `graft_word_ngrams(text, n)` with a
+    * foldable numeric literal n (same contract as `graft_minhash`'s
+    * k — the loop bound must be known at plan time for codegen).
+    */
+  def build(exprs: Seq[Expression]): WordNgrams = {
+    require(exprs.length == 2 && exprs(1).foldable,
+      "graft_word_ngrams(text, n) takes a literal n")
+    exprs(1).eval() match {
+      case n: Number => WordNgrams(exprs(0), n.intValue())
+      case other => throw new IllegalArgumentException(
+        s"graft_word_ngrams: n must be a numeric literal, got $other")
+    }
+  }
+
   /** Static per-row kernel (called from generated code — keeps the
     * expression inside whole-stage codegen with a single static call
     * per row instead of falling back to the interpreter).

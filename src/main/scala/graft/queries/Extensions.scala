@@ -260,6 +260,17 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // The word-n-gram unit itself as a declared query: one row per
+    // (doc, gram position) over a deterministic doc subset — the
+    // direct oracle row for the codegen'd WordNgrams expression that
+    // q_x_rep_ngrams / q_x_contam build on. Map-only + final sort.
+    "q_x_ngrams" -> ((s, d) =>
+      table(s, d, "documents")
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.wordNgramsExpr("text", 3)).as(Seq("pos", "gram")))
+        .orderBy(col("doc_id"), col("pos"))),
+
     // Benchmark decontamination: flag training docs sharing any word
     // trigram with the (tiny) benchmark split. Scale shape: the
     // benchmark gram set is broadcast by construction (benchmarks are
@@ -588,6 +599,14 @@ object Extensions {
          SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams, dup_ratio,
                 dup_ratio > 0.2 AS repetitive
          FROM r ORDER BY doc_id""",
+
+    "q_x_ngrams" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents WHERE doc_id % 50 = 0),
+         u AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM w)
+         SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                array_to_string(ws[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS gram
+         FROM u ORDER BY doc_id, pos""",
 
     "q_x_contam" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
