@@ -121,6 +121,69 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact set-similarity self-join via frequency-ordered prefix
+    * filtering (the AllPairs / SSJoin family — Bayardo et al. WWW'07,
+    * Chaudhuri et al. ICDE'06): all pairs with Jaccard ≥ threshold,
+    * with NO false negatives — the lossless alternative to
+    * [[minhashNearDups]] for when completeness is required (e.g.
+    * duplicate-cluster assignment, where a missed edge splits a
+    * cluster).
+    *
+    * Prefix-filtering lemma: under any common total order of
+    * elements, a pair with Jaccard ≥ θ must share an element among
+    * the first |x| − ⌈θ·|x|⌉ + 1 elements of each set. Ordering
+    * elements rarest-first makes those prefixes the globally least
+    * frequent elements, so the candidate equi-join on prefix
+    * elements touches only small buckets — the same
+    * join-within-buckets scale shape as LSH banding, but exact.
+    *
+    * Scale: one frequency aggregate over exploded elements, one
+    * per-set window sort (partitioned by id, no global sort), an
+    * equi-join on rare prefix elements, then an exact verify on the
+    * candidates. No cross join anywhere. Threshold tests use integer
+    * rational arithmetic (θ as p/1e6) on both the prefix length and
+    * the verify, so results are reproducible bit-for-bit against any
+    * engine — no float-boundary drift.
+    *
+    * @param sets  (idCol, setCol: array<string>) with SET semantics
+    *              (elements deduplicated; use array_distinct upstream).
+    * @return (doc_a, doc_b, jaccard) with doc_a < doc_b — exactly the
+    *         brute-force all-pairs result (spec-asserted).
+    */
+  def exactJaccardPairs(sets: DataFrame, idCol: String, setCol: String,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = math.round(threshold * 1000000L) // θ = p / 1e6, exact
+    val q = 1000000L
+    // materialize once: reused by the explode below AND both sides of
+    // the verify join (would otherwise recompute the set derivation 3×)
+    val base = sets.select(col(idCol).cast("long").as("doc_id"), col(setCol).as("s"))
+      .localCheckpoint()
+    val tok = base.select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("t"))
+    val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("f"))
+    // prefix length ℓ = n − ⌈θn⌉ + 1, integer-exact: ⌈p·n/q⌉ = (p·n+q−1) div q
+    val prefix = tok.join(freq, "t")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("f"), col("t"))))
+      .filter(col("pos") <= col("n") - expr(s"(n * ${p}L + ${q - 1}L) div ${q}L") + 1)
+      .select(col("doc_id"), col("t"))
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("t"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("t")), Seq("t"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b") // a pair can share several prefix elements
+    val verified = cand
+      .join(base.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
+      .withColumn("inter", call_function("graft_intersect_count", col("sa"), col("sb")))
+      .withColumn("uni", (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
+      // inter/uni ≥ p/q as exact integers (uni = 0 never reaches here:
+      // empty sets explode to no prefix rows, so they are never candidates)
+      .filter(col("inter") * q >= col("uni") * p)
+    verified.select(col("doc_a"), col("doc_b"),
+      round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+  }
+
   /** 64-bit SimHash per document: per-token xxhash64 bit votes summed,
     * sign → bit. Near-dups have small hamming distance. Map-only
     * projection via the codegen'd [[graft.functions.SimHash64]] — no
