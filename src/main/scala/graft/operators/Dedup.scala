@@ -147,18 +147,23 @@ object Dedup {
     *
     * @param sets  (idCol, setCol: array<string>) with SET semantics
     *              (elements deduplicated; use array_distinct upstream).
-    * @return (doc_a, doc_b, jaccard) with doc_a < doc_b — exactly the
-    *         brute-force all-pairs result (spec-asserted).
+    *              The id column keeps its native type — any orderable
+    *              type works for the doc_a < doc_b pairing (no cast, so
+    *              string ids are never silently nulled out).
+    * @return (doc_a, doc_b, jaccard) with doc_a < doc_b — equal to the
+    *         brute-force all-pairs result (DedupSpec asserts equality on
+    *         a corpus with non-adjacent planted dups, plus string ids).
     */
   def exactJaccardPairs(sets: DataFrame, idCol: String, setCol: String,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val p = math.round(threshold * 1000000L) // θ = p / 1e6, exact
     val q = 1000000L
-    // materialize once: reused by the explode below AND both sides of
-    // the verify join (would otherwise recompute the set derivation 3×)
-    val base = sets.select(col(idCol).cast("long").as("doc_id"), col(setCol).as("s"))
-      .localCheckpoint()
+    // materialize once (lazily — no job until the first action, like the
+    // other Dedup builders): reused by the explode below AND both sides
+    // of the verify join (would otherwise recompute the derivation 3×)
+    val base = sets.select(col(idCol).as("doc_id"), col(setCol).as("s"))
+      .localCheckpoint(eager = false)
     val tok = base.select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("t"))
     val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("f"))
     // prefix length ℓ = n − ⌈θn⌉ + 1, integer-exact: ⌈p·n/q⌉ = (p·n+q−1) div q

@@ -343,23 +343,37 @@ object Extensions {
               "\\bdata\\b", "<redacted>"), 1, 80).as("clean_prefix"))
         .orderBy(col("doc_id"))),
 
-    // Near-duplicate CLUSTER assignment: adjacent-id shingled-jaccard
-    // edges (the fixture plants near-dups consecutively) → generic
+    // Exact all-pairs set-similarity self-join (Dedup.exactJaccardPairs,
+    // frequency-ordered prefix filtering): every doc pair whose
+    // word-trigram shingle sets have Jaccard ≥ 0.6 — the LOSSLESS
+    // near-dedup path (no false negatives), oracle'd against a DuckDB
+    // brute-force cross join. Word trigrams (not char trigrams): the
+    // element space is combinatorial in the vocabulary, so background
+    // pairs sit at j ≤ 0.07 while planted near-dups sit at j ≥ 0.9, and
+    // the rare-prefix buckets stay small (measured at sf0.1: 300 k
+    // candidates vs 12.5 M brute-force pairs).
+    "q_x_allpairs_jaccard" -> ((s, d) => {
+      val sets = table(s, d, "documents")
+        .select(col("doc_id"),
+          array_distinct(TextFunctions.wordNgramsExpr("text", 3)).as("g"))
+      Dedup.exactJaccardPairs(sets, "doc_id", "g", threshold = 0.6)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Near-duplicate CLUSTER assignment: candidate edges from the exact
+    // similarity join above (all pairs with word-trigram Jaccard ≥ 0.6 —
+    // lossless, so no cluster is ever split by a missed edge) → generic
     // distributed connected components (operators.Components,
-    // O(log diameter) label-propagation rounds). The oracle exploits
-    // that the edge set is chain-shaped (window run-detection); the
-    // Spark side runs the general graph algorithm.
+    // O(log diameter) label-propagation rounds). The oracle recomputes
+    // the same edges by brute force and resolves components with a
+    // recursive-CTE transitive closure — both sides run real graph
+    // clustering; nothing exploits the fixture's layout.
     "q_x_dup_clusters" -> ((s, d) => {
       val docs = table(s, d, "documents")
-      // one shingle pass shared by both join sides (localCheckpoint —
-      // a plain self-join would recompute the shingling per side)
-      val sh = docs.select(col("doc_id"), TextFunctions.shinglesExpr("text", 3).as("sh"))
-        .localCheckpoint()
-      val a = sh.select(col("doc_id").as("a"), col("sh").as("sa"))
-      val b = sh.select(col("doc_id").as("b"), col("sh").as("sb"))
-      val edges = a.join(b, col("a") + 1 === col("b"))
-        .filter(TextFunctions.jaccard(col("sa"), col("sb")) >= 0.6)
-        .select(col("a"), col("b"))
+      val sets = docs.select(col("doc_id"),
+        array_distinct(TextFunctions.wordNgramsExpr("text", 3)).as("g"))
+      val edges = Dedup.exactJaccardPairs(sets, "doc_id", "g", threshold = 0.6)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
       graft.operators.Components
         .connectedComponents(s, docs.select(col("doc_id").as("id")), edges)
         .select(col("id").as("doc_id"), col("cluster_id"))
@@ -723,25 +737,39 @@ object Extensions {
          SELECT split, lang, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS total_words
          FROM t GROUP BY split, lang ORDER BY split, lang""",
 
+    "q_x_allpairs_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                      ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                        i -> array_to_string(ws[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))) END AS s
+               FROM w),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      len(list_intersect(a.s, b.s)) AS inter,
+                      len(list_distinct(list_concat(a.s, b.s))) AS uni
+               FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+         FROM p WHERE uni > 0 AND inter * 1000000 >= uni * 600000
+         ORDER BY doc_a, doc_b""",
+
     "q_x_dup_clusters" ->
-      """WITH sh AS (
-           SELECT doc_id,
-                  CASE WHEN length(text) < 3 THEN []::VARCHAR[]
-                       ELSE list_distinct(list_transform(range(1, length(text) - 1),
-                              i -> substr(text, CAST(i AS INTEGER), 3))) END AS s
-           FROM documents),
-         e AS (
-           SELECT b.doc_id AS b FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
-           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.6),
-         d AS (
-           SELECT doc_id,
-                  CASE WHEN doc_id IN (SELECT b FROM e) THEN NULL ELSE doc_id END AS start_id
-           FROM documents)
-         SELECT doc_id,
-                max(start_id) OVER (ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cluster_id
-         FROM d ORDER BY doc_id""",
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                      ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                        i -> array_to_string(ws[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))) END AS s
+               FROM w),
+         e AS (SELECT a.doc_id AS u, b.doc_id AS v
+               FROM g a JOIN g b ON a.doc_id < b.doc_id
+               WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+                 AND len(list_intersect(a.s, b.s)) * 1000000
+                     >= len(list_distinct(list_concat(a.s, b.s))) * 600000),
+         sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         r AS (SELECT doc_id AS id, doc_id AS reach FROM documents
+               UNION
+               SELECT r.id, s.v FROM r JOIN sym s ON r.reach = s.u)
+         SELECT id AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
+         FROM r GROUP BY id ORDER BY doc_id""",
 
     "q_x_sample" ->
       """SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS chars_sampled

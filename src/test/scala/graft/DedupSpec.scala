@@ -92,6 +92,71 @@ class DedupSpec extends SparkSuite {
     assert(nExact === 0 || recall >= 0.9)
   }
 
+  // Corpus for the exact similarity join: 40 random-vocab docs with
+  // near-dups planted at SCATTERED (non-adjacent) positions — 3↔19↔27
+  // form a triangle — plus an empty doc. Nothing about the layout is
+  // id-adjacent, so an id-offset join cannot fake the result.
+  private lazy val scatterCorpus: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector.tabulate(120)(i => s"w$i")
+    def doc() = Seq.fill(12 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val base = scala.collection.mutable.ArrayBuffer.tabulate(40)(i => (i.toLong, doc()))
+    for ((src, dst) <- Seq((3, 27), (5, 31), (12, 38), (3, 19))) {
+      val words = base(src)._2.split(" ")
+      words(words.length / 2) = s"edited$dst"
+      base(dst) = (dst.toLong, words.mkString(" "))
+    }
+    base(33) = (33L, "")
+    base.toSeq
+  }
+
+  private def scatterSets = scatterCorpus.toDF("id", "text")
+    .select($"id", array_distinct(array_remove(split($"text", " "), "")).as("s"))
+
+  /** Brute-force all-pairs with the SAME integer-rational threshold
+    * test as exactJaccardPairs (θ = p/1e6), so boundary pairs cannot
+    * disagree between the two paths by float noise.
+    */
+  private def bruteForcePairs(sets: org.apache.spark.sql.DataFrame,
+      threshold: Double): Set[(Long, Long, Double)] = {
+    val p = math.round(threshold * 1000000L)
+    val a = sets.select($"id".as("doc_a"), $"s".as("sa"))
+    val b = sets.select($"id".as("doc_b"), $"s".as("sb"))
+    a.join(b, $"doc_a" < $"doc_b")
+      .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("long"))
+      .withColumn("uni", size(array_union($"sa", $"sb")).cast("long"))
+      .filter($"uni" > 0 && $"inter" * 1000000L >= $"uni" * p)
+      .select($"doc_a", $"doc_b",
+        round($"inter".cast("double") / $"uni", 6).as("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+  }
+
+  test("exactJaccardPairs == brute-force all-pairs; planted dups are non-adjacent") {
+    for (theta <- Seq(0.5, 0.7, 0.95)) {
+      val got = Dedup.exactJaccardPairs(scatterSets, "id", "s", theta)
+        .as[(Long, Long, Double)].collect().toSet
+      val want = bruteForcePairs(scatterSets, theta)
+      assert(got === want, s"at θ=$theta")
+      if (theta == 0.7) {
+        val pairs = got.map(t => (t._1, t._2))
+        assert(Set((3L, 19L), (3L, 27L), (5L, 31L), (12L, 38L), (19L, 27L))
+          .subsetOf(pairs))                       // all planted edges found
+        assert(pairs.forall { case (x, y) => y - x > 1 }) // none id-adjacent
+      }
+    }
+  }
+
+  test("exactJaccardPairs keeps native id types: string ids are not nulled out") {
+    val strSets = scatterCorpus.toDF("id", "text")
+      .select(format_string("doc-%03d", $"id").as("id"),
+        array_distinct(array_remove(split($"text", " "), "")).as("s"))
+    val got = Dedup.exactJaccardPairs(strSets, "id", "s", 0.7)
+      .select($"doc_a", $"doc_b").as[(String, String)].collect().toSet
+    val want = bruteForcePairs(scatterSets, 0.7)
+      .map(t => (f"doc-${t._1}%03d", f"doc-${t._2}%03d"))
+    assert(got === want && got.nonEmpty)
+  }
+
   test("simhash: permutation-with-same-counts collides; hamming small for near-dup") {
     val sh = Dedup.simhash(corpus, "text", "doc_id")
       .as[(Long, Long)].collect().toMap
