@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ivf, Similarity}
+
+/** Dev-only ANN recall report (VERDICT r4/r5 task: surface recall as a
+  * per-round artifact, not just a spec threshold). Computes recall@10
+  * of the two approximate declared paths — q_x_ann_lsh and q_x_ann_ivf,
+  * with EXACTLY their declared parameters — against the exact
+  * brute-force top-k on the same query set, and prints one JSON line.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *        sbt "runMain graft.Recall" → paste into dev/recall.txt
+  */
+object Recall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftSparkExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    // same query subset as the declared queries (Extensions.scala)
+    val qs = emb.filter(col("vec_id") % 25 === 0)
+    val exact = Similarity.bruteForceKnn(qs, emb, k = 10)
+      .select(col("query_id"), col("cand_id")).cache()
+    val total = exact.count().toDouble
+
+    def recallOf(approx: org.apache.spark.sql.DataFrame): Double =
+      approx.select(col("query_id"), col("cand_id"))
+        .intersect(exact).count() / total
+
+    val lsh = recallOf(Similarity.lshKnn(spark, qs, emb, k = 10))
+    val ivf = recallOf(Ivf.ivfKnn(spark, qs, emb, k = 10, nProbe = 8, iters = 1))
+    println(f"""{"metric":"ann_recall@10","lsh_recall":$lsh%.4f,"ivf_recall":$ivf%.4f,"n_queries":${qs.count()},"n_exact_pairs":${total.toLong},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
