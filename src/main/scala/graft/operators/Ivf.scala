@@ -44,7 +44,9 @@ object Ivf {
     * hash-spread pseudo-random sample picked via `orderBy.limit(k)`,
     * which plans as TakeOrderedAndProject (per-partition top-k, then
     * a k-row merge): NO global sort, no single-partition exchange,
-    * identical on any cluster/partitioning. `iters` Lloyd steps.
+    * identical on any cluster/partitioning. Centroid ids are the seed
+    * vec_ids (distinct + deterministic, not dense). `iters` Lloyd
+    * steps.
     */
   def train(spark: SparkSession, corpus: DataFrame, k: Int, iters: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -53,10 +55,14 @@ object Ivf {
         xxhash64(col("vec_id")).as("hk"))
       .orderBy(col("hk"), col("vec_id"))
       .limit(k)
-    // dense ids 0..k-1: window over the k seed rows only (k ≪ N)
-    var centroids = seeds.select(
-      (row_number().over(Window.orderBy(col("hk"), col("vec_id"))) - 1).as("centroid_id"),
-      col("centroid"))
+    // centroid ids = the seed rows' own vec_ids: distinct and
+    // deterministic by construction, computed map-side. (Previously a
+    // dense 0..k-1 rank via an unpartitioned window — benign over k
+    // rows but it tripped WindowExec's single-partition warning in
+    // every bench tail. Nothing downstream needs density: assignment
+    // ties break on any orderable id, probes equi-join on it, and ids
+    // stay stable across Lloyd rounds because updates group by them.)
+    var centroids = seeds.select(col("vec_id").as("centroid_id"), col("centroid"))
 
     (0 until iters).foreach { _ =>
       val assigned = assign(corpus.select(col("vec_id"), col("embedding")), centroids)
