@@ -71,8 +71,12 @@ object Extensions {
           maxHamming = 3)
         .orderBy(col("doc_a"), col("doc_b"))),
 
-    // Exact shingled Jaccard on adjacent-id pairs (the fixture plants
-    // near-dups in consecutive docs).
+    // Exact shingled Jaccard on a restricted pair set — adjacent ids as
+    // the blocking key, i.e. the verify kernel of a blocked similarity
+    // pipeline run on one deterministic block. (The fixture's planted
+    // near-dups are NOT id-adjacent — q_x_allpairs_jaccard is the
+    // unrestricted lossless join that finds them; this row oracle-checks
+    // the per-pair jaccard arithmetic itself on a linear-size pair set.)
     "q_x_ngram_jaccard" -> ((s, d) => {
       val sh = table(s, d, "documents")
         .select(col("doc_id"), TextFunctions.shinglesExpr("text", 3).as("s"))
@@ -119,6 +123,25 @@ object Extensions {
       graft.operators.Ivf.ivfKnn(s, emb.filter(col("vec_id") % 25 === 0), emb,
           k = 10, nProbe = 8, iters = 1)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Embedding-cosine near-dup DEDUP (SemDeDup-style): exact cosine
+    // edges from the distributed block join → connected components →
+    // keep the min-id representative per cluster. Composes the two
+    // independently-oracle'd kernels (q_x_cos_pairs edge computation,
+    // q_x_dup_clusters CC); θ=0.4 yields nontrivial clusters on the
+    // fixture (a production pipeline would run 0.9+). 100 TB shape:
+    // edge generation is the O(N·B)-shuffle block join (no broadcast of
+    // the corpus, no driver collect), CC is O(log d) label rounds.
+    "q_x_semantic_dedup" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val edges = Similarity.blockedCosinePairs(s, emb, threshold = 0.4)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      graft.operators.Components
+        .connectedComponents(s, emb.select(col("vec_id").as("id")), edges)
+        .select(col("id").as("vec_id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("is_rep"))
+        .orderBy(col("vec_id"))
     }),
 
     // Int8-style embedding quantization (the storage-compression pass
@@ -547,6 +570,26 @@ object Extensions {
            SELECT id_a, id_b, round($knnCosSql, 9) AS cos
            FROM a JOIN b ON id_a < id_b)
          WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+
+    "q_x_semantic_dedup" ->
+      s"""WITH RECURSIVE nv AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings),
+         a AS (SELECT vec_id AS id_a, embedding AS qv, nrm AS qn FROM nv),
+         b AS (SELECT vec_id AS id_b, embedding AS cv, nrm AS cn FROM nv),
+         e AS (SELECT id_a AS u, id_b AS v FROM (
+                 SELECT id_a, id_b, round($knnCosSql, 9) AS cos
+                 FROM a JOIN b ON id_a < id_b)
+               WHERE cos >= 0.4),
+         sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         r AS (SELECT vec_id AS id, vec_id AS reach FROM embeddings
+               UNION
+               SELECT r.id, s.v FROM r JOIN sym s ON r.reach = s.u)
+         SELECT id AS vec_id, CAST(min(reach) AS BIGINT) AS cluster_id,
+                (CAST(min(reach) AS BIGINT) = id) AS is_rep
+         FROM r GROUP BY id ORDER BY vec_id""",
 
     "q_x_quantize" ->
       """WITH m AS (
