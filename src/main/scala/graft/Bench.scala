@@ -11,11 +11,9 @@ object Bench {
       .withExtensions(new GraftSparkExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Bench profile only: the fixture corpus is all-pairs-similar (tiny
-    // vocabulary), so full-corpus LSH near-dedup verification is
-    // quadratic on it. The declared query defaults to the FULL corpus
-    // (Verify/correctness runs unsampled); this knob bounds the bench.
-    spark.conf.set("spark.graft.nearDedup.sampleMod", "10")
+    // No sampling knobs: every query runs its full declared input.
+    // (The pre-r6 nearDedup.sampleMod knob died with the unigram
+    // element space — shingled MinHash prunes on its own.)
     // Warm up JIT/codegen and pin the fixture tables in memory before
     // timing (SURVEY.md §6/M5: cache shared scans across queries).
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -58,11 +56,11 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val budget = 1700 // bytes for the whole line; 2000-byte window minus sbt/log margins
     val fixedPre = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":"""
-    // honesty marker: q_x_near_dedup runs on a 1/N id-sample in the
-    // bench profile (see the sampleMod conf above) — surface N in the
-    // JSON so the headline number is never read as full-corpus.
+    // honesty marker (kept from r6 task 6): lists any query whose bench
+    // run covers less than its full declared input — empty since the
+    // near-dedup sample knob was removed.
     def fixedPost(omitted: Int) =
-      s""","omitted_fastest":$omitted,"sampled":{"q_x_near_dedup":${spark.conf.get("spark.graft.nearDedup.sampleMod")}},"cold_total":${r3(coldTotal)},"failed":$failedJson,"sf":"$sfDir"}"""
+      s""","omitted_fastest":$omitted,"sampled":{},"cold_total":${r3(coldTotal)},"failed":$failedJson,"sf":"$sfDir"}"""
     val bySlowest = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + r3(v) }
     var kept = bySlowest.length
     def line(k: Int): String =

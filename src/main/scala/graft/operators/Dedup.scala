@@ -85,16 +85,25 @@ object Dedup {
     * exact Jaccard ≥ threshold. Only candidate pairs (same band
     * bucket) are ever joined — the crossJoin-free scale path.
     *
+    * @param ngram element space: 1 = word unigram sets; n > 1 = word
+    *              n-gram shingles (the codegen'd graft_word_ngrams).
+    *              Production MinHash dedup shingles (GPT-3/Gopher
+    *              style): unigram SETS are order-blind and degenerate
+    *              on small vocabularies — most doc pairs look similar —
+    *              while shingle spaces are combinatorial, so non-dup
+    *              band buckets stay near-singleton at any corpus size.
     * @return (doc_a, doc_b, jaccard) with doc_a < doc_b
     */
   def minhashNearDups(
       docs: DataFrame, textCol: String, idCol: String,
       bands: Int = 8, rowsPerBand: Int = 4,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6, ngram: Int = 1): DataFrame = {
     val k = bands * rowsPerBand
+    val elems = if (ngram > 1) TextFunctions.wordNgramsExpr(textCol, ngram)
+                else TextFunctions.tokens(col(textCol))
     val base = docs.select(
       col(idCol).as("doc_id"),
-      array_distinct(TextFunctions.tokens(col(textCol))).as("words"))
+      array_distinct(elems).as("words"))
     val sigs = base.withColumn("sig", minhashSignature(col("words"), k))
 
     // materialize once: the a/b self-join below would otherwise

@@ -35,24 +35,21 @@ object Extensions {
         .select(col("doc_id"), TextFunctions.bagFingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
-    // MinHash-LSH near-dedup: b=8 bands × r=6 rows ⇒ ~0.998 recall at
-    // jaccard 0.9 while colliding only ~7% of 0.6-similarity pairs.
-    // Default = FULL corpus. The deterministic every-Nth sample is a
-    // conf knob (spark.graft.nearDedup.sampleMod, default 1) that only
-    // the bench profile sets: the fixture corpus is drawn from a tiny
-    // vocabulary, so MOST doc pairs are >0.6-similar and LSH bucketing
-    // cannot prune on it (real corpora aren't all-pairs-similar; the
-    // banded prune carries the 100 TB case).
+    // MinHash-LSH near-dedup over word-TRIGRAM shingles (GPT-3/Gopher
+    // style), b=8 bands × r=6 rows ⇒ ~0.998 recall at jaccard 0.9.
+    // Full corpus, no sampling: shingle spaces are combinatorial in the
+    // vocabulary, so background pairs (j ≤ 0.07 on this fixture) hit a
+    // shared band bucket with probability ~j^6 ≈ 0 and buckets stay
+    // near-singleton at any corpus size. (Unigram token SETS — the
+    // pre-r6 element space — are order-blind and made the fixture
+    // degenerately all-pairs-similar, forcing a bench-only 1/10 sample
+    // knob. Shingling removed both the degeneracy and the knob.)
     // No SQL oracle (hash-model-defined); spec asserts recall vs exact
-    // jaccard on the fixture.
-    "q_x_near_dedup" -> ((s, d) => {
-      val sampleMod = s.conf.get("spark.graft.nearDedup.sampleMod", "1").toInt
-      val docs = table(s, d, "documents")
-      val in = if (sampleMod > 1) docs.filter(col("doc_id") % sampleMod === 0) else docs
-      Dedup.minhashNearDups(in, "text", "doc_id",
-          bands = 8, rowsPerBand = 6, threshold = 0.9)
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    // trigram jaccard on the fixture.
+    "q_x_near_dedup" -> ((s, d) =>
+      Dedup.minhashNearDups(table(s, d, "documents"), "text", "doc_id",
+          bands = 8, rowsPerBand = 6, threshold = 0.9, ngram = 3)
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // Incremental exact dedup: which docs of the "new batch"
     // (doc_id % 5 == 0) are content-new vs the historical corpus —

@@ -92,6 +92,29 @@ class DedupSpec extends SparkSuite {
     assert(nExact === 0 || recall >= 0.9)
   }
 
+  test("shingled minhash (ngram=3) full-fixture recall = 1 on planted pairs; buckets prune") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val sh = docs.select($"doc_id",
+      array_distinct(TextFunctions.wordNgramsExpr("text", 3)).as("g"))
+    val a = sh.select($"doc_id".as("doc_a"), $"g".as("ga"))
+    val b = sh.select($"doc_id".as("doc_b"), $"g".as("gb"))
+    val exact = a.join(b, $"doc_a" < $"doc_b")
+      .withColumn("j", TextFunctions.jaccard($"ga", $"gb"))
+      .filter($"j" >= 0.9)
+      .select($"doc_a", $"doc_b")
+    val found = Dedup.minhashNearDups(docs, "text", "doc_id",
+        bands = 8, rowsPerBand = 6, threshold = 0.9, ngram = 3)
+      .select($"doc_a", $"doc_b")
+    val nExact = exact.count().toDouble
+    val recall = found.intersect(exact).count() / math.max(nExact, 1.0)
+    info(f"shingled minhash recall at 0.9 = $recall%.3f over ${nExact.toLong} true pairs")
+    // planted pairs sit at j ≈ 0.9-0.99: per-band hit prob j^6 ≥ 0.53,
+    // miss prob ≤ (1-0.53)^8 ≈ 0.2%% — recall 1.0 expected, and the
+    // exact-jaccard verify makes precision 1.0 by construction
+    assert(nExact === 0 || recall >= 0.9)
+    assert(found.count() === found.intersect(exact).count()) // no extras pass verify
+  }
+
   // Corpus for the exact similarity join: 40 random-vocab docs with
   // near-dups planted at SCATTERED (non-adjacent) positions — 3↔19↔27
   // form a triangle — plus an empty doc. Nothing about the layout is
