@@ -155,7 +155,7 @@ class DedupSpec extends SparkSuite {
   }
 
   test("exactJaccardPairs == brute-force all-pairs; planted dups are non-adjacent") {
-    for (theta <- Seq(0.5, 0.7, 0.95)) {
+    for (theta <- Seq(0.5, 0.7, 0.95, 1.0)) { // 1.0 = exact-duplicate sets: prefix shrinks to the single rarest element
       val got = Dedup.exactJaccardPairs(scatterSets, "id", "s", theta)
         .as[(Long, Long, Double)].collect().toSet
       val want = bruteForcePairs(scatterSets, theta)
