@@ -68,12 +68,16 @@ object Components {
       // convergence test below is a narrow scan of the checkpointed
       // result, not an extra shuffle join against the old labels.
       val jump = afterEdges.select(col("id").as("jid"), col("lbl1").as("jlbl"))
+      // lazy checkpoint + count in ONE action: the full-scan convergence
+      // count materializes the checkpoint blocks as it runs (an eager
+      // checkpoint plus a separate isEmpty job was two actions per
+      // round — pure scheduler latency at fixture scale; measured r6).
       val next = afterEdges
         .join(jump, col("lbl1") === col("jid"), "left")
         .select(col("id"), col("prev"),
           least(col("lbl1"), coalesce(col("jlbl"), col("lbl1"))).as("lbl"))
-        .localCheckpoint()
-      converged = next.filter(col("lbl") =!= col("prev")).isEmpty
+        .localCheckpoint(eager = false)
+      converged = next.filter(col("lbl") =!= col("prev")).count() == 0
       lbl = next.select(col("id"), col("lbl"))
       iter += 1
     }
