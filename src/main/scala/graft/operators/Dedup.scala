@@ -198,6 +198,60 @@ object Dedup {
       round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
   }
 
+  /** Cross-corpus exact set-similarity join (the R-S variant of
+    * [[exactJaccardPairs]]): every (left, right) pair with Jaccard ≥
+    * threshold, NO false negatives — incremental lossless near-dedup
+    * of a new batch against a historical corpus (the near-dup
+    * counterpart of [[incrementalExact]]).
+    *
+    * The prefix-filtering lemma holds under ANY total order of
+    * elements shared by both sides, so both prefixes are computed
+    * against ONE global frequency table over the union of the two
+    * inputs; rarest-first ordering is the performance heuristic (small
+    * candidate buckets), not a correctness requirement. At 100 TB the
+    * corpus-side frequency aggregate is one shuffle and reusable
+    * across batches; the candidate join touches only rare-prefix
+    * buckets — the corpus never self-joins.
+    *
+    * @param left  (idCol, setCol) — the incoming batch side.
+    * @param right (idCol, setCol) — the historical corpus side.
+    * @return (doc_a from left, doc_b from right, jaccard); ids keep
+    *         their native types. Equal to the brute-force cross
+    *         product filter (DedupSpec asserts equality).
+    */
+  def exactJaccardJoin(left: DataFrame, right: DataFrame,
+      idCol: String, setCol: String, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = math.round(threshold * 1000000L) // θ = p / 1e6, exact
+    val q = 1000000L
+    val la = left.select(col(idCol).as("doc_a"), col(setCol).as("s"))
+      .localCheckpoint(eager = false)
+    val rb = right.select(col(idCol).as("doc_b"), col(setCol).as("s"))
+      .localCheckpoint(eager = false)
+    val freq = la.select(explode(col("s")).as("t"))
+      .unionByName(rb.select(explode(col("s")).as("t")))
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+    def prefixOf(base: DataFrame, id: String) = {
+      val tok = base.select(col(id), size(col("s")).as("n"), explode(col("s")).as("t"))
+      tok.join(freq, "t")
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col(id)).orderBy(col("f"), col("t"))))
+        .filter(col("pos") <= col("n") - expr(s"(n * ${p}L + ${q - 1}L) div ${q}L") + 1)
+        .select(col(id), col("t"))
+    }
+    val cand = prefixOf(la, "doc_a").join(prefixOf(rb, "doc_b"), Seq("t"))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(la.select(col("doc_a"), col("s").as("sa")), Seq("doc_a"))
+      .join(rb.select(col("doc_b"), col("s").as("sb")), Seq("doc_b"))
+      .withColumn("inter", call_function("graft_intersect_count", col("sa"), col("sb")))
+      .withColumn("uni", (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
+      .filter(col("inter") * q >= col("uni") * p)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+  }
+
   /** 64-bit SimHash per document: per-token xxhash64 bit votes summed,
     * sign → bit. Near-dups have small hamming distance. Map-only
     * projection via the codegen'd [[graft.functions.SimHash64]] — no

@@ -63,6 +63,24 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental LOSSLESS near-dedup: every (new batch, corpus) pair
+    // with word-trigram Jaccard ≥ 0.6 — the near-dup counterpart of
+    // q_x_incr_dedup, via the cross-corpus (R-S) prefix-filter join.
+    // No false negatives, so a batch row with no output pair is
+    // certified novel. 100 TB shape: the corpus never self-joins; its
+    // element-frequency aggregate is one reusable shuffle, and the
+    // candidate equi-join touches only rare-prefix buckets. Oracle:
+    // DuckDB brute-force cross join between the two partitions.
+    "q_x_incr_near_dedup" -> ((s, d) => {
+      val g = table(s, d, "documents").select(col("doc_id"),
+        array_distinct(TextFunctions.wordNgramsExpr("text", 3)).as("g"))
+      Dedup.exactJaccardJoin(
+          g.filter(col("doc_id") % 5 === 0),
+          g.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "g", threshold = 0.6)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "q_x_simhash_dedup" -> ((s, d) =>
       Dedup.simhashNearDups(table(s, d, "documents"), "text", "doc_id",
           maxHamming = 3)
@@ -524,6 +542,21 @@ object Extensions {
          SELECT i.doc_id, i.h FROM inc i
          ANTI JOIN corp c ON i.h = c.ch
          ORDER BY i.doc_id""",
+
+    "q_x_incr_near_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                      ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                        i -> array_to_string(ws[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))) END AS s
+               FROM w),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      len(list_intersect(a.s, b.s)) AS inter,
+                      len(list_distinct(list_concat(a.s, b.s))) AS uni
+               FROM g a JOIN g b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
+         SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+         FROM p WHERE uni > 0 AND inter * 1000000 >= uni * 600000
+         ORDER BY doc_a, doc_b""",
 
     "q_x_ngram_jaccard" ->
       """WITH sh AS (

@@ -180,6 +180,35 @@ class DedupSpec extends SparkSuite {
     assert(got === want && got.nonEmpty)
   }
 
+  test("exactJaccardJoin == brute-force cross pairs between two corpora") {
+    // split at id 12 so every planted pair (3,19),(3,27),(5,31),(12,38)
+    // crosses the partition boundary (the sides are also deliberately
+    // different sizes — the R-S join must not assume symmetry)
+    val leftSets = scatterSets.filter($"id" <= 12)
+    val rightSets = scatterSets.filter($"id" > 12)
+    for (theta <- Seq(0.5, 0.7, 1.0)) {
+      val got = Dedup.exactJaccardJoin(leftSets, rightSets, "id", "s", theta)
+        .as[(Long, Long, Double)].collect().toSet
+      // brute force: all (odd, even) pairs over the same threshold test
+      val p = math.round(theta * 1000000L)
+      val want = leftSets.select($"id".as("doc_a"), $"s".as("sa"))
+        .crossJoin(rightSets.select($"id".as("doc_b"), $"s".as("sb")))
+        .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("long"))
+        .withColumn("uni", size(array_union($"sa", $"sb")).cast("long"))
+        .filter($"uni" > 0 && $"inter" * 1000000L >= $"uni" * p)
+        .select($"doc_a", $"doc_b",
+          round($"inter".cast("double") / $"uni", 6).as("jaccard"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === want, s"at θ=$theta")
+      if (theta == 0.7) {
+        val pairs = got.map(t => (t._1, t._2))
+        // all four planted cross-partition near-dups are found
+        assert(Set((3L, 19L), (3L, 27L), (5L, 31L), (12L, 38L)).subsetOf(pairs))
+        assert(pairs.forall { case (a, b) => a <= 12 && b > 12 })
+      }
+    }
+  }
+
   test("simhash: permutation-with-same-counts collides; hamming small for near-dup") {
     val sh = Dedup.simhash(corpus, "text", "doc_id")
       .as[(Long, Long)].collect().toMap
