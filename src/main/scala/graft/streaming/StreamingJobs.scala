@@ -99,6 +99,64 @@ object StreamingJobs {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Raw parquet schema of `documents` (all plain types — no
+    * nanos-timestamp workaround needed).
+    */
+  private val documentsRawSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("source", StringType),
+    StructField("lang", StringType),
+    StructField("text", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming read of the documents fixture (same staging trick as
+    * [[readEvents]]: the file stream source needs a directory).
+    */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(s"$dir/documents.parquet")
+    val sig = s"${dir.hashCode}-${Files.size(src)}-${Files.getLastModifiedTime(src).toMillis}"
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-documents-${Integer.toHexString(sig.hashCode)}-${Files.size(src)}")
+    Files.createDirectories(stage)
+    val dst = stage.resolve("documents.parquet")
+    if (!Files.exists(dst)) Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    spark.readStream.schema(documentsRawSchema).parquet(stage.toString)
+  }
+
+  /** Streaming incremental LOSSLESS near-dedup — the streaming form of
+    * q_x_incr_near_dedup: per micro-batch, shingle the batch's text
+    * into word n-gram sets and run the cross-corpus prefix-filter join
+    * ([[graft.operators.Dedup.exactJaccardJoin]]) against a
+    * PRE-SHINGLED static corpus table (two columns: id then
+    * shingle-set, positionally). The caller
+    * receives (novel rows, near-dup pairs, batchId) — novel = batch
+    * rows with NO corpus pair, certified by the join's no-false-
+    * negatives property, so admitting them cannot leak a near-dup.
+    *
+    * Results are row-independent given the static corpus, so output is
+    * invariant to micro-batch boundaries (the spec asserts streaming
+    * == one-shot batch). At 100 TB the corpus side's element-frequency
+    * aggregate is recomputed per batch here; a production deployment
+    * materializes it with the corpus and refreshes both on the corpus
+    * compaction cycle — the join shape is unchanged.
+    */
+  def nearDedupSink(docs: DataFrame, corpusSets: DataFrame,
+      textCol: String, idCol: String, threshold: Double, ngram: Int = 3)(
+      store: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val sets = batch.select(col(idCol),
+          array_distinct(graft.functions.TextFunctions.wordNgramsExpr(textCol, ngram)).as("g"))
+        // corpus contract: two columns, (id, shingle-set) in order
+        val dups = graft.operators.Dedup.exactJaccardJoin(
+          sets, corpusSets.toDF(idCol, "g"), idCol, "g", threshold)
+        val novel = batch.join(
+          dups.select(col("doc_a").as(idCol)).distinct(), Seq(idCol), "left_anti")
+        store(novel, dups, id)
+      }
+
   /** Last-writer-wins upsert sink (U2 streaming form;
     * weather-etl.py:152-163): each micro-batch merges into `target`
     * under `mergeAndStore`, which the caller implements over its store

@@ -64,6 +64,41 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.distinct().count() === n)
   }
 
+  test("streaming near-dedup foreachBatch == batch cross-corpus join") {
+    import graft.functions.TextFunctions
+    // static historical corpus: pre-shingled word-trigram sets
+    val docs = Tables.table(spark, sfDir, "documents")
+    val corpusSets = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        array_distinct(TextFunctions.wordNgramsExpr("text", 3)).as("g"))
+    // accumulate per-batch outputs; batching must not change the union
+    val novelIds = scala.collection.mutable.Set.empty[Long]
+    val dupPairs = scala.collection.mutable.Set.empty[(Long, Long)]
+    val writer = StreamingJobs.nearDedupSink(
+      StreamingJobs.readDocuments(spark, sfDir).filter(col("doc_id") % 5 === 0),
+      corpusSets, "text", "doc_id", threshold = 0.6) { (novel, dups, _) =>
+      novelIds ++= novel.select(col("doc_id")).collect().map(_.getLong(0))
+      dupPairs ++= dups.select(col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      ()
+    }
+    val q = writer.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val batchPairs = operators.Dedup.exactJaccardJoin(
+        docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"),
+          array_distinct(TextFunctions.wordNgramsExpr("text", 3)).as("g")),
+        corpusSets, "doc_id", "g", 0.6)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dupPairs === batchPairs)
+    val batchNovel = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet --
+      batchPairs.map(_._1)
+    assert(novelIds === batchNovel)
+    assert(novelIds.nonEmpty) // fixture has novel batch docs
+  }
+
   test("foreachBatch upsert sink merges last-writer-wins into target") {
     var store: DataFrame = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type"), col("ts"), col("value"))
