@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -303,5 +303,75 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+  }
+
+  /** Corpus-wide exact duplicated-SPAN detection — the window-key
+    * approximation of suffix-array exact substring dedup (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): slide an n-word window over every document and count,
+    * per document, how many window instances also occur verbatim in
+    * at least one OTHER document. The corpus-self analog of the
+    * cross-corpus decontamination pass (q_x_contam).
+    *
+    * Scale shape: explode to one row per window (linear in corpus
+    * tokens), hash-aggregate per window key for the distinct-doc
+    * count (one shuffle with map-side partials), join back on the
+    * same key (the exchange is reused), final per-doc aggregate. No
+    * self-join, no all-pairs — the same plan family as TF-IDF. At
+    * 100 TB the window strings would be xxhash64'd to 8-byte keys
+    * before the shuffle; they stay strings here so the DuckDB oracle
+    * is collision-free and exact.
+    *
+    * @return (doc_id, n_windows, n_dup_windows, dup_frac); documents
+    *         shorter than n words have no windows and are absent.
+    */
+  def spanDupStats(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    // one row per window instance; reused by the per-key agg AND the
+    // join-back, so materialize lazily once
+    val wins = docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.wordNgramsExpr(textCol, n)).as("win"))
+      .localCheckpoint(eager = false)
+    val perKey = wins.groupBy(col("win"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    wins.join(perKey, "win")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+  }
+
+  /** Near-dup cluster CANONICALIZATION — the keep/drop decision that
+    * turns a cluster assignment into an actual drop list: cluster by
+    * word-trigram Jaccard ≥ threshold (lossless prefix-filter edges
+    * from [[exactJaccardPairs]] → [[Components.connectedComponents]]),
+    * then keep exactly one document per cluster: the longest in
+    * words, ties to the smallest id. The ranking is integer-only, so
+    * no float comparison can order differently across engines.
+    *
+    * The per-cluster window is partitioned (cluster_id), never
+    * global; cluster sizes are bounded by near-dup group sizes, not
+    * corpus size.
+    *
+    * @return (doc_id, cluster_id, n_words, keep)
+    */
+  def keepLongestPerCluster(spark: SparkSession, docs: DataFrame,
+      textCol: String, idCol: String, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = docs.select(col(idCol),
+      array_distinct(TextFunctions.wordNgramsExpr(textCol, 3)).as("g"))
+    val edges = exactJaccardPairs(sets, idCol, "g", threshold)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val clusters = Components.connectedComponents(
+        spark, docs.select(col(idCol).cast("long").as("id")), edges)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val sizes = docs.select(col(idCol).cast("long").as("doc_id"),
+      size(TextFunctions.tokens(col(textCol))).cast("long").as("n_words"))
+    clusters.join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("n_words").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("cluster_id"), col("n_words"),
+        (col("rn") === 1).as("keep"))
   }
 }

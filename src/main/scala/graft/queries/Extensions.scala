@@ -418,6 +418,24 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact duplicated-SPAN detection (window-key approximation of
+    // suffix-array substring dedup, Lee et al. 2022): per doc, how
+    // many of its 10-word windows appear verbatim in another doc —
+    // the corpus-self analog of q_x_contam. TF-IDF-shaped plan: two
+    // shuffles on the window key, no self-join, no all-pairs.
+    "q_x_span_dedup" -> ((s, d) =>
+      Dedup.spanDupStats(table(s, d, "documents"), "text", "doc_id", 10)
+        .orderBy(col("doc_id"))),
+
+    // Dedup canonicalization: ONE keep per near-dup cluster (longest
+    // doc in words, ties to smallest id) — the decision step that
+    // turns q_x_dup_clusters' assignment into an actual drop list.
+    // Integer-only ranking; per-cluster (partitioned) window.
+    "q_x_dedup_keep" -> ((s, d) =>
+      Dedup.keepLongestPerCluster(s, table(s, d, "documents"),
+          "text", "doc_id", threshold = 0.6)
+        .orderBy(col("doc_id"))),
+
     // Deterministic stratified sampling: keep-decision is a pure
     // function of (salt, doc_id) via md5 — reproducible on any cluster
     // and any partitioning, per-stratum rates out of 256 buckets.
@@ -843,6 +861,45 @@ object Extensions {
                SELECT r.id, s.v FROM r JOIN sym s ON r.reach = s.u)
          SELECT id AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
          FROM r GROUP BY id ORDER BY doc_id""",
+
+    "q_x_span_dedup" ->
+      """WITH wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id, unnest(
+                 CASE WHEN len(ws) < 10 THEN []::VARCHAR[]
+                      ELSE list_transform(range(1, len(ws) - 8),
+                        i -> array_to_string(ws[CAST(i AS INTEGER):CAST(i + 9 AS INTEGER)], ' ')) END) AS win
+               FROM wd),
+         k AS (SELECT win, count(DISTINCT doc_id) AS nd FROM g GROUP BY win)
+         SELECT g.doc_id, count(*) AS n_windows,
+                CAST(sum(CASE WHEN k.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+                round(CAST(sum(CASE WHEN k.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
+         FROM g JOIN k USING (win)
+         GROUP BY g.doc_id ORDER BY doc_id""",
+
+    "q_x_dedup_keep" ->
+      """WITH RECURSIVE wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                      ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                        i -> array_to_string(ws[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))) END AS s
+               FROM wd),
+         e AS (SELECT a.doc_id AS u, b.doc_id AS v
+               FROM g a JOIN g b ON a.doc_id < b.doc_id
+               WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+                 AND len(list_intersect(a.s, b.s)) * 1000000
+                     >= len(list_distinct(list_concat(a.s, b.s))) * 600000),
+         sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         r AS (SELECT doc_id AS id, doc_id AS reach FROM documents
+               UNION
+               SELECT r.id, s.v FROM r JOIN sym s ON r.reach = s.u),
+         c AS (SELECT id AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
+               FROM r GROUP BY id),
+         nw AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+                FROM documents)
+         SELECT c.doc_id, c.cluster_id, nw.n_words,
+                (row_number() OVER (PARTITION BY c.cluster_id
+                   ORDER BY nw.n_words DESC, c.doc_id ASC)) = 1 AS keep
+         FROM c JOIN nw USING (doc_id) ORDER BY doc_id""",
 
     "q_x_sample" ->
       """SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS chars_sampled

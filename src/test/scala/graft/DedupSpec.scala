@@ -233,4 +233,44 @@ class DedupSpec extends SparkSuite {
     assert(pairs.map(p => (p._1, p._2)).toSet.size === pairs.length)
     assert(pairs.exists(p => (p._1, p._2) == (0L, 3L)))
   }
+
+  test("spanDupStats counts exactly the windows shared across docs") {
+    val span = "a b c d e f g h i j" // the planted 10-word span
+    val docs = Seq(
+      (1L, s"$span x1 x2 x3"),                      // 13 words → 4 windows, 1 shared
+      (2L, s"y1 y2 $span"),                         // 12 words → 3 windows, 1 shared
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12 p13 p14 p15"), // 6 windows, 0 shared
+      (4L, "too short to have any window")          // < 10 words → absent
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDupStats(docs, "text", "doc_id", 10)
+      .select($"doc_id", $"n_windows", $"n_dup_windows")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map(1L -> ((4L, 1L)), 2L -> ((3L, 1L)), 3L -> ((6L, 0L))))
+
+    // a window repeated WITHIN one doc only is not cross-doc duplicated
+    val self = Seq((7L, s"$span $span")).toDF("doc_id", "text")
+    val selfOut = Dedup.spanDupStats(self, "text", "doc_id", 10)
+      .select($"n_dup_windows").as[Long].head()
+    assert(selfOut === 0L)
+  }
+
+  test("keepLongestPerCluster keeps the longest doc (ties → min id), one keep per cluster") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ") // 30 words, 28 trigrams
+    val docs = Seq(
+      (1L, base),                       // cluster with 5 and 9 (non-adjacent ids)
+      (5L, s"$base extra1 extra2 extra3"), // longest of the cluster → the keep
+      (9L, s"$base extra1"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"), // singleton
+      (7L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")  // singleton
+    ).toDF("doc_id", "text")
+    val out = Dedup.keepLongestPerCluster(spark, docs, "text", "doc_id", 0.6)
+      .select($"doc_id", $"cluster_id", $"keep")
+      .as[(Long, Long, Boolean)].collect()
+    val keepById = out.map(r => r._1 -> r._3).toMap
+    assert(keepById === Map(1L -> false, 5L -> true, 9L -> false, 3L -> true, 7L -> true))
+    // the three near-dups share one cluster; exactly one keep per cluster
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster(out.find(_._1 == 1L).get._2).map(_._1).toSet === Set(1L, 5L, 9L))
+    assert(byCluster.values.forall(_.count(_._3) === 1))
+  }
 }
