@@ -314,9 +314,11 @@ object Dedup {
     * cross-corpus decontamination pass (q_x_contam).
     *
     * Scale shape: explode to one row per window (linear in corpus
-    * tokens), hash-aggregate per window key for the distinct-doc
-    * count (one shuffle with map-side partials), join back on the
-    * same key (the exchange is reused), final per-doc aggregate. No
+    * tokens, materialized once — both consumers read the lazy
+    * localCheckpoint), hash-aggregate per window key for the
+    * distinct-doc count (that shuffle carries only map-side partials,
+    * ~distinct keys per partition), join back on the window key (the
+    * one instance-volume shuffle), final per-doc aggregate. No
     * self-join, no all-pairs — the same plan family as TF-IDF. At
     * 100 TB the window strings would be xxhash64'd to 8-byte keys
     * before the shuffle; they stay strings here so the DuckDB oracle
