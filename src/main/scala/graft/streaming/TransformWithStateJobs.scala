@@ -120,7 +120,7 @@ object TransformWithStateJobs {
     override def handleExpiredTimer(key: Long, timers: TimerValues,
         expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Session] = {
       val s = open.get()
-      if (s != null && s.end_ms + gapMs <= expired.getExpiryTimeInMs) {
+      if (s != null && s.end_ms + gapMs <= expired.getExpiryTimeInMs()) {
         open.clear()
         Iterator.single(s)
       } else Iterator.empty
