@@ -319,19 +319,28 @@ object Dedup {
     * distinct-doc count (that shuffle carries only map-side partials,
     * ~distinct keys per partition), join back on the window key (the
     * one instance-volume shuffle), final per-doc aggregate. No
-    * self-join, no all-pairs — the same plan family as TF-IDF. At
-    * 100 TB the window strings would be xxhash64'd to 8-byte keys
-    * before the shuffle; they stay strings here so the DuckDB oracle
-    * is collision-free and exact.
+    * self-join, no all-pairs — the same plan family as TF-IDF.
+    *
+    * `hashKeys = true` is the 100 TB form: window strings fold to
+    * 8-byte xxhash64 keys BEFORE materialization and both shuffles,
+    * cutting shuffled bytes ~an order of magnitude for 10-word
+    * windows. A hash collision could only over-count a window as
+    * duplicated (never under-count), at ~2⁻⁶⁴ per pair. The default
+    * keeps strings so the DuckDB oracle is collision-free and exact;
+    * DedupSpec asserts both modes agree on the fixture corpus.
     *
     * @return (doc_id, n_windows, n_dup_windows, dup_frac); documents
     *         shorter than n words have no windows and are absent.
     */
-  def spanDupStats(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+  def spanDupStats(docs: DataFrame, textCol: String, idCol: String, n: Int,
+      hashKeys: Boolean = false): DataFrame = {
+    val raw = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.wordNgramsExpr(textCol, n)).as("win"))
     // one row per window instance; reused by the per-key agg AND the
-    // join-back, so materialize lazily once
-    val wins = docs.select(col(idCol).as("doc_id"),
-        explode(TextFunctions.wordNgramsExpr(textCol, n)).as("win"))
+    // join-back, so materialize lazily once (hashed form first, so the
+    // checkpoint and everything downstream carries 8-byte keys)
+    val wins = (if (hashKeys) raw.select(col("doc_id"), xxhash64(col("win")).as("win"))
+                else raw)
       .localCheckpoint(eager = false)
     val perKey = wins.groupBy(col("win"))
       .agg(countDistinct(col("doc_id")).as("nd"))

@@ -254,6 +254,16 @@ class DedupSpec extends SparkSuite {
     assert(selfOut === 0L)
   }
 
+  test("spanDupStats hashKeys (8-byte shuffle keys) == string keys on the fixture") {
+    val fixture = Tables.table(spark, sfDir, "documents")
+    def rows(hashKeys: Boolean) =
+      Dedup.spanDupStats(fixture, "text", "doc_id", 10, hashKeys = hashKeys)
+        .select($"doc_id", $"n_windows", $"n_dup_windows")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val str = rows(hashKeys = false)
+    assert(str.nonEmpty && str === rows(hashKeys = true))
+  }
+
   test("keepLongestPerCluster keeps the longest doc (ties → min id), one keep per cluster") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ") // 30 words, 28 trigrams
     val docs = Seq(
