@@ -478,6 +478,44 @@ object Extensions {
           least(lit(64), col("nt") - col("chunk_idx") * 64).cast("int").as("tok_len"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // Inverted-index build (the artifact q_x_search would query at
+    // scale): term → sorted posting list + document frequency, kept to
+    // terms in ≥ 20% of the corpus (integer-exact df·5 ≥ N against a
+    // broadcast 1-row count — no fixed absolute cutoff that breaks at
+    // other SFs). One explode + one distinct + one aggregate; posting
+    // lists are per-TERM arrays, bounded by df, never corpus-sized
+    // rows.
+    "q_x_postings" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val tok = docs
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"), col("doc_id"))
+        .distinct()
+      tok.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sort_array(collect_list(col("doc_id"))).as("postings"))
+        .crossJoin(broadcast(n))
+        .filter(col("df") * 5 >= col("n_docs"))
+        .select(col("term"), col("df"), col("postings"))
+        .orderBy(col("term"))
+    }),
+
+    // Percentile-threshold quality gating — how a real cleaning
+    // pipeline picks its cutoff: keep docs at or above the corpus P25
+    // of the quality score (exact percentile, linear interpolation —
+    // same definition as DuckDB quantile_cont), report survivors per
+    // lang. The 1-row threshold broadcasts; the corpus never sorts
+    // globally (percentile is a single aggregate).
+    "q_x_quality_gate" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), TextFunctions.qualityScore(col("text")).as("q"))
+      val thr = docs.agg(expr("percentile(q, 0.25)").as("thr"))
+      docs.crossJoin(broadcast(thr))
+        .filter(col("q") >= col("thr"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), round(avg(col("q")), 6).as("avg_quality"))
+        .orderBy(col("lang"))
+    }),
+
     // Keyword search with tf ranking — the ts_rank-style full-text
     // surface of the reference's ad-hoc PG SQL (README.md:62-78),
     // engine-shaped: explode → term filter (pushes into the scan of a
@@ -799,6 +837,28 @@ object Extensions {
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
          WHERE w IN ('data', 'model', 'training', 'learning')
          GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""",
+
+    "q_x_postings" ->
+      """WITH tok AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term, doc_id
+                      FROM documents),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+         FROM tok, n GROUP BY term, n_docs
+         HAVING count(*) * 5 >= n_docs ORDER BY term""",
+
+    "q_x_quality_gate" ->
+      """WITH g AS (SELECT doc_id, lang,
+                  len(string_split(text, ' ')) AS nw,
+                  len(list_intersect(string_split(text, ' '),
+                      ['the','a','of','and','to','in','is','it'])) AS hits
+           FROM documents),
+         q AS (SELECT doc_id, lang,
+                 round(least(1.0, CAST(nw AS DOUBLE) / 100.0)
+                       * (1.0 - CAST(hits AS DOUBLE) / CAST(nw AS DOUBLE)), 6) AS q
+               FROM g),
+         t AS (SELECT quantile_cont(q, 0.25) AS thr FROM q)
+         SELECT lang, count(*) AS n_kept, round(avg(q), 6) AS avg_quality
+         FROM q, t WHERE q.q >= t.thr GROUP BY lang ORDER BY lang""",
 
     "q_x_fuzzy" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

@@ -72,4 +72,25 @@ class PropertiesSpec extends SparkSuite {
       row._1 >= 0.0 && row._1 <= 1.0 && row._2 == 1.0
     })
   }
+
+  test("property: spanDupStats == brute-force window sharing on random corpora") {
+    // tiny vocabulary + short docs → heavy window collisions, the
+    // adversarial regime for the distinct-doc counting
+    val docGen = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))
+    check(Prop.forAll(Gen.listOfN(6, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup.spanDupStats(docs, "text", "doc_id", 3)
+        .select($"doc_id", $"n_windows", $"n_dup_windows")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val wins = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split(" ").toSeq.sliding(3).map(_.mkString(" ")).toSeq }
+      val docsPerGram = wins.flatMap { case (id, ws) => ws.map(w => (w, id)) }
+        .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).distinct.size }
+      val want = wins.map { case (id, ws) =>
+        id -> ((ws.size.toLong, ws.count(w => docsPerGram(w) >= 2).toLong)) }.toMap
+      got == want
+    })
+  }
 }
