@@ -132,4 +132,16 @@ object Sinks {
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** XML — native in Spark 4 (SPARK-44265); the sibling ad-hoc payload
+    * format of the reference's JSON API feed. Schema-on-read like
+    * [[readJson]]; rowTag delimits one record per element.
+    */
+  def readXml(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rowTag: String = "row"): DataFrame =
+    spark.read.schema(schema).option("rowTag", rowTag).format("xml").load(path)
+
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row"): Unit =
+    df.write.mode(SaveMode.Overwrite).option("rowTag", rowTag).format("xml").save(path)
 }

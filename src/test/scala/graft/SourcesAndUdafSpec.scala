@@ -88,6 +88,14 @@ class SourcesSpec extends SparkSuite {
     val back = Sinks.readCsv(spark, dir, df.schema)
     assert(back.orderBy("k").collect().toSeq === df.orderBy("k").collect().toSeq)
   }
+
+  test("xml round trip preserves data (native Spark 4 datasource)") {
+    val dir = Files.createTempDirectory("graft-xml").toString + "/out"
+    val df = Seq((1L, "x", 1.5), (2L, "y <&> escaped", 2.5)).toDF("k", "name", "v")
+    Sinks.writeXml(df, dir, rowTag = "rec")
+    val back = Sinks.readXml(spark, dir, df.schema, rowTag = "rec")
+    assert(back.orderBy("k").collect().toSeq === df.orderBy("k").collect().toSeq)
+  }
 }
 
 class UdafSpec extends SparkSuite {
