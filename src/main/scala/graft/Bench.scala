@@ -36,11 +36,14 @@ object Bench {
     // locally-checkpointed RDDs are dropped — the cached fixture
     // tables (Tables.enableCaching) are plain dataset caches and are
     // kept warm.
-    // (isCheckpointed is true exactly for materialized checkpoint
-    // RDDs; this codebase only ever local-checkpoints, never reliable.)
+    // (Rdds.isLocallyCheckpointed is true from the moment
+    // localCheckpoint() is CALLED — unlike isCheckpointed, which flips
+    // only on full materialization and so would leak the partially-
+    // computed blocks of a query that threw mid-action. This codebase
+    // only ever local-checkpoints, never reliable.)
     def dropQueryBlocks(): Unit =
       spark.sparkContext.getPersistentRDDs.values
-        .filter(_.isCheckpointed)
+        .filter(Rdds.isLocallyCheckpointed)
         .foreach(_.unpersist(blocking = false))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val c0 = System.nanoTime()
@@ -72,10 +75,17 @@ object Bench {
       if (t <= 2.0 || failed.contains(name)) name -> t
       else {
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => () }
+        // A failed retry keeps the original (valid) time — folding the
+        // time-to-exception into min would publish an impossibly fast
+        // number for a query that crashed; record the failure instead.
+        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name retry FAILED: ${e.getMessage}")
+          false
+        }
         dropQueryBlocks()
-        name -> math.min(t, (System.nanoTime() - t0) / 1e9)
+        name -> (if (ok) math.min(t, (System.nanoTime() - t0) / 1e9) else t)
       }
     }
     // The driver captures only the last 2000 bytes of output (measured

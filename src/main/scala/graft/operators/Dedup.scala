@@ -165,7 +165,6 @@ object Dedup {
     */
   def exactJaccardPairs(sets: DataFrame, idCol: String, setCol: String,
       threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val p = math.round(threshold * 1000000L) // θ = p / 1e6, exact
     val q = 1000000L
     // materialize once (lazily — no job until the first action, like the
@@ -173,30 +172,48 @@ object Dedup {
     // of the verify join (would otherwise recompute the derivation 3×)
     val base = sets.select(col(idCol).as("doc_id"), col(setCol).as("s"))
       .localCheckpoint(eager = false)
-    val tok = base.select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("t"))
-    val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("f"))
-    // prefix length ℓ = n − ⌈θn⌉ + 1, integer-exact: ⌈p·n/q⌉ = (p·n+q−1) div q
-    val prefix = tok.join(freq, "t")
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("f"), col("t"))))
-      .filter(col("pos") <= col("n") - expr(s"(n * ${p}L + ${q - 1}L) div ${q}L") + 1)
-      .select(col("doc_id"), col("t"))
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("t"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("t")), Seq("t"))
+    val la = base.select(col("doc_id").as("doc_a"), col("s"))
+    val rb = base.select(col("doc_id").as("doc_b"), col("s"))
+    val freq = base.select(explode(col("s")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+    val cand = prefixOf(la, "doc_a", freq, p, q)
+      .join(prefixOf(rb, "doc_b", freq, p, q), Seq("t"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b") // a pair can share several prefix elements
-    val verified = cand
-      .join(base.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
-      .join(base.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
+    verifyJaccard(cand, la, rb, p, q)
+  }
+
+  /** Prefix rows (id, t) of each set under the shared (f, t) total
+    * order: ℓ = n − ⌈θn⌉ + 1 rarest elements, integer-exact
+    * (⌈p·n/q⌉ = (p·n+q−1) div q). Shared by the self-join and R-S
+    * prefix-filter variants so the lemma's arithmetic lives once.
+    */
+  private def prefixOf(base: DataFrame, id: String, freq: DataFrame,
+      p: Long, q: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = base.select(col(id), size(col("s")).as("n"), explode(col("s")).as("t"))
+    tok.join(freq, "t")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col(id)).orderBy(col("f"), col("t"))))
+      .filter(col("pos") <= col("n") - expr(s"(n * ${p}L + ${q - 1}L) div ${q}L") + 1)
+      .select(col(id), col("t"))
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: inter/uni ≥ p/q as
+    * exact integers (uni = 0 never reaches here: empty sets explode to
+    * no prefix rows, so they are never candidates).
+    */
+  private def verifyJaccard(cand: DataFrame, la: DataFrame, rb: DataFrame,
+      p: Long, q: Long): DataFrame =
+    cand
+      .join(la.select(col("doc_a"), col("s").as("sa")), Seq("doc_a"))
+      .join(rb.select(col("doc_b"), col("s").as("sb")), Seq("doc_b"))
       .withColumn("inter", call_function("graft_intersect_count", col("sa"), col("sb")))
       .withColumn("uni", (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
-      // inter/uni ≥ p/q as exact integers (uni = 0 never reaches here:
-      // empty sets explode to no prefix rows, so they are never candidates)
       .filter(col("inter") * q >= col("uni") * p)
-    verified.select(col("doc_a"), col("doc_b"),
-      round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
-  }
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
 
   /** Cross-corpus exact set-similarity join (the R-S variant of
     * [[exactJaccardPairs]]): every (left, right) pair with Jaccard ≥
@@ -221,7 +238,6 @@ object Dedup {
     */
   def exactJaccardJoin(left: DataFrame, right: DataFrame,
       idCol: String, setCol: String, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val p = math.round(threshold * 1000000L) // θ = p / 1e6, exact
     val q = 1000000L
     val la = left.select(col(idCol).as("doc_a"), col(setCol).as("s"))
@@ -231,25 +247,11 @@ object Dedup {
     val freq = la.select(explode(col("s")).as("t"))
       .unionByName(rb.select(explode(col("s")).as("t")))
       .groupBy(col("t")).agg(count(lit(1)).as("f"))
-    def prefixOf(base: DataFrame, id: String) = {
-      val tok = base.select(col(id), size(col("s")).as("n"), explode(col("s")).as("t"))
-      tok.join(freq, "t")
-        .withColumn("pos", row_number().over(
-          Window.partitionBy(col(id)).orderBy(col("f"), col("t"))))
-        .filter(col("pos") <= col("n") - expr(s"(n * ${p}L + ${q - 1}L) div ${q}L") + 1)
-        .select(col(id), col("t"))
-    }
-    val cand = prefixOf(la, "doc_a").join(prefixOf(rb, "doc_b"), Seq("t"))
+    val cand = prefixOf(la, "doc_a", freq, p, q)
+      .join(prefixOf(rb, "doc_b", freq, p, q), Seq("t"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cand
-      .join(la.select(col("doc_a"), col("s").as("sa")), Seq("doc_a"))
-      .join(rb.select(col("doc_b"), col("s").as("sb")), Seq("doc_b"))
-      .withColumn("inter", call_function("graft_intersect_count", col("sa"), col("sb")))
-      .withColumn("uni", (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
-      .filter(col("inter") * q >= col("uni") * p)
-      .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+    verifyJaccard(cand, la, rb, p, q)
   }
 
   /** 64-bit SimHash per document: per-token xxhash64 bit votes summed,
@@ -373,10 +375,13 @@ object Dedup {
       array_distinct(TextFunctions.wordNgramsExpr(textCol, 3)).as("g"))
     val edges = exactJaccardPairs(sets, idCol, "g", threshold)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    // ids keep their native type end-to-end (connectedComponents is
+    // type-preserving) — a string-id corpus must not be silently
+    // nulled out by a long cast.
     val clusters = Components.connectedComponents(
-        spark, docs.select(col(idCol).cast("long").as("id")), edges)
+        spark, docs.select(col(idCol).as("id")), edges)
       .select(col("id").as("doc_id"), col("cluster_id"))
-    val sizes = docs.select(col(idCol).cast("long").as("doc_id"),
+    val sizes = docs.select(col(idCol).as("doc_id"),
       size(TextFunctions.tokens(col(textCol))).cast("long").as("n_words"))
     clusters.join(sizes, "doc_id")
       .withColumn("rn", row_number().over(

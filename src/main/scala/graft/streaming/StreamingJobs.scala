@@ -33,22 +33,29 @@ object StreamingJobs {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming read of the events fixture. Spark's file stream source
-    * requires a DIRECTORY (in production: a partitioned landing dir /
-    * Kafka); the fixture is a single file, so it is staged once into a
-    * per-fixture temp directory.
+  /** Stage a single fixture file into a per-fixture temp DIRECTORY
+    * (Spark's file stream source requires a directory; in production:
+    * a partitioned landing dir / Kafka). The staging key includes file
+    * size+mtime so a changed fixture or a path-hash collision can't
+    * serve stale data. Shared by [[readEvents]]/[[readDocuments]].
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  private def stageFixtureFile(dir: String, name: String): java.nio.file.Path = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val src = Paths.get(s"$dir/events.parquet")
-    // staging key includes file size+mtime so a changed fixture or a
-    // path-hash collision can't serve stale data
+    val src = Paths.get(s"$dir/$name.parquet")
     val sig = s"${dir.hashCode}-${Files.size(src)}-${Files.getLastModifiedTime(src).toMillis}"
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-events-${Integer.toHexString(sig.hashCode)}-${Files.size(src)}")
+      s"graft-$name-${Integer.toHexString(sig.hashCode)}-${Files.size(src)}")
     Files.createDirectories(stage)
-    val dst = stage.resolve("events.parquet")
+    val dst = stage.resolve(s"$name.parquet")
     if (!Files.exists(dst)) Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    stage
+  }
+
+  /** Streaming read of the events fixture (staged to a temp dir — see
+    * [[stageFixtureFile]]).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageFixtureFile(dir, "events")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(eventsRawSchema)
@@ -109,20 +116,12 @@ object StreamingJobs {
     StructField("text", StringType),
     StructField("n_chars", LongType)))
 
-  /** Streaming read of the documents fixture (same staging trick as
-    * [[readEvents]]: the file stream source needs a directory).
+  /** Streaming read of the documents fixture (staged to a temp dir —
+    * see [[stageFixtureFile]]).
     */
-  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val src = Paths.get(s"$dir/documents.parquet")
-    val sig = s"${dir.hashCode}-${Files.size(src)}-${Files.getLastModifiedTime(src).toMillis}"
-    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-documents-${Integer.toHexString(sig.hashCode)}-${Files.size(src)}")
-    Files.createDirectories(stage)
-    val dst = stage.resolve("documents.parquet")
-    if (!Files.exists(dst)) Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
-    spark.readStream.schema(documentsRawSchema).parquet(stage.toString)
-  }
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(documentsRawSchema)
+      .parquet(stageFixtureFile(dir, "documents").toString)
 
   /** Streaming incremental LOSSLESS near-dedup — the streaming form of
     * q_x_incr_near_dedup: per micro-batch, shingle the batch's text
@@ -140,6 +139,16 @@ object StreamingJobs {
     * aggregate is recomputed per batch here; a production deployment
     * materializes it with the corpus and refreshes both on the corpus
     * compaction cycle — the join shape is unchanged.
+    *
+    * Per-batch resource discipline: `dups` is persisted so the
+    * prefix-filter pipeline runs ONCE per batch even though both
+    * outputs (novel + pairs) derive from it, and every block the batch
+    * created — the dups cache and the join's internal corpus-side
+    * localCheckpoints — is dropped after `store` returns, so a
+    * long-running stream cannot accumulate one corpus-sized checkpoint
+    * per micro-batch in the block manager. (Standard foreachBatch
+    * contract: the frames passed to `store` must be consumed within
+    * the callback.)
     */
   def nearDedupSink(docs: DataFrame, corpusSets: DataFrame,
       textCol: String, idCol: String, threshold: Double, ngram: Int = 3)(
@@ -147,14 +156,24 @@ object StreamingJobs {
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        val sc = batch.sparkSession.sparkContext
+        val preexisting = sc.getPersistentRDDs.keySet
         val sets = batch.select(col(idCol),
           array_distinct(graft.functions.TextFunctions.wordNgramsExpr(textCol, ngram)).as("g"))
         // corpus contract: two columns, (id, shingle-set) in order
         val dups = graft.operators.Dedup.exactJaccardJoin(
-          sets, corpusSets.toDF(idCol, "g"), idCol, "g", threshold)
-        val novel = batch.join(
-          dups.select(col("doc_a").as(idCol)).distinct(), Seq(idCol), "left_anti")
-        store(novel, dups, id)
+          sets, corpusSets.toDF(idCol, "g"), idCol, "g", threshold).persist()
+        try {
+          val novel = batch.join(
+            dups.select(col("doc_a").as(idCol)).distinct(), Seq(idCol), "left_anti")
+          store(novel, dups, id)
+        } finally {
+          dups.unpersist(blocking = false)
+          sc.getPersistentRDDs
+            .filterNot { case (rddId, _) => preexisting.contains(rddId) }
+            .values.filter(graft.Rdds.isLocallyCheckpointed)
+            .foreach(_.unpersist(blocking = false))
+        }
       }
 
   /** Last-writer-wins upsert sink (U2 streaming form;

@@ -283,4 +283,28 @@ class DedupSpec extends SparkSuite {
     assert(byCluster(out.find(_._1 == 1L).get._2).map(_._1).toSet === Set(1L, 5L, 9L))
     assert(byCluster.values.forall(_.count(_._3) === 1))
   }
+
+  test("keepLongestPerCluster keeps native id types: string-id corpus end-to-end") {
+    // same corpus as above but with string ids — exercises the
+    // type-preserving path through exactJaccardPairs AND
+    // connectedComponents (a silent cast("long") would null every id
+    // and return an empty frame)
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      ("doc-a", base),
+      ("doc-e", s"$base extra1 extra2 extra3"), // longest → the keep
+      ("doc-i", s"$base extra1"),
+      ("doc-c", "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"),
+      ("doc-g", "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")
+    ).toDF("doc_id", "text")
+    val out = Dedup.keepLongestPerCluster(spark, docs, "text", "doc_id", 0.6)
+      .select($"doc_id", $"cluster_id", $"keep")
+      .as[(String, String, Boolean)].collect()
+    val keepById = out.map(r => r._1 -> r._3).toMap
+    assert(keepById === Map("doc-a" -> false, "doc-e" -> true, "doc-i" -> false,
+      "doc-c" -> true, "doc-g" -> true))
+    // cluster_id = min id in component under STRING ordering
+    assert(out.find(_._1 == "doc-e").get._2 === "doc-a")
+    assert(out.groupBy(_._2).values.forall(_.count(_._3) === 1))
+  }
 }
