@@ -565,6 +565,71 @@ object Extensions {
         .orderBy(col("split"), col("lang"))
     }),
 
+    // BM25 top-k retrieval — the ranking function actual search /
+    // data-curation retrieval uses (Robertson k1=1.2, b=0.75; Lucene
+    // idf = ln(1 + (N−df+.5)/(df+.5)), never negative). Upgrade of
+    // q_x_search's raw hit count and q_x_tfidf's tf·idf. Plan shape:
+    // rlike containment gate BEFORE the explode (pushdown-able
+    // prefilter; semantically a no-op superset), tf/df from one
+    // aggregation family, df (≤|terms| rows) and the corpus stats
+    // (1 row) broadcast — the corpus never shuffles for them. avgdl is
+    // computed as exact-integer sum(dl)/N so the only float ops are
+    // the final per-term formula + ln, deterministic under round(·,6).
+    "q_x_bm25" -> ((s, d) => {
+      val terms = Seq("data", "join", "vector", "stream")
+      val (k1, b) = (1.2, 0.75)
+      val docs = table(s, d, "documents")
+      val dl = docs.select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("dl"))
+      val stats = dl.agg(sum(col("dl")).as("sum_dl"), count(lit(1)).as("n_docs"))
+      val tf = docs
+        .filter(col("text").rlike(terms.mkString("\\b(", "|", ")\\b")))
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val avgdl = col("sum_dl").cast("double") / col("n_docs")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+      val contrib = idf * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+      tf.join(broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(contrib), 6).as("bm25"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Char-trigram LM scoring (CCNet-style quality signal without a
+    // shipped model): train the unigram-of-trigrams LM on the corpus
+    // itself (counts + total), score each doc by its cross-entropy
+    // under that LM — boilerplate/random-noise docs score far from
+    // the corpus mean. TF-IDF plan family: explode trigrams once
+    // (lazy-checkpointed — the count aggregate AND the score join both
+    // read it), one count aggregate, one join back on the gram key; no
+    // self-join. At 100 TB the gram-count table is the shippable model
+    // artifact — scoring new data is one broadcast-or-shuffle join.
+    "q_x_lm_score" -> ((s, d) => {
+      val grams = table(s, d, "documents")
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN length(text) < 3 THEN CAST(array() AS array<string>) " +
+          "ELSE transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) END")).as("g"))
+        .localCheckpoint(eager = false)
+      val counts = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      val total = grams.agg(count(lit(1)).as("tot"))
+      grams.join(counts, "g")
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(
+          round(sum(log(col("tot").cast("double") / col("c"))) /
+            count(lit(1)), 6).as("xent"),
+          count(lit(1)).as("n_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- multimodal ---------------------------------------------------
     // Binary payload column → batched mapPartitions "decode" (stubbed
     // deterministically — real codecs unavailable in-sandbox; the
@@ -993,6 +1058,34 @@ object Extensions {
                 CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
                 CAST((ascii(substr(text, 1, 1)) & 31) + 1 AS INTEGER) AS height,
                 sha256(text) AS checksum
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    "q_x_bm25" ->
+      """WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+         stats AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl, count(*) AS n_docs FROM dl),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+                WHERE w IN ('data', 'join', 'vector', 'stream') GROUP BY 1, 2),
+         df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1)
+         SELECT t.doc_id,
+                round(sum(ln(1.0 + (n_docs - d.df + 0.5) / (d.df + 0.5))
+                          * (t.tf * 2.2)
+                          / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / (CAST(sum_dl AS DOUBLE) / n_docs)))), 6) AS bm25,
+                count(*) AS n_terms
+         FROM tf t JOIN df d USING (w) JOIN dl l USING (doc_id) CROSS JOIN stats
+         GROUP BY t.doc_id
+         ORDER BY bm25 DESC, t.doc_id LIMIT 20""",
+
+    "q_x_lm_score" ->
+      """WITH g AS (
+           SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS g
+           FROM (SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS i FROM documents)),
+         c AS (SELECT g, count(*) AS c FROM g GROUP BY 1),
+         tot AS (SELECT count(*) AS tot FROM g)
+         SELECT doc_id,
+                round(sum(ln(CAST(tot AS DOUBLE) / c.c)) / count(*), 6) AS xent,
+                count(*) AS n_grams
+         FROM g JOIN c USING (g) CROSS JOIN tot
+         GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -176,7 +176,27 @@ object SetOps {
       piv.select(col("c_nationkey") +:
           segs.map(g => coalesce(col(s"`$g`"), lit(0L)).as(g.toLowerCase)): _*)
         .orderBy(col("c_nationkey"))
-    })
+    }),
+
+    // UNPIVOT (melt) — the inverse of q_pivot: wide measure columns →
+    // (measure, val) long form, the shape feature stores and
+    // per-metric aggregations want. Narrow map-side transform: no
+    // shuffle except the output sort; the row-count multiplier (×4) is
+    // the declared semantics, not a join blow-up. Deterministic subset
+    // (orderkey % 100) keeps the declared output sortable at any SF.
+    "q_unpivot" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("extendedprice"),
+          col("l_discount").cast("double").as("discount"),
+          col("l_tax").cast("double").as("tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+          "measure", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"), col("val")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -288,6 +308,17 @@ object SetOps {
                 count(*) FILTER (WHERE c_mktsegment = 'FURNITURE') AS furniture,
                 count(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS household,
                 count(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS machinery
-         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""
+         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, val
+         FROM (SELECT l_orderkey, l_linenumber,
+                      CAST(l_quantity AS DOUBLE) AS quantity,
+                      CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+                      CAST(l_discount AS DOUBLE) AS discount,
+                      CAST(l_tax AS DOUBLE) AS tax
+               FROM lineitem WHERE l_orderkey % 100 = 0)
+         UNPIVOT (val FOR measure IN (quantity, extendedprice, discount, tax))
+         ORDER BY l_orderkey, l_linenumber, measure, val"""
   )
 }
