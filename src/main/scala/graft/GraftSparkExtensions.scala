@@ -60,6 +60,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_word_ngrams", classOf[WordNgrams].getName),
       (exprs: Seq[Expression]) => WordNgrams.build(exprs)))
 
+    ext.injectFunction((FunctionIdentifier("graft_char_ngrams"),
+      info("graft_char_ngrams", classOf[CharNgrams].getName),
+      (exprs: Seq[Expression]) => CharNgrams.build(exprs)))
+
     ext.injectFunction((FunctionIdentifier("graft_minhash_union"),
       info("graft_minhash_union", classOf[MinHashUnion].getName),
       (exprs: Seq[Expression]) => MinHashUnion(exprs(0))))

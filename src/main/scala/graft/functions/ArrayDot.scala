@@ -143,6 +143,11 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         "graft_word_ngrams", exprs => WordNgrams.build(exprs), "built-in")
     }
+    val cnId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_char_ngrams")
+    if (!registry.functionExists(cnId)) {
+      registry.createOrReplaceTempFunction(
+        "graft_char_ngrams", exprs => CharNgrams.build(exprs), "built-in")
+    }
     graft.plans.IntersectCountRewrite.install(spark)
   }
 }

@@ -24,14 +24,28 @@ object TextFunctions {
   def regexTokenCount(textCol: String): Column =
     size(expr(s"regexp_extract_all($textCol, '[A-Za-z0-9]+', 0)"))
 
+  /** Character n-grams (NOT deduplicated — the LM score needs the
+    * multiplicity) via the codegen'd [[CharNgrams]] expression: one
+    * char→byte offset pass + zero-copy gram views per row, vs the
+    * interpreted higher-order formulation that re-scans the string per
+    * substring call (value-identity spec-asserted by CharNgramsSpec).
+    */
+  def charNgramsExpr(textCol: String, n: Int): Column =
+    call_function("graft_char_ngrams", col(textCol), lit(n))
+
+  /** The interpreted higher-order formulation of [[charNgramsExpr]] —
+    * retained as the value-identity oracle for CharNgramsSpec (and a
+    * pure-built-in fallback for sessions without graft extensions).
+    */
+  def charNgramsHigherOrder(textCol: String, n: Int): Column =
+    expr(s"CASE WHEN length($textCol) < $n THEN CAST(array() AS array<string>) " +
+      s"ELSE transform(sequence(1, length($textCol) - ${n - 1}), i -> substring($textCol, i, $n)) END")
+
   /** Character n-gram shingles (default trigrams) over a text column
-    * name, deduplicated, guarded for texts shorter than n. SQL form
-    * because `substring` with a non-literal start position is only
-    * exposed through the parser.
+    * name, deduplicated, guarded for texts shorter than n.
     */
   def shinglesExpr(textCol: String, n: Int = 3): Column =
-    expr(s"CASE WHEN length($textCol) < $n THEN CAST(array() AS array<string>) " +
-      s"ELSE array_distinct(transform(sequence(1, length($textCol) - ${n - 1}), i -> substring($textCol, i, $n))) END")
+    array_distinct(charNgramsExpr(textCol, n))
 
   /** WORD n-grams (space-joined, NOT deduplicated — repetition
     * filters need the multiplicity) over a text column name; empty

@@ -614,9 +614,8 @@ object Extensions {
     // artifact — scoring new data is one broadcast-or-shuffle join.
     "q_x_lm_score" -> ((s, d) => {
       val grams = table(s, d, "documents")
-        .select(col("doc_id"), explode(expr(
-          "CASE WHEN length(text) < 3 THEN CAST(array() AS array<string>) " +
-          "ELSE transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) END")).as("g"))
+        .select(col("doc_id"),
+          explode(TextFunctions.charNgramsExpr("text", 3)).as("g"))
         .localCheckpoint(eager = false)
       val counts = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
       val total = grams.agg(count(lit(1)).as("tot"))
