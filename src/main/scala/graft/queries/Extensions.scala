@@ -574,6 +574,16 @@ object Extensions {
         .orderBy(col("split"), col("lang"))
     }),
 
+    // Johnson–Lindenstrauss random projection 64→16 — the standard
+    // dimensionality reduction in front of ANN/clustering. Sign
+    // matrix deterministic (md5 of "i_j"), baked into the plan as
+    // literals: map-only, zero shuffle, each coordinate one codegen'd
+    // graft_dot. Long form (vec_id, j, p) for the oracle.
+    "q_x_rand_proj" -> ((s, d) =>
+      graft.operators.Projection.randomProject(
+          table(s, d, "embeddings"), "embedding", "vec_id", dIn = 64, dOut = 16)
+        .orderBy(col("vec_id"), col("j"))),
+
     // BM25 top-k retrieval — the ranking function actual search /
     // data-curation retrieval uses (Robertson k1=1.2, b=0.75; Lucene
     // idf = ln(1 + (N−df+.5)/(df+.5)), never negative). Upgrade of
@@ -1069,6 +1079,18 @@ object Extensions {
                 CAST((ascii(substr(text, 1, 1)) & 31) + 1 AS INTEGER) AS height,
                 sha256(text) AS checksum
          FROM documents ORDER BY doc_id""",
+
+    "q_x_rand_proj" ->
+      """WITH sm AS (
+           SELECT j.j AS j, list(CASE WHEN substr(md5(concat(i.i, '_', j.j)), 1, 1) < '8'
+                                      THEN 1.0 ELSE -1.0 END ORDER BY i.i) AS sj
+           FROM (SELECT unnest(range(0, 64)) AS i) i, (SELECT unnest(range(0, 16)) AS j) j
+           GROUP BY j.j)
+         SELECT e.vec_id, CAST(sm.j AS INTEGER) AS j,
+                round(list_sum(list_transform(range(1, 65),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * sm.sj[i])) * 0.25, 6) AS p
+         FROM embeddings e CROSS JOIN sm
+         ORDER BY e.vec_id, j""",
 
     "q_x_bm25" ->
       """WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
