@@ -68,6 +68,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_minhash_union", classOf[MinHashUnion].getName),
       (exprs: Seq[Expression]) => MinHashUnion(exprs(0))))
 
+    ext.injectFunction((FunctionIdentifier("graft_freq_items"),
+      info("graft_freq_items", classOf[FreqItems].getName),
+      (exprs: Seq[Expression]) => FreqItems.build(exprs)))
+
     ext.injectOptimizerRule(_ => IntersectCountRewrite)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
   }

@@ -148,6 +148,11 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         "graft_char_ngrams", exprs => CharNgrams.build(exprs), "built-in")
     }
+    val fiId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_freq_items")
+    if (!registry.functionExists(fiId)) {
+      registry.createOrReplaceTempFunction(
+        "graft_freq_items", exprs => FreqItems.build(exprs), "built-in")
+    }
     graft.plans.IntersectCountRewrite.install(spark)
   }
 }

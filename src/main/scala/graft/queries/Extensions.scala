@@ -574,6 +574,25 @@ object Extensions {
         .orderBy(col("split"), col("lang"))
     }),
 
+    // Single-pass heavy hitters via the native Misra–Gries aggregate
+    // (graft_freq_items TIA): k counters regardless of input size,
+    // map-side partial aggregation ships ONE k-sized summary per
+    // partition — the 100 TB answer when the distinct-term cardinality
+    // itself is too big to shuffle (q_x_top_terms is the exact form).
+    // Output carries its own error bound: true ∈ [est, est+err], and
+    // every term with true count > err is guaranteed present.
+    // Approximate by design → no oracle; FreqItemsSpec asserts the
+    // bounds against exact counts (precedent: q_agg_approx).
+    "q_x_heavy_hitters" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+        .agg(call_function("graft_freq_items", col("w"), lit(50)).as("sk"))
+        .select(explode(col("sk.terms")).as("t"), col("sk.err").as("err"),
+          col("sk.n").as("n_tokens"))
+        .select(col("t.term").as("term"), col("t.est").as("est"),
+          col("err"), col("n_tokens"))
+        .orderBy(col("est").desc, col("term"))),
+
     // Johnson–Lindenstrauss random projection 64→16 — the standard
     // dimensionality reduction in front of ANN/clustering. Sign
     // matrix deterministic (md5 of "i_j"), baked into the plan as
