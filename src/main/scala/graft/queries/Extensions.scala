@@ -574,6 +574,27 @@ object Extensions {
         .orderBy(col("split"), col("lang"))
     }),
 
+    // Content-defined chunking (FastCDC family): chunk boundaries
+    // where the rolling window's hash hits a pattern (md5 first hex
+    // digit = '0', expected chunk ~16 grams) — unlike fixed-size
+    // chunking (q_x_chunks), an insertion early in a document shifts
+    // only ITS chunk, so downstream chunk-level dedup/embedding work
+    // is edit-stable. Hash is md5 of the codegen'd word trigram
+    // (content-only — reproducible on any engine); the cumulative
+    // boundary count is a per-doc PARTITIONED window, never global.
+    "q_x_cdc_chunks" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(TextFunctions.wordNgramsExpr("text", 3)).as(Seq("pos", "g")))
+        .withColumn("b", when(substring(md5(col("g")), 1, 1) === "0", 1L).otherwise(0L))
+        .withColumn("chunk_idx", sum(col("b")).over(w))
+        .groupBy(col("doc_id"), col("chunk_idx"))
+        .agg(min(col("pos")).cast("int").as("start_pos"), count(lit(1)).as("n_grams"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Single-pass heavy hitters via the native Misra–Gries aggregate
     // (graft_freq_items TIA): k counters regardless of input size,
     // map-side partial aggregation ships ONE k-sized summary per
@@ -1098,6 +1119,19 @@ object Extensions {
                 CAST((ascii(substr(text, 1, 1)) & 31) + 1 AS INTEGER) AS height,
                 sha256(text) AS checksum
          FROM documents ORDER BY doc_id""",
+
+    "q_x_cdc_chunks" ->
+      """WITH wds AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                      array_to_string(ws[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS g
+               FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+                     FROM wds WHERE len(ws) >= 3)),
+         c AS (SELECT doc_id, pos,
+                      CAST(sum(CASE WHEN substr(md5(g), 1, 1) = '0' THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS chunk_idx
+               FROM g)
+         SELECT doc_id, chunk_idx, CAST(min(pos) AS INTEGER) AS start_pos, count(*) AS n_grams
+         FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_idx""",
 
     "q_x_rand_proj" ->
       """WITH sm AS (
