@@ -574,6 +574,47 @@ object Extensions {
         .orderBy(col("split"), col("lang"))
     }),
 
+    // Time-grid resampling with linear interpolation — the feature
+    // store / sensor-pipeline primitive the reference's weather series
+    // implies: per event_type, value at every point of a fixed hourly
+    // spine, interpolated between the surrounding events. Union the
+    // spine into the stream, then ONE partitioned window pass each
+    // way (last/first ignoreNulls) — no per-grid-point join, no
+    // range-join blowup; spine rows ride the same (type) partitioning
+    // as the data. Exact-integer µs arithmetic inside the ratio; the
+    // only float ops are the final interpolation. Grid points outside
+    // the data range yield null (no extrapolation).
+    "q_x_resample" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val ev = table(s, d, "events")
+        .select(col("event_type"), col("ts"), col("value"), col("event_id"))
+      val spine = ev.select(col("event_type")).distinct()
+        .select(col("event_type"), explode(expr(
+          "sequence(timestamp'2024-01-01 00:00:00', timestamp'2024-01-30 23:00:00', interval 1 hour)")).as("ts"))
+      val u = ev
+        .select(col("event_type"), col("ts"), col("ts").as("ets"),
+          col("value"), lit(0).as("isg"), col("event_id"))
+        .unionByName(spine.select(col("event_type"), col("ts"),
+          lit(null).cast("timestamp").as("ets"), lit(null).cast("double").as("value"),
+          lit(1).as("isg"), lit(Long.MaxValue).as("event_id")))
+      val wp = w.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("isg"), col("event_id"))
+        .rowsBetween(w.unboundedPreceding, w.currentRow)
+      val wn = w.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("isg"), col("event_id"))
+        .rowsBetween(w.currentRow, w.unboundedFollowing)
+      u.withColumn("pv", last(col("value"), ignoreNulls = true).over(wp))
+        .withColumn("pt", last(col("ets"), ignoreNulls = true).over(wp))
+        .withColumn("nv", first(col("value"), ignoreNulls = true).over(wn))
+        .withColumn("nt", first(col("ets"), ignoreNulls = true).over(wn))
+        .filter(col("isg") === 1)
+        .select(col("event_type"), col("ts"),
+          round(col("pv") + (col("nv") - col("pv")) *
+            ((unix_micros(col("ts")) - unix_micros(col("pt"))).cast("double") /
+             (unix_micros(col("nt")) - unix_micros(col("pt")))), 6).as("v_interp"))
+        .orderBy(col("event_type"), col("ts"))
+    }),
+
     // Content-defined chunking (FastCDC family): chunk boundaries
     // where the rolling window's hash hits a pattern (md5 first hex
     // digit = '0', expected chunk ~16 grams) — unlike fixed-size
@@ -1119,6 +1160,34 @@ object Extensions {
                 CAST((ascii(substr(text, 1, 1)) & 31) + 1 AS INTEGER) AS height,
                 sha256(text) AS checksum
          FROM documents ORDER BY doc_id""",
+
+    "q_x_resample" ->
+      """WITH ev AS (SELECT event_type, ts, value, event_id FROM events),
+         spine AS (
+           SELECT t.event_type, g.ts
+           FROM (SELECT DISTINCT event_type FROM ev) t,
+                (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                        TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS ts) g),
+         u AS (
+           SELECT event_type, ts, ts AS ets, value, 0 AS isg, event_id FROM ev
+           UNION ALL
+           SELECT event_type, ts, NULL, NULL, 1, 9223372036854775807 FROM spine),
+         w AS (
+           SELECT event_type, ts, isg,
+                  last_value(value IGNORE NULLS) OVER wp AS pv,
+                  last_value(ets IGNORE NULLS) OVER wp AS pt,
+                  first_value(value IGNORE NULLS) OVER wn AS nv,
+                  first_value(ets IGNORE NULLS) OVER wn AS nt
+           FROM u
+           WINDOW wp AS (PARTITION BY event_type ORDER BY ts, isg, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  wn AS (PARTITION BY event_type ORDER BY ts, isg, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT event_type, ts,
+                round(pv + (nv - pv) * (CAST(epoch_us(ts) - epoch_us(pt) AS DOUBLE)
+                      / (epoch_us(nt) - epoch_us(pt))), 6) AS v_interp
+         FROM w WHERE isg = 1
+         ORDER BY event_type, ts""",
 
     "q_x_cdc_chunks" ->
       """WITH wds AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
