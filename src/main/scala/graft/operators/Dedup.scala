@@ -237,13 +237,25 @@ object Dedup {
     *         product filter (DedupSpec asserts equality).
     */
   def exactJaccardJoin(left: DataFrame, right: DataFrame,
-      idCol: String, setCol: String, threshold: Double): DataFrame = {
+      idCol: String, setCol: String, threshold: Double): DataFrame =
+    exactJaccardJoinPrepared(
+      left.select(col(idCol).as("doc_a"), col(setCol).as("s"))
+        .localCheckpoint(eager = false),
+      right.select(col(idCol).as("doc_b"), col(setCol).as("s"))
+        .localCheckpoint(eager = false),
+      threshold)
+
+  /** [[exactJaccardJoin]] over caller-prepared sides: la = (doc_a, s),
+    * rb = (doc_b, s), each ideally materialized-once (localCheckpoint)
+    * since both the frequency aggregate and the verify join re-read
+    * them. Exposed so lifecycle-owning callers (the streaming sink)
+    * can hold the checkpointed frames and free EXACTLY those blocks
+    * afterwards instead of sweeping the shared SparkContext.
+    */
+  def exactJaccardJoinPrepared(la: DataFrame, rb: DataFrame,
+      threshold: Double): DataFrame = {
     val p = math.round(threshold * 1000000L) // θ = p / 1e6, exact
     val q = 1000000L
-    val la = left.select(col(idCol).as("doc_a"), col(setCol).as("s"))
-      .localCheckpoint(eager = false)
-    val rb = right.select(col(idCol).as("doc_b"), col(setCol).as("s"))
-      .localCheckpoint(eager = false)
     val freq = la.select(explode(col("s")).as("t"))
       .unionByName(rb.select(explode(col("s")).as("t")))
       .groupBy(col("t")).agg(count(lit(1)).as("f"))

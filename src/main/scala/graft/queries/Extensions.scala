@@ -592,7 +592,11 @@ object Extensions {
         .select(col("event_type"), explode(expr(
           "sequence(timestamp'2024-01-01 00:00:00', timestamp'2024-01-30 23:00:00', interval 1 hour)")).as("ts"))
       val u = ev
-        .select(col("event_type"), col("ts"), col("ts").as("ets"),
+        // ets rides WITH the value (null when value is null) so the
+        // interpolation anchor can never come from a different event
+        // than the value it is paired with
+        .select(col("event_type"), col("ts"),
+          when(col("value").isNotNull, col("ts")).as("ets"),
           col("value"), lit(0).as("isg"), col("event_id"))
         .unionByName(spine.select(col("event_type"), col("ts"),
           lit(null).cast("timestamp").as("ets"), lit(null).cast("double").as("value"),
@@ -600,13 +604,18 @@ object Extensions {
       val wp = w.partitionBy(col("event_type"))
         .orderBy(col("ts"), col("isg"), col("event_id"))
         .rowsBetween(w.unboundedPreceding, w.currentRow)
+      // next-value pass as last-over-DESC-prefix, NOT
+      // [currentRow, unboundedFollowing]: Spark's unbounded-following
+      // frame re-scans to partition end per row (O(m²) per type);
+      // the reversed prefix frame is incremental O(m) and row-set
+      // identical (same total order, reversed)
       val wn = w.partitionBy(col("event_type"))
-        .orderBy(col("ts"), col("isg"), col("event_id"))
-        .rowsBetween(w.currentRow, w.unboundedFollowing)
+        .orderBy(col("ts").desc, col("isg").desc, col("event_id").desc)
+        .rowsBetween(w.unboundedPreceding, w.currentRow)
       u.withColumn("pv", last(col("value"), ignoreNulls = true).over(wp))
         .withColumn("pt", last(col("ets"), ignoreNulls = true).over(wp))
-        .withColumn("nv", first(col("value"), ignoreNulls = true).over(wn))
-        .withColumn("nt", first(col("ets"), ignoreNulls = true).over(wn))
+        .withColumn("nv", last(col("value"), ignoreNulls = true).over(wn))
+        .withColumn("nt", last(col("ets"), ignoreNulls = true).over(wn))
         .filter(col("isg") === 1)
         .select(col("event_type"), col("ts"),
           round(col("pv") + (col("nv") - col("pv")) *
@@ -615,26 +624,13 @@ object Extensions {
         .orderBy(col("event_type"), col("ts"))
     }),
 
-    // Content-defined chunking (FastCDC family): chunk boundaries
-    // where the rolling window's hash hits a pattern (md5 first hex
-    // digit = '0', expected chunk ~16 grams) — unlike fixed-size
-    // chunking (q_x_chunks), an insertion early in a document shifts
-    // only ITS chunk, so downstream chunk-level dedup/embedding work
-    // is edit-stable. Hash is md5 of the codegen'd word trigram
-    // (content-only — reproducible on any engine); the cumulative
-    // boundary count is a per-doc PARTITIONED window, never global.
-    "q_x_cdc_chunks" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-      table(s, d, "documents")
-        .select(col("doc_id"),
-          posexplode(TextFunctions.wordNgramsExpr("text", 3)).as(Seq("pos", "g")))
-        .withColumn("b", when(substring(md5(col("g")), 1, 1) === "0", 1L).otherwise(0L))
-        .withColumn("chunk_idx", sum(col("b")).over(w))
-        .groupBy(col("doc_id"), col("chunk_idx"))
-        .agg(min(col("pos")).cast("int").as("start_pos"), count(lit(1)).as("n_grams"))
-        .orderBy(col("doc_id"), col("chunk_idx"))
-    }),
+    // Content-defined chunking — see operators.Chunking (the boundary
+    // rule lives there, shared with CdcChunkingSpec's edit-locality
+    // property test).
+    "q_x_cdc_chunks" -> ((s, d) =>
+      graft.operators.Chunking
+        .cdcChunks(table(s, d, "documents"), "text", "doc_id", n = 3)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
 
     // Single-pass heavy hitters via the native Misra–Gries aggregate
     // (graft_freq_items TIA): k counters regardless of input size,
@@ -1169,7 +1165,8 @@ object Extensions {
                 (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
                         TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS ts) g),
          u AS (
-           SELECT event_type, ts, ts AS ets, value, 0 AS isg, event_id FROM ev
+           SELECT event_type, ts, CASE WHEN value IS NOT NULL THEN ts END AS ets,
+                  value, 0 AS isg, event_id FROM ev
            UNION ALL
            SELECT event_type, ts, NULL, NULL, 1, 9223372036854775807 FROM spine),
          w AS (

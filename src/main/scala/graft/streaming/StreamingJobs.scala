@@ -143,12 +143,14 @@ object StreamingJobs {
     * Per-batch resource discipline: `dups` is persisted so the
     * prefix-filter pipeline runs ONCE per batch even though both
     * outputs (novel + pairs) derive from it, and every block the batch
-    * created — the dups cache and the join's internal corpus-side
-    * localCheckpoints — is dropped after `store` returns, so a
+    * created — the dups cache and the two join-side localCheckpoints
+    * the sink itself prepared — is dropped after `store` returns, so a
     * long-running stream cannot accumulate one corpus-sized checkpoint
-    * per micro-batch in the block manager. (Standard foreachBatch
-    * contract: the frames passed to `store` must be consumed within
-    * the callback.)
+    * per micro-batch in the block manager. Cleanup touches ONLY those
+    * frames (never a context-wide sweep, which could unpersist a
+    * concurrent job's checkpoint — unrecoverable, since localCheckpoint
+    * truncates lineage). Standard foreachBatch contract: the frames
+    * passed to `store` must be consumed within the callback.
     */
   def nearDedupSink(docs: DataFrame, corpusSets: DataFrame,
       textCol: String, idCol: String, threshold: Double, ngram: Int = 3)(
@@ -156,23 +158,24 @@ object StreamingJobs {
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val sc = batch.sparkSession.sparkContext
-        val preexisting = sc.getPersistentRDDs.keySet
         val sets = batch.select(col(idCol),
           array_distinct(graft.functions.TextFunctions.wordNgramsExpr(textCol, ngram)).as("g"))
+        val la = sets.select(col(idCol).as("doc_a"), col("g").as("s"))
+          .localCheckpoint(eager = false)
         // corpus contract: two columns, (id, shingle-set) in order
-        val dups = graft.operators.Dedup.exactJaccardJoin(
-          sets, corpusSets.toDF(idCol, "g"), idCol, "g", threshold).persist()
+        val rb = corpusSets.toDF(idCol, "g")
+          .select(col(idCol).as("doc_b"), col("g").as("s"))
+          .localCheckpoint(eager = false)
+        val dups = graft.operators.Dedup
+          .exactJaccardJoinPrepared(la, rb, threshold).persist()
         try {
           val novel = batch.join(
             dups.select(col("doc_a").as(idCol)).distinct(), Seq(idCol), "left_anti")
           store(novel, dups, id)
         } finally {
           dups.unpersist(blocking = false)
-          sc.getPersistentRDDs
-            .filterNot { case (rddId, _) => preexisting.contains(rddId) }
-            .values.filter(graft.Rdds.isLocallyCheckpointed)
-            .foreach(_.unpersist(blocking = false))
+          graft.Rdds.dropLocalCheckpoint(la)
+          graft.Rdds.dropLocalCheckpoint(rb)
         }
       }
 

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Content-defined chunking (q_x_cdc_chunks logic): boundaries are a
@@ -13,20 +12,18 @@ class CdcChunkingSpec extends SparkSuite {
   import spark.implicits._
   import functions.TextFunctions
 
-  /** Per-doc chunk contents: each chunk as its gram sequence. */
-  private def chunks(docs: DataFrame): Map[Long, Seq[Seq[String]]] = {
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    docs
-      .select($"doc_id", posexplode(TextFunctions.wordNgramsExpr("text", 3)).as(Seq("pos", "g")))
-      .withColumn("b", when(substring(md5($"g"), 1, 1) === "0", 1L).otherwise(0L))
-      .withColumn("chunk_idx", sum($"b").over(w))
+  /** Per-doc chunk contents from the SAME builder the declared query
+    * uses (operators.Chunking — a drifting copy here would leave the
+    * real boundary rule untested): each chunk as its gram sequence.
+    */
+  private def chunks(docs: DataFrame): Map[Long, Seq[Seq[String]]] =
+    operators.Chunking.cdcGrams(docs, "text", "doc_id", n = 3)
       .groupBy($"doc_id", $"chunk_idx")
       .agg(sort_array(collect_list(struct($"pos", $"g"))).as("pg"))
       .select($"doc_id", $"chunk_idx", expr("transform(pg, x -> x.g)").as("grams"))
       .as[(Long, Long, Seq[String])].collect()
       .groupBy(_._1)
       .map { case (id, rows) => id -> rows.sortBy(_._2).map(_._3).toSeq }
-  }
 
   test("prepending a word disturbs only the first chunk") {
     val text = Tables.table(spark, sfDir, "documents")
