@@ -27,6 +27,17 @@ class ExtensionsInstallSpec extends SparkSuite {
           org.apache.spark.sql.types.StringType))).eval(null))
     val z = fresh.sql("SELECT graft_zorder(3L, 5L) AS z").collect()(0).getLong(0)
     assert(z === graft.functions.ZOrderKey.interleave(3L, 5L))
+    val wn = fresh.sql("SELECT graft_word_ngrams('a b c', 2) AS g")
+      .collect()(0).getSeq[String](0)
+    assert(wn === Seq("a b", "b c"))
+    val cn = fresh.sql("SELECT graft_char_ngrams('abcd', 3) AS g")
+      .collect()(0).getSeq[String](0)
+    assert(cn === Seq("abc", "bcd"))
+    val fi = fresh.sql(
+      "SELECT graft_freq_items(w, 4).terms[0].term AS top FROM " +
+      "(SELECT 'x' AS w UNION ALL SELECT 'x' UNION ALL SELECT 'y')")
+      .collect()(0).getString(0)
+    assert(fi === "x")
   }
 
   test("native aggregate and minhash resolve and run in SQL") {
