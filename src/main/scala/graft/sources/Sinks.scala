@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale defaults: date-partitioned parquet so downstream reads prune
   * partitions; append for micro-batches, overwrite for staging; JDBC
-  * writer shape included for parity with the reference's Postgres
-  * target (untestable in-sandbox — no database).
+  * writer for parity with the reference's Postgres target (exercised
+  * for real against embedded Derby — JdbcRoundTripSpec).
   */
 object Sinks {
 
@@ -29,7 +29,9 @@ object Sinks {
 
   /** JDBC append — the reference's actual sink (Postgres via
     * psycopg2); Spark's batched writer replaces per-row INSERTs.
-    * Shape-only in-sandbox: no reachable database.
+    * Round-tripped for real against embedded Derby (table
+    * auto-create, append semantics, typed readback —
+    * JdbcRoundTripSpec); at a deployment only the url/driver change.
     */
   def appendJdbc(df: DataFrame, url: String, table: String,
       props: java.util.Properties): Unit =
