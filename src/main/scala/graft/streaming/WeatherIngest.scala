@@ -50,9 +50,14 @@ object WeatherIngest {
   /** Live source: GET /data/2.5/weather?q={city}&appid={key}
     * (weather-etl.py:111,116-119), fetched concurrently (the
     * reference's sequential loop is a documented anti-pattern,
-    * SURVEY.md §4.1). Untested in-sandbox — zero egress.
+    * SURVEY.md §4.1). `baseUrl` defaults to the real API host;
+    * HttpSourceSpec drives the IDENTICAL code path against an
+    * in-process loopback server (JDK HttpServer — no egress needed),
+    * so request formation, concurrency, and body handling are tested
+    * for real.
     */
-  final class HttpSource(cities: Seq[String], apiKey: String) extends WeatherSource {
+  final class HttpSource(cities: Seq[String], apiKey: String,
+      baseUrl: String = "https://api.openweathermap.org") extends WeatherSource {
     require(apiKey.nonEmpty, "OPENWEATHERMAP_API_KEY must be set") // weather-etl.py:106-108
     def fetch(spark: SparkSession): Dataset[String] = {
       import spark.implicits._
@@ -63,7 +68,7 @@ object WeatherIngest {
       val bodies = Await.result(Future.sequence(cities.map(city => Future {
         val q = java.net.URLEncoder.encode(city, "UTF-8")
         val uri = java.net.URI.create(
-          s"https://api.openweathermap.org/data/2.5/weather?q=$q&appid=$apiKey&units=metric")
+          s"$baseUrl/data/2.5/weather?q=$q&appid=$apiKey&units=metric")
         client.send(
           java.net.http.HttpRequest.newBuilder(uri).GET().build(),
           java.net.http.HttpResponse.BodyHandlers.ofString()).body()
