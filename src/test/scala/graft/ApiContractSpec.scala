@@ -48,6 +48,15 @@ class ApiContractSpec extends SparkSuite {
     assert(e.getMessage.contains("binWidth"), e.getMessage)
   }
 
+  test("freq_items and ngram expressions reject non-positive size parameters") {
+    val e1 = intercept[Exception] { functions.FreqItems(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), k = 0) }
+    assert(e1.getMessage.contains("positive"))
+    val e2 = intercept[Exception] { functions.CharNgrams(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), n = 0) }
+    assert(e2.getMessage.contains("positive"))
+  }
+
   test("connected components reports non-convergence instead of partial labels") {
     val nodes = (0L to 9L).toDF("id")
     val edges = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
