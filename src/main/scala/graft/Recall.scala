@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ivf, Similarity}
+import graft.operators.{Ivf, Pq, Similarity}
 
 /** Dev-only ANN recall report (VERDICT r4/r5 task: surface recall as a
   * per-round artifact, not just a spec threshold). Computes recall@10
@@ -46,7 +46,12 @@ object Recall {
     val lshHi = recallOf(Similarity.lshKnn(spark, qs, emb, k = 10, nTables = 8))
     val ivfFine = recallOf(
       Ivf.ivfKnn(spark, qs, emb, k = 10, nCentroids = 64, nProbe = 8, iters = 1))
-    println(f"""{"metric":"ann_recall@10","lsh_recall":$lsh%.4f,"ivf_recall":$ivf%.4f,"lsh_recall_8tables":$lshHi%.4f,"ivf_recall_c64_p8":$ivfFine%.4f,"n_queries":${qs.count()},"n_exact_pairs":${total.toLong},"sf":"$sfDir"}""")
+    // the declared q_x_ann_pq path (m=8 × 16 codes, ADC top-40 → exact
+    // rerank to 10), plus the rerank knob: a wider ADC candidate pool
+    // is the PQ recall dial (linear in rerankFactor, still tiny vs N).
+    val pq = recallOf(Pq.pqKnn(spark, qs, emb, k = 10))
+    val pqWide = recallOf(Pq.pqKnn(spark, qs, emb, k = 10, rerankFactor = 16))
+    println(f"""{"metric":"ann_recall@10","lsh_recall":$lsh%.4f,"ivf_recall":$ivf%.4f,"lsh_recall_8tables":$lshHi%.4f,"ivf_recall_c64_p8":$ivfFine%.4f,"pq_recall":$pq%.4f,"pq_recall_rerank16":$pqWide%.4f,"n_queries":${qs.count()},"n_exact_pairs":${total.toLong},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -140,6 +140,20 @@ object Extensions {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Approximate ANN via product quantization (m=8 subspace codebooks
+    // of 32 centroids each → 8 small codes per vector, ~50× smaller
+    // than the 64 raw floats) with ADC scoring and exact cosine rerank
+    // of the top-8k candidates. The corpus-COMPRESSION scale path,
+    // complementing the bucketing path (LSH) and the partition-pruning
+    // path (IVF). No oracle (model-defined); PqSpec asserts recall vs
+    // brute force, Recall emits the measured number per round.
+    "q_x_ann_pq" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      graft.operators.Pq.pqKnn(s, emb.filter(col("vec_id") % 25 === 0), emb,
+          k = 10, m = 8, kCodes = 32, iters = 1, rerankFactor = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup DEDUP (SemDeDup-style): exact cosine
     // edges from the distributed block join → connected components →
     // keep the min-id representative per cluster. Composes the two
@@ -514,6 +528,50 @@ object Extensions {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), round(avg(col("q")), 6).as("avg_quality"))
         .orderBy(col("lang"))
+    }),
+
+    // Declarative data-quality expectations (Deequ-style): seven
+    // constraints over the documents corpus, ALL evaluated in one
+    // aggregation pass (operators.Expectations). One check
+    // (n_chars_min >= 100) fails by design on the fixture (min is
+    // 48), so the report exercises both verdicts — a gate that can
+    // only ever print "passed" verifies nothing.
+    "q_x_expectations" -> ((s, d) => {
+      import graft.operators.Expectations._
+      report(table(s, d, "documents"), Seq(
+        neverNull("text"),
+        unique("doc_id"),
+        minAtLeast("n_chars", 100),
+        maxAtMost("n_chars", 1000),
+        inSet("lang", Seq("en", "de", "es", "fr", "zh")),
+        distinctAtMost("source", 64),
+        fractionWhere("n_chars_consistent", length(col("text")) === col("n_chars"), "==", 1.0)))
+    }),
+
+    // Vocabulary build + OOV audit: top-1000 tokens by corpus
+    // frequency (deterministic tie-break on the token) become the
+    // vocab; per doc, the fraction of tokens outside it. The
+    // tokenizer-prep primitive for a training pipeline: OOV rate is
+    // the signal that a vocab/tokenizer no longer fits a corpus
+    // slice. 100 TB shape: token counts shuffle once with map-side
+    // combine, the vocab cut is TakeOrderedAndProject (per-partition
+    // top-k, k-row merge — no global sort), and the audit join
+    // BROADCASTS the 1000-row vocab, so the corpus never shuffles for
+    // it; the token explode is recomputed for the audit pass rather
+    // than materialized (two cheap scans beat caching a corpus-sized
+    // explode).
+    "q_x_vocab_oov" -> ((s, d) => {
+      val tok = table(s, d, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(1000)
+        .select(col("tok"), lit(1).as("in_vocab"))
+      tok.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1).otherwise(0)).as("n_oov"))
+        .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
+        .orderBy(col("doc_id"))
     }),
 
     // Keyword search with tf ranking — the ts_rank-style full-text
@@ -1019,6 +1077,36 @@ object Extensions {
          t AS (SELECT quantile_cont(q, 0.25) AS thr FROM q)
          SELECT lang, count(*) AS n_kept, round(avg(q), 6) AS avg_quality
          FROM q, t WHERE q.q >= t.thr GROUP BY lang ORDER BY lang""",
+
+    "q_x_expectations" ->
+      """WITH m AS (SELECT
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS m_nn,
+           CAST(count(*) - count(DISTINCT doc_id) AS DOUBLE) AS m_uq,
+           CAST(min(n_chars) AS DOUBLE) AS m_min,
+           CAST(max(n_chars) AS DOUBLE) AS m_max,
+           CAST(sum(CASE WHEN lang IN ('en','de','es','fr','zh') THEN 0 ELSE 1 END) AS DOUBLE) AS m_set,
+           CAST(count(DISTINCT source) AS DOUBLE) AS m_card,
+           avg(CASE WHEN length(text) = n_chars THEN 1.0 ELSE 0.0 END) AS m_cons
+         FROM documents)
+         SELECT * FROM (
+           SELECT 'text_never_null' AS check_name, round(m_nn, 6) AS metric, '==' AS op, CAST(0.0 AS DOUBLE) AS threshold, m_nn = 0.0 AS passed FROM m
+           UNION ALL SELECT 'doc_id_unique', round(m_uq, 6), '==', CAST(0.0 AS DOUBLE), m_uq = 0.0 FROM m
+           UNION ALL SELECT 'n_chars_min', round(m_min, 6), '>=', CAST(100.0 AS DOUBLE), m_min >= 100.0 FROM m
+           UNION ALL SELECT 'n_chars_max', round(m_max, 6), '<=', CAST(1000.0 AS DOUBLE), m_max <= 1000.0 FROM m
+           UNION ALL SELECT 'lang_in_set', round(m_set, 6), '==', CAST(0.0 AS DOUBLE), m_set = 0.0 FROM m
+           UNION ALL SELECT 'source_cardinality', round(m_card, 6), '<=', CAST(64.0 AS DOUBLE), m_card <= 64.0 FROM m
+           UNION ALL SELECT 'n_chars_consistent', round(m_cons, 6), '==', CAST(1.0 AS DOUBLE), m_cons = 1.0 FROM m
+         ) ORDER BY check_name""",
+
+    "q_x_vocab_oov" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         v AS (SELECT tok FROM t GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 1000)
+         SELECT t.doc_id,
+                CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS oov_rate
+         FROM t LEFT JOIN v ON t.tok = v.tok
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
 
     "q_x_fuzzy" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
