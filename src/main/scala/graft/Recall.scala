@@ -46,7 +46,7 @@ object Recall {
     val lshHi = recallOf(Similarity.lshKnn(spark, qs, emb, k = 10, nTables = 8))
     val ivfFine = recallOf(
       Ivf.ivfKnn(spark, qs, emb, k = 10, nCentroids = 64, nProbe = 8, iters = 1))
-    // the declared q_x_ann_pq path (m=8 × 16 codes, ADC top-40 → exact
+    // the declared q_x_ann_pq path (m=8 × 32 codes, ADC top-80 → exact
     // rerank to 10), plus the rerank knob: a wider ADC candidate pool
     // is the PQ recall dial (linear in rerankFactor, still tiny vs N).
     val pq = recallOf(Pq.pqKnn(spark, qs, emb, k = 10))

@@ -273,6 +273,29 @@ object Extensions {
         .select(col("doc_id"), TextFunctions.regexTokenCount("text").as("n_tokens"))
         .orderBy(col("doc_id"))),
 
+    // Text canonicalization before hashing/dedup: lowercase, collapse
+    // whitespace runs, trim — then the content hash of the CANONICAL
+    // form. Exact dedup over norm_hash now catches case/whitespace
+    // variants that raw-text hashing (q_x_exact_dedup) misses.
+    // Map-only, no shuffle; the hash keeps the declared output narrow.
+    "q_x_normalize" -> ((s, d) => {
+      val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          length(norm).cast("long").as("n_norm_chars"),
+          md5(norm).as("norm_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Generic per-column dataset profile (operators.Profiling): null
+    // count, exact distinct count, min/max per column of `documents`,
+    // schema-driven from df.schema — the "describe the snapshot"
+    // companion to q_x_expectations. One agg pass (Expand for the
+    // exact countDistincts; see Profiling scaladoc for the 100 TB
+    // approx_count_distinct swap).
+    "q_x_col_profile" -> ((s, d) =>
+      graft.operators.Profiling.columnProfile(table(s, d, "documents"))),
+
     "q_x_quality" -> ((s, d) => {
       val words = TextFunctions.tokens(col("text"))
       val nw = size(words).cast("double")
@@ -1077,6 +1100,28 @@ object Extensions {
          t AS (SELECT quantile_cont(q, 0.25) AS thr FROM q)
          SELECT lang, count(*) AS n_kept, round(avg(q), 6) AS avg_quality
          FROM q, t WHERE q.q >= t.thr GROUP BY lang ORDER BY lang""",
+
+    "q_x_normalize" ->
+      """SELECT doc_id,
+                CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_norm_chars,
+                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash
+         FROM documents ORDER BY doc_id""",
+
+    "q_x_col_profile" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS id_nn, CAST(count(DISTINCT doc_id) AS BIGINT) AS id_nd, CAST(min(doc_id) AS VARCHAR) AS id_mn, CAST(max(doc_id) AS VARCHAR) AS id_mx,
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS tx_nn, CAST(count(DISTINCT text) AS BIGINT) AS tx_nd, CAST(min(text) AS VARCHAR) AS tx_mn, CAST(max(text) AS VARCHAR) AS tx_mx,
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lg_nn, CAST(count(DISTINCT lang) AS BIGINT) AS lg_nd, CAST(min(lang) AS VARCHAR) AS lg_mn, CAST(max(lang) AS VARCHAR) AS lg_mx,
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS sc_nn, CAST(count(DISTINCT source) AS BIGINT) AS sc_nd, CAST(min(source) AS VARCHAR) AS sc_mn, CAST(max(source) AS VARCHAR) AS sc_mx,
+           CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nc_nn, CAST(count(DISTINCT n_chars) AS BIGINT) AS nc_nd, CAST(min(n_chars) AS VARCHAR) AS nc_mn, CAST(max(n_chars) AS VARCHAR) AS nc_mx
+         FROM documents)
+         SELECT * FROM (
+           SELECT 'doc_id' AS "column", 'bigint' AS data_type, n AS n_rows, id_nn AS n_nulls, id_nd AS n_distinct, id_mn AS min_value, id_mx AS max_value FROM m
+           UNION ALL SELECT 'text', 'string', n, tx_nn, tx_nd, tx_mn, tx_mx FROM m
+           UNION ALL SELECT 'lang', 'string', n, lg_nn, lg_nd, lg_mn, lg_mx FROM m
+           UNION ALL SELECT 'source', 'string', n, sc_nn, sc_nd, sc_mn, sc_mx FROM m
+           UNION ALL SELECT 'n_chars', 'bigint', n, nc_nn, nc_nd, nc_mn, nc_mx FROM m
+         ) ORDER BY "column"""",
 
     "q_x_expectations" ->
       """WITH m AS (SELECT
