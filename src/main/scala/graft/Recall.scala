@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ivf, Pq, Similarity}
+import graft.operators.{Ivf, IvfPq, Pq, Similarity}
 
 /** Dev-only ANN recall report (VERDICT r4/r5 task: surface recall as a
   * per-round artifact, not just a spec threshold). Computes recall@10
@@ -51,7 +51,11 @@ object Recall {
     // is the PQ recall dial (linear in rerankFactor, still tiny vs N).
     val pq = recallOf(Pq.pqKnn(spark, qs, emb, k = 10))
     val pqWide = recallOf(Pq.pqKnn(spark, qs, emb, k = 10, rerankFactor = 16))
-    println(f"""{"metric":"ann_recall@10","lsh_recall":$lsh%.4f,"ivf_recall":$ivf%.4f,"lsh_recall_8tables":$lshHi%.4f,"ivf_recall_c64_p8":$ivfFine%.4f,"pq_recall":$pq%.4f,"pq_recall_rerank16":$pqWide%.4f,"n_queries":${qs.count()},"n_exact_pairs":${total.toLong},"sf":"$sfDir"}""")
+    // IVF-PQ: declared path probes 4/16 lists (~25% scan at m-byte
+    // code cost); the probe knob is the same recall dial as plain IVF.
+    val ivfpq = recallOf(IvfPq.ivfPqKnn(spark, qs, emb, k = 10))
+    val ivfpqP8 = recallOf(IvfPq.ivfPqKnn(spark, qs, emb, k = 10, nProbe = 8))
+    println(f"""{"metric":"ann_recall@10","lsh_recall":$lsh%.4f,"ivf_recall":$ivf%.4f,"lsh_recall_8tables":$lshHi%.4f,"ivf_recall_c64_p8":$ivfFine%.4f,"pq_recall":$pq%.4f,"pq_recall_rerank16":$pqWide%.4f,"ivfpq_recall_p4":$ivfpq%.4f,"ivfpq_recall_p8":$ivfpqP8%.4f,"n_queries":${qs.count()},"n_exact_pairs":${total.toLong},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,7 +27,7 @@ object Ivf {
   /** Assign each row the id of its nearest centroid (L2). `centroids`
     * must be small (collected to a broadcast literal via crossJoin).
     */
-  private def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+  private[operators] def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val withDist = vectors.crossJoin(broadcast(centroids))
       .withColumn("d2",
         dot(col("embedding"), col("embedding"))

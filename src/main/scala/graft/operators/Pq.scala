@@ -49,7 +49,7 @@ object Pq {
     * be unit-norm already — this pass is the guarantee, not a fixture
     * assumption.)
     */
-  private def normalized(vectors: DataFrame): DataFrame =
+  private[operators] def normalized(vectors: DataFrame): DataFrame =
     vectors
       .withColumn("nrm", sqrt(aggregate(
         transform(col("embedding"), x => x.cast("double") * x.cast("double")),
@@ -57,31 +57,39 @@ object Pq {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double") / col("nrm")).as("embedding"))
 
-  /** Explode vectors into `m` per-subspace double subvectors:
-    * (vec_id, sub, subvec). Subspace width is size(embedding)/m —
+  /** The per-subspace slicing expression over a named vector column:
+    * array of `m` double subvectors. Subspace width is size/m —
     * derived per row, so any uniform dimension divisible by m works.
     */
-  private def subVecs(raw: DataFrame, m: Int): DataFrame =
-    normalized(raw).select(col("vec_id"),
-      posexplode(expr(
-        s"""transform(sequence(0, $m - 1),
-            |  i -> transform(
-            |         slice(embedding, i * (size(embedding) div $m) + 1,
-            |               size(embedding) div $m),
-            |         x -> CAST(x AS DOUBLE)))""".stripMargin)).as(Seq("sub", "subvec")))
+  private[operators] def sliceExpr(vecCol: String, m: Int) =
+    expr(
+      s"""transform(sequence(0, $m - 1),
+          |  i -> transform(
+          |         slice($vecCol, i * (size($vecCol) div $m) + 1,
+          |               size($vecCol) div $m),
+          |         x -> CAST(x AS DOUBLE)))""".stripMargin)
+
+  /** Explode vectors into `m` per-subspace double subvectors:
+    * (vec_id, sub, subvec). `normalize = false` skips the unit-norm
+    * pass — for inputs that are residuals (IVF-PQ), where normalizing
+    * would distort the space PQ must quantize.
+    */
+  private[operators] def subVecs(raw: DataFrame, m: Int, normalize: Boolean = true): DataFrame =
+    (if (normalize) normalized(raw) else raw.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), posexplode(sliceExpr("embedding", m)).as(Seq("sub", "subvec")))
 
   /** Squared L2 over two already-double arrays, folded strictly
     * left-to-right (cross-engine deterministic, same contract as
     * [[VectorFunctions.sqDist]]).
     */
-  private def sqd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+  private[operators] def sqd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
   /** Nearest-centroid assignment within each subspace. `codebooks`
     * is tiny (m·k rows) and broadcast; ties break on centroid id so
     * assignment is deterministic.
     */
-  private def assign(sv: DataFrame, codebooks: DataFrame): DataFrame = {
+  private[operators] def assign(sv: DataFrame, codebooks: DataFrame): DataFrame = {
     val j = sv.join(broadcast(codebooks), Seq("sub"))
       .withColumn("d2", sqd(col("subvec"), col("centroid")))
     val w = Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("d2"), col("cid"))
@@ -102,8 +110,8 @@ object Pq {
     * window, cheap and deterministic).
     */
   def train(spark: SparkSession, corpus: DataFrame, m: Int, k: Int,
-      iters: Int = 1): DataFrame = {
-    val sv = subVecs(corpus, m)
+      iters: Int = 1, normalize: Boolean = true): DataFrame = {
+    val sv = subVecs(corpus, m, normalize)
     val wSeed = Window.partitionBy(col("sub"))
       .orderBy(xxhash64(col("vec_id"), col("sub")), col("vec_id"))
     var cb = sv.withColumn("rn", row_number().over(wSeed))
@@ -131,8 +139,9 @@ object Pq {
     * subspace: (vec_id, codes array<int>). This is the compressed
     * representation a 100 TB deployment would persist.
     */
-  def encode(corpus: DataFrame, codebooks: DataFrame, m: Int): DataFrame =
-    assign(subVecs(corpus, m), codebooks.select(col("sub"), col("cid"), col("code"), col("centroid")))
+  def encode(corpus: DataFrame, codebooks: DataFrame, m: Int,
+      normalize: Boolean = true): DataFrame =
+    assign(subVecs(corpus, m, normalize), codebooks.select(col("sub"), col("cid"), col("code"), col("centroid")))
       .groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
       .select(col("vec_id"), expr("transform(sc, s -> s.code)").as("codes"))

@@ -154,6 +154,20 @@ object Extensions {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Approximate ANN via IVF-PQ (FAISS IndexIVFPQ shape): coarse
+    // quantizer routes vectors to inverted lists, PQ encodes the
+    // RESIDUAL vs the list centroid, queries probe 4/16 lists with
+    // per-list ADC tables — pruning × compression multiply: each
+    // query scans ~25% of the corpus at m-byte-code cost. No oracle
+    // (model-defined); IvfPqSpec asserts recall vs brute force,
+    // Recall emits the measured number per round.
+    "q_x_ann_ivfpq" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      graft.operators.IvfPq.ivfPqKnn(s, emb.filter(col("vec_id") % 25 === 0), emb,
+          k = 10, nCoarse = 16, nProbe = 4, m = 8, kCodes = 32, iters = 1, rerankFactor = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup DEDUP (SemDeDup-style): exact cosine
     // edges from the distributed block join → connected components →
     // keep the min-id representative per cluster. Composes the two
@@ -407,6 +421,31 @@ object Extensions {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), max(col("cum_tokens")).as("tokens_used"))
         .orderBy(col("source"))
+    }),
+
+    // Sequence packing: assign whole docs to fixed-capacity training
+    // bins (512 tokens) by prefix-sum binning — the batch-construction
+    // step between mixing and the trainer. A doc's bin is the bin its
+    // STARTING token offset falls in (the standard contiguous-fill
+    // approximation of first-fit packing; deterministic, one window
+    // pass, no iteration). Packed per source shard — exactly how a
+    // distributed pipeline packs (each worker its shard), which also
+    // keeps the window PARTITIONED: no global-order single-partition
+    // sort at any scale.
+    "q_x_pack" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      table(s, d, "documents")
+        .withColumn("nw", size(TextFunctions.tokens(col("text"))).cast("long"))
+        .withColumn("start_tok", sum(col("nw")).over(w) - col("nw"))
+        .withColumn("bin", (col("start_tok") / 512).cast("long"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("tokens_packed"),
+          round(sum(col("nw")) / lit(512.0), 6).as("fill_ratio"))
+        .orderBy(col("source"), col("bin"))
     }),
 
     // Redaction / normalization pass (digits + a blocked term).
@@ -1100,6 +1139,20 @@ object Extensions {
          t AS (SELECT quantile_cont(q, 0.25) AS thr FROM q)
          SELECT lang, count(*) AS n_kept, round(avg(q), 6) AS avg_quality
          FROM q, t WHERE q.q >= t.thr GROUP BY lang ORDER BY lang""",
+
+    "q_x_pack" ->
+      """WITH t AS (SELECT source, doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+           FROM documents),
+         c AS (SELECT source, nw,
+                  sum(nw) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nw AS start_tok
+               FROM t)
+         SELECT source, CAST(start_tok // 512 AS BIGINT) AS bin,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(nw) AS BIGINT) AS tokens_packed,
+                round(sum(nw) / 512.0, 6) AS fill_ratio
+         FROM c GROUP BY source, bin ORDER BY source, bin""",
 
     "q_x_normalize" ->
       """SELECT doc_id,
