@@ -41,6 +41,9 @@ object IvfPq {
   def ivfPqKnn(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
       nCoarse: Int = 16, nProbe: Int = 4, m: Int = 8, kCodes: Int = 32,
       iters: Int = 1, rerankFactor: Int = 8): DataFrame = {
+    require(nCoarse >= 1 && nProbe >= 1 && nProbe <= nCoarse,
+      s"need 1 <= nProbe <= nCoarse, got nProbe=$nProbe nCoarse=$nCoarse")
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
     graft.functions.GraftFunctions.register(spark)
     val coarse = Ivf.train(spark, corpus, nCoarse, iters)
 

@@ -111,6 +111,9 @@ object Pq {
     */
   def train(spark: SparkSession, corpus: DataFrame, m: Int, k: Int,
       iters: Int = 1, normalize: Boolean = true): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(k >= 2, s"k must be >= 2 centroids per subspace, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
     val sv = subVecs(corpus, m, normalize)
     val wSeed = Window.partitionBy(col("sub"))
       .orderBy(xxhash64(col("vec_id"), col("sub")), col("vec_id"))
@@ -165,6 +168,7 @@ object Pq {
     */
   def pqKnn(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 8, kCodes: Int = 32, iters: Int = 1, rerankFactor: Int = 8): DataFrame = {
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
     graft.functions.GraftFunctions.register(spark)
     val cb = train(spark, corpus, m, kCodes, iters)
     val codes = encode(corpus, cb, m)

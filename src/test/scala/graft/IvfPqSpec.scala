@@ -26,6 +26,14 @@ class IvfPqSpec extends SparkSuite {
     assert(recall > 0.4)
   }
 
+  test("misuse contracts: probe/coarse/rerank bounds rejected eagerly") {
+    intercept[IllegalArgumentException](IvfPq.ivfPqKnn(spark, emb, emb, k = 5, nProbe = 0))
+    intercept[IllegalArgumentException](
+      IvfPq.ivfPqKnn(spark, emb, emb, k = 5, nCoarse = 4, nProbe = 8))
+    intercept[IllegalArgumentException](
+      IvfPq.ivfPqKnn(spark, emb, emb, k = 5, rerankFactor = 0))
+  }
+
   test("ivfPqKnn is deterministic across invocations") {
     val qs = emb.filter($"vec_id" % 200 === 0)
     val a = IvfPq.ivfPqKnn(spark, qs, emb, k = 5).collect().map(_.toString).sorted

@@ -47,6 +47,13 @@ class PqSpec extends SparkSuite {
     assert(recall > 0.6)
   }
 
+  test("misuse contracts: bad m/k/iters/rerankFactor rejected eagerly") {
+    intercept[IllegalArgumentException](Pq.train(spark, emb, m = 0, k = 16))
+    intercept[IllegalArgumentException](Pq.train(spark, emb, m = 8, k = 1))
+    intercept[IllegalArgumentException](Pq.train(spark, emb, m = 8, k = 16, iters = -1))
+    intercept[IllegalArgumentException](Pq.pqKnn(spark, emb, emb, k = 5, rerankFactor = 0))
+  }
+
   test("pqKnn is deterministic across invocations") {
     val qs = emb.filter($"vec_id" % 200 === 0)
     val a = Pq.pqKnn(spark, qs, emb, k = 5).collect().map(_.toString).sorted
