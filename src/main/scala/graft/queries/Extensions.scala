@@ -423,6 +423,24 @@ object Extensions {
         .orderBy(col("source"))
     }),
 
+    // Deterministic round-robin source interleave — the data-loader
+    // ordering step after mixing: round r takes each source's r-th doc
+    // (by doc_id), alphabetical by source within the round, so batches
+    // see every source before any repeats. Scale shape: both windows
+    // are PARTITIONED (by source, then by round — each round holds at
+    // most |sources| rows); no global sort anywhere in the derivation.
+    "q_x_interleave" -> ((s, d) => {
+      val wSrc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      val wRound = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("round")).orderBy(col("source"))
+      table(s, d, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("round", row_number().over(wSrc).cast("long"))
+        .withColumn("pos", row_number().over(wRound).cast("int"))
+        .orderBy(col("round"), col("pos"))
+    }),
+
     // Sequence packing: assign whole docs to fixed-capacity training
     // bins (512 tokens) by prefix-sum binning — the batch-construction
     // step between mixing and the trainer. A doc's bin is the bin its
@@ -1139,6 +1157,14 @@ object Extensions {
          t AS (SELECT quantile_cont(q, 0.25) AS thr FROM q)
          SELECT lang, count(*) AS n_kept, round(avg(q), 6) AS avg_quality
          FROM q, t WHERE q.q >= t.thr GROUP BY lang ORDER BY lang""",
+
+    "q_x_interleave" ->
+      """WITH r AS (SELECT doc_id, source,
+                  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS round
+           FROM documents)
+         SELECT doc_id, source, round,
+                CAST(row_number() OVER (PARTITION BY round ORDER BY source) AS INTEGER) AS pos
+         FROM r ORDER BY round, pos""",
 
     "q_x_pack" ->
       """WITH t AS (SELECT source, doc_id,

@@ -96,6 +96,24 @@ object SetOps {
         .orderBy(col("event_id"))
     }),
 
+    // SCD type-2 history build — the temporal variant of the
+    // reference's keyed upsert (weather-etl.py:152-163): instead of
+    // latest-wins overwrite, every change becomes a versioned row with
+    // a validity interval. One partitioned lead() window per key,
+    // no self-join; is_current falls out as "no successor".
+    "q_scd2" -> ((s, d) => {
+      val versions = table(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"), col("ts").as("valid_from"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("valid_from"), col("event_id"))
+      versions
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy(col("user_id"), col("event_type"), col("valid_from"), col("event_id"))
+    }),
+
     // PG DISTINCT ON (reference README.md:62-78 ad-hoc surface):
     // keyed top-1 — the latest order per customer. Spark-first shape:
     // row_number window + rn=1 filter (WindowGroupLimit pushes the
@@ -255,6 +273,13 @@ object SetOps {
            UNION ALL
            SELECT event_id, value + 1000 AS value, 'new' AS src FROM events WHERE event_id % 2 = 0)
          ORDER BY event_id""",
+
+    "q_scd2" ->
+      """SELECT user_id, event_type, event_id, value, ts AS valid_from,
+                lead(ts) OVER w AS valid_to,
+                lead(ts) OVER w IS NULL AS is_current
+         FROM events WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+         ORDER BY user_id, event_type, valid_from, event_id""",
 
     "q_distinct_on" ->
       """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate,
