@@ -72,6 +72,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_freq_items", classOf[FreqItems].getName),
       (exprs: Seq[Expression]) => FreqItems.build(exprs)))
 
+    ext.injectFunction((FunctionIdentifier("graft_adc"),
+      info("graft_adc", classOf[AdcLookup].getName),
+      (exprs: Seq[Expression]) => AdcLookup(exprs(0), exprs(1))))
+
     ext.injectOptimizerRule(_ => IntersectCountRewrite)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
   }

@@ -153,6 +153,11 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         "graft_freq_items", exprs => FreqItems.build(exprs), "built-in")
     }
+    val adcId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_adc")
+    if (!registry.functionExists(adcId)) {
+      registry.createOrReplaceTempFunction(
+        "graft_adc", exprs => AdcLookup(exprs(0), exprs(1)), "built-in")
+    }
     graft.plans.IntersectCountRewrite.install(spark)
   }
 }

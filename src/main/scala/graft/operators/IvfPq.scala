@@ -95,9 +95,7 @@ object IvfPq {
     // per-query top-R and exact rerank (the PQ contract)
     val scored = codes.join(broadcast(luts), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc",
-        expr("aggregate(zip_with(codes, lut, (c, row) -> element_at(row, c + 1)), " +
-          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("adc", call_function("graft_adc", col("codes"), col("lut")))
     val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
     val cands = scored.withColumn("rn", row_number().over(wAdc))
       .filter(col("rn") <= rerankFactor * k)

@@ -26,8 +26,9 @@ import graft.functions.VectorFunctions._
   * a lookup table of squared distances from the query's subvector to
   * every centroid in every subspace (m·k doubles — tiny) is built and
   * broadcast; a candidate's approximate distance is the sum of m
-  * table lookups indexed by its codes — a codegen'd higher-order
-  * `aggregate(zip_with(codes, lut, …))`, no per-row vector math.
+  * table lookups indexed by its codes — the codegen'd
+  * [[graft.functions.AdcLookup]] expression (`graft_adc`), an m-step
+  * primitive loop in whole-stage codegen, no per-row vector math.
   *
   * Scale shape: codebooks are tiny and broadcast both during encode
   * (map-side argmin per subvector, one shuffle per Lloyd round
@@ -189,9 +190,7 @@ object Pq {
     // compressed codes (broadcast LUTs), then per-query top-R window
     val scored = codes.crossJoin(broadcast(lut))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc",
-        expr("aggregate(zip_with(codes, lut, (c, row) -> element_at(row, c + 1)), " +
-          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("adc", call_function("graft_adc", col("codes"), col("lut")))
     val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
     val cands = scored.withColumn("rn", row_number().over(wAdc))
       .filter(col("rn") <= rerankFactor * k)

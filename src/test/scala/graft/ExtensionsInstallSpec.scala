@@ -33,6 +33,10 @@ class ExtensionsInstallSpec extends SparkSuite {
     val cn = fresh.sql("SELECT graft_char_ngrams('abcd', 3) AS g")
       .collect()(0).getSeq[String](0)
     assert(cn === Seq("abc", "bcd"))
+    val adc = fresh.sql(
+      "SELECT graft_adc(array(1, 0), array(array(1.0D, 2.0D), array(3.0D, 4.0D))) AS a")
+      .collect()(0).getDouble(0)
+    assert(adc === 2.0 + 3.0)
     val fi = fresh.sql(
       "SELECT graft_freq_items(w, 4).terms[0].term AS top FROM " +
       "(SELECT 'x' AS w UNION ALL SELECT 'x' UNION ALL SELECT 'y')")
