@@ -19,8 +19,10 @@ import org.apache.spark.sql.types._
   * ~20× class of win as [[ArrayDotProduct]], measured there).
   *
   * Semantics: accumulation is strictly left-to-right; a null input
-  * yields null; a null code, a null LUT row, or a null LUT entry
-  * nulls the whole fold (like the zip_with fold). An out-of-range
+  * yields null; a null code, a null LUT row, a null LUT entry, or a
+  * codes/LUT LENGTH MISMATCH nulls the whole fold (zip_with would
+  * null-pad the shorter side, which nulls its fold too — a partial
+  * sum would be a plausible-looking wrong distance). An out-of-range
   * code ALSO yields null — the expression is deliberately total where
   * ANSI `element_at` would throw: `encode()` can never emit an
   * out-of-range code, and a corrupted code table should surface as a
@@ -45,7 +47,8 @@ case class AdcLookup(left: Expression, right: Expression) extends BinaryExpressi
   override def nullSafeEval(l: Any, r: Any): Any = {
     val codes = l.asInstanceOf[ArrayData]
     val lut = r.asInstanceOf[ArrayData]
-    val n = math.min(codes.numElements(), lut.numElements())
+    if (codes.numElements() != lut.numElements()) return null
+    val n = codes.numElements()
     var acc = 0.0
     var m = 0
     while (m < n) {
@@ -67,7 +70,8 @@ case class AdcLookup(left: Expression, right: Expression) extends BinaryExpressi
       val row = ctx.freshName("row")
       val c = ctx.freshName("c")
       s"""
-         |int $n = java.lang.Math.min($codes.numElements(), $lut.numElements());
+         |int $n = $codes.numElements();
+         |if ($n != $lut.numElements()) { ${ev.isNull} = true; $n = 0; }
          |double $acc = 0.0;
          |for (int $m = 0; $m < $n; $m++) {
          |  if ($codes.isNullAt($m) || $lut.isNullAt($m)) { ${ev.isNull} = true; break; }

@@ -58,7 +58,8 @@ object Expectations {
     */
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "at least one check required")
-    val aggs = checks.zipWithIndex.map { case (c, i) => c.metric.cast("double").as(s"m$i") }
+    val aggs = checks.zipWithIndex.map { case (c, i) => c.metric.cast("double").as(s"m$i") } :+
+      count(lit(1)).as("__n")
     val one = df.agg(aggs.head, aggs.drop(1): _*)
     val rows = checks.zipWithIndex.map { case (c, i) =>
       val m = col(s"m$i")
@@ -67,13 +68,15 @@ object Expectations {
         case "<=" => m <= c.threshold
         case "==" => m === c.threshold
       }
-      // empty input ⇒ sum/avg/min/max aggregates are NULL ⇒ the SQL
-      // verdict is NULL; constraints hold VACUOUSLY on an empty frame
-      // (Deequ's convention), so NULL verdicts coalesce to true while
-      // the metric stays NULL for display.
+      // EMPTY frame ⇒ constraints hold vacuously (Deequ's convention):
+      // passed=true, metric stays NULL for display. On a NON-empty
+      // frame a NULL metric (e.g. min over an all-NULL column) keeps
+      // the honest SQL three-valued verdict — NULL, "unknown", never
+      // silently true — matching what the same comparison yields in
+      // any SQL engine.
       struct(lit(c.name).as("check_name"), round(m, 6).as("metric"),
         lit(c.op).as("op"), lit(c.threshold).as("threshold"),
-        coalesce(cmp, lit(true)).as("passed"))
+        when(col("__n") === 0, lit(true)).otherwise(cmp).as("passed"))
     }
     one.select(explode(array(rows: _*)).as("r"))
       .select(col("r.check_name"), col("r.metric"), col("r.op"),

@@ -96,7 +96,10 @@ object IvfPq {
     val scored = codes.join(broadcast(luts), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc", call_function("graft_adc", col("codes"), col("lut")))
-    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+    // asc_nulls_last: NULL adc = corrupted codes, keep them out of
+    // the rerank pool (same rationale as Pq.pqKnn)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc_nulls_last, col("vec_id"))
     val cands = scored.withColumn("rn", row_number().over(wAdc))
       .filter(col("rn") <= rerankFactor * k)
       .select(col("query_id"), col("vec_id").as("cand_id"))

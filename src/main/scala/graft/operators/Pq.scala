@@ -55,20 +55,32 @@ object Pq {
       .withColumn("nrm", sqrt(aggregate(
         transform(col("embedding"), x => x.cast("double") * x.cast("double")),
         lit(0.0), (a, v) => a + v)))
+      // an all-zero vector has nrm 0; dividing by 1 keeps it at the
+      // origin instead of injecting 0/0 = NaN into codebook training
+      // (a NaN row would poison every centroid mean it touches)
+      .withColumn("nrm", when(col("nrm") === 0.0, lit(1.0)).otherwise(col("nrm")))
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double") / col("nrm")).as("embedding"))
 
   /** The per-subspace slicing expression over a named vector column:
     * array of `m` double subvectors. Subspace width is size/m —
-    * derived per row, so any uniform dimension divisible by m works.
+    * derived per row, so any uniform dimension divisible by m works;
+    * a row whose dimension is NOT divisible by m (or < m) fails the
+    * job with a clear message rather than silently dropping the
+    * trailing dimensions from every distance computation.
     */
   private[operators] def sliceExpr(vecCol: String, m: Int) =
     expr(
-      s"""transform(sequence(0, $m - 1),
-          |  i -> transform(
-          |         slice($vecCol, i * (size($vecCol) div $m) + 1,
-          |               size($vecCol) div $m),
-          |         x -> CAST(x AS DOUBLE)))""".stripMargin)
+      s"""IF($vecCol IS NULL, NULL,
+          |  IF(size($vecCol) % $m = 0 AND size($vecCol) >= $m,
+          |    transform(sequence(0, $m - 1),
+          |      i -> transform(
+          |             slice($vecCol, i * (size($vecCol) div $m) + 1,
+          |                   size($vecCol) div $m),
+          |             x -> CAST(x AS DOUBLE))),
+          |    raise_error(concat('graft PQ: vector dimension ',
+          |      CAST(size($vecCol) AS STRING),
+          |      ' is not divisible by m=$m subspaces'))))""".stripMargin)
 
   /** Explode vectors into `m` per-subspace double subvectors:
     * (vec_id, sub, subvec). `normalize = false` skips the unit-norm
@@ -191,7 +203,11 @@ object Pq {
     val scored = codes.crossJoin(broadcast(lut))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc", call_function("graft_adc", col("codes"), col("lut")))
-    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+    // asc_nulls_last: graft_adc surfaces corrupted codes as NULL
+    // scores — default nulls-first would let them crowd the real
+    // candidates out of the rerank pool
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc_nulls_last, col("vec_id"))
     val cands = scored.withColumn("rn", row_number().over(wAdc))
       .filter(col("rn") <= rerankFactor * k)
       .select(col("query_id"), col("vec_id").as("cand_id"))

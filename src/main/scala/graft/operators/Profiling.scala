@@ -30,12 +30,17 @@ object Profiling {
   def columnProfile(df: DataFrame): DataFrame = {
     val fields = df.schema.fields
     require(fields.nonEmpty, "cannot profile a zero-column frame")
+    require(fields.map(_.name).distinct.length == fields.length,
+      s"cannot profile a frame with duplicate column names: ${fields.map(_.name).mkString(", ")}")
+    // backtick-quote so dotted column names ("a.b") resolve as columns,
+    // not nested-field paths
+    def c(name: String) = col(s"`$name`")
     val aggs = fields.flatMap { f =>
       Seq(
-        coalesce(sum(when(col(f.name).isNull, 1).otherwise(0)), lit(0)).cast("long").as(s"${f.name}__nulls"),
-        countDistinct(col(f.name)).as(s"${f.name}__distinct"),
-        min(col(f.name)).cast("string").as(s"${f.name}__min"),
-        max(col(f.name)).cast("string").as(s"${f.name}__max"))
+        coalesce(sum(when(c(f.name).isNull, 1).otherwise(0)), lit(0)).cast("long").as(s"${f.name}__nulls"),
+        countDistinct(c(f.name)).as(s"${f.name}__distinct"),
+        min(c(f.name)).cast("string").as(s"${f.name}__min"),
+        max(c(f.name)).cast("string").as(s"${f.name}__max"))
     } :+ count(lit(1)).as("__n")
     val one = df.agg(aggs.head, aggs.drop(1): _*)
     val rows = fields.map { f =>
@@ -43,10 +48,10 @@ object Profiling {
         lit(f.name).as("column"),
         lit(f.dataType.simpleString).as("data_type"),
         col("__n").as("n_rows"),
-        col(s"${f.name}__nulls").as("n_nulls"),
-        col(s"${f.name}__distinct").as("n_distinct"),
-        col(s"${f.name}__min").as("min_value"),
-        col(s"${f.name}__max").as("max_value"))
+        c(s"${f.name}__nulls").as("n_nulls"),
+        c(s"${f.name}__distinct").as("n_distinct"),
+        c(s"${f.name}__min").as("min_value"),
+        c(s"${f.name}__max").as("max_value"))
     }
     one.select(explode(array(rows.toIndexedSeq: _*)).as("r"))
       .select(col("r.column"), col("r.data_type"), col("r.n_rows"), col("r.n_nulls"),

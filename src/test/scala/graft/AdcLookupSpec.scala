@@ -40,6 +40,17 @@ class AdcLookupSpec extends SparkSuite {
     assert(df(1).getDouble(0) === 5.0)
   }
 
+  test("codes/LUT length mismatch yields null, never a partial sum") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq(0, 1, 0), Seq(Seq(1.0, 2.0), Seq(3.0, 4.0))), // 3 codes, 2 rows
+      (Seq(0), Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))        // 1 code, 2 rows
+    ).toDF("codes", "lut")
+      .select(call_function("graft_adc", $"codes", $"lut").as("fast"))
+      .collect()
+    assert(df(0).isNullAt(0) && df(1).isNullAt(0))
+  }
+
   test("null input arrays are null-safe") {
     graft.functions.GraftFunctions.register(spark)
     val out = Seq((Option(Seq(0)), Option.empty[Seq[Seq[Double]]]))

@@ -51,6 +51,15 @@ class ExpectationsSpec extends SparkSuite {
     }
   }
 
+  test("all-NULL column on a NON-empty frame: verdict is NULL (unknown), not true") {
+    val df = Seq((1L, null.asInstanceOf[java.lang.Long]), (2L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "score")
+    val row = Expectations.report(df, Seq(minAtLeast("score", 5)))
+      .collect().head
+    assert(row.isNullAt(1)) // metric: min over all-NULL is NULL
+    assert(row.isNullAt(4), "NULL metric must not silently pass the gate")
+  }
+
   test("empty input: all constraints hold vacuously, NULL metrics preserved") {
     val df = Seq.empty[(Long, String)].toDF("id", "name")
     val rows = Expectations.report(df,

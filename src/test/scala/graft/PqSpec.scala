@@ -47,6 +47,21 @@ class PqSpec extends SparkSuite {
     assert(recall > 0.6)
   }
 
+  test("indivisible dimension fails loudly instead of dropping tail dims") {
+    val ex = intercept[Exception] {
+      Pq.train(spark, emb, m = 7, k = 4).collect() // 64 % 7 != 0
+    }
+    assert(ex.getMessage.contains("not divisible"),
+      s"expected the raise_error message, got: ${ex.getMessage}")
+  }
+
+  test("all-zero vectors normalize to the origin, not NaN") {
+    val z = Seq((1L, Seq.fill(8)(0.0f)), (2L, Seq(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cb = Pq.train(spark, z, m = 2, k = 2)
+    assert(cb.collect().forall(r => !r.getSeq[Double](2).exists(_.isNaN)))
+  }
+
   test("misuse contracts: bad m/k/iters/rerankFactor rejected eagerly") {
     intercept[IllegalArgumentException](Pq.train(spark, emb, m = 0, k = 16))
     intercept[IllegalArgumentException](Pq.train(spark, emb, m = 8, k = 1))

@@ -37,6 +37,19 @@ class ProfilingSpec extends SparkSuite {
     assert(p("id").isNullAt(5) && p("id").isNullAt(6))
   }
 
+  test("dotted column names profile as columns, not nested-field paths") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("a.b", "name")
+    val p = Profiling.columnProfile(df).collect().map(r => r.getString(0) -> r).toMap
+    assert(p.keySet === Set("a.b", "name"))
+    assert(p("a.b").getLong(4) === 2L) // n_distinct
+  }
+
+  test("duplicate column names are rejected with a clear message") {
+    val df = Seq((1, 2)).toDF("x", "x")
+    val ex = intercept[IllegalArgumentException](Profiling.columnProfile(df))
+    assert(ex.getMessage.contains("duplicate column names"))
+  }
+
   test("zero-column frame is rejected") {
     intercept[IllegalArgumentException] {
       Profiling.columnProfile(spark.range(3).drop("id"))
