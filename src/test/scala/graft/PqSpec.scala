@@ -47,6 +47,19 @@ class PqSpec extends SparkSuite {
     assert(recall > 0.6)
   }
 
+  test("incremental indexing: new vectors encode against existing codebooks, codes stable") {
+    // the production maintenance path: train once on the corpus
+    // snapshot, encode arriving batches against the FROZEN codebooks —
+    // a vector's codes must not depend on which batch it arrived in
+    val cb = Pq.train(spark, emb, m = 8, k = 4, iters = 1)
+    val full = Pq.encode(emb, cb, m = 8)
+      .as[(Long, Seq[Int])].collect().toMap
+    val batch = Pq.encode(emb.filter($"vec_id" % 10 === 3), cb, m = 8)
+      .as[(Long, Seq[Int])].collect()
+    assert(batch.nonEmpty)
+    batch.foreach { case (id, codes) => assert(codes === full(id)) }
+  }
+
   test("indivisible dimension fails loudly instead of dropping tail dims") {
     val ex = intercept[Exception] {
       Pq.train(spark, emb, m = 7, k = 4).collect() // 64 % 7 != 0
