@@ -423,6 +423,26 @@ object Extensions {
         .orderBy(col("source"))
     }),
 
+    // Lexicon blocklist screening (the NSFW/toxicity-filter stage of a
+    // cleaning pipeline, with the lexicon standing in for a safety
+    // list): per-doc OCCURRENCE count of blocked terms and their
+    // density; docs above 2% density are flagged. Map-only — the
+    // blocklist is a plan literal; a production-sized lexicon would
+    // broadcast-join the exploded tokens instead, same semantics.
+    "q_x_blocklist" -> ((s, d) => {
+      val blocked = array(Seq("slow", "spill", "skew").map(lit): _*)
+      val words = TextFunctions.tokens(col("text"))
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          size(words).cast("long").as("n_words"),
+          size(filter(words, w => array_contains(blocked, w))).cast("long").as("n_blocked"))
+        .withColumn("block_ratio", round(col("n_blocked") / col("n_words"), 6))
+        // integer-exact threshold (2% = 1/50): no float boundary between
+        // the rounded display ratio and the flag
+        .withColumn("flagged", col("n_blocked") * 50 > col("n_words"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic round-robin source interleave — the data-loader
     // ordering step after mixing: round r takes each source's r-th doc
     // (by doc_id), alphabetical by source within the round, so batches
@@ -1157,6 +1177,17 @@ object Extensions {
          t AS (SELECT quantile_cont(q, 0.25) AS thr FROM q)
          SELECT lang, count(*) AS n_kept, round(avg(q), 6) AS avg_quality
          FROM q, t WHERE q.q >= t.thr GROUP BY lang ORDER BY lang""",
+
+    "q_x_blocklist" ->
+      """WITH b AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                  CAST(len(list_filter(string_split(text, ' '),
+                      w -> list_contains(['slow','spill','skew'], w))) AS BIGINT) AS n_blocked
+           FROM documents)
+         SELECT doc_id, n_words, n_blocked,
+                round(n_blocked * 1.0 / n_words, 6) AS block_ratio,
+                n_blocked * 50 > n_words AS flagged
+         FROM b ORDER BY doc_id""",
 
     "q_x_interleave" ->
       """WITH r AS (SELECT doc_id, source,
