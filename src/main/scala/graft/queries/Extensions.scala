@@ -564,6 +564,34 @@ object Extensions {
         .orderBy(col("lang"))
     }),
 
+    // Exact-quota stratified sampling: exactly ceil(n_s/10) docs from
+    // each source stratum, chosen by a deterministic md5 rank —
+    // reproducible on any cluster and partitioning. Complements
+    // q_x_sample, whose bucket-rate keep hits its quota only in
+    // expectation; exactness costs a per-stratum rank (one partitioned
+    // window computes stratum size and rank in a single shuffle).
+    // Integer-exact quota: ceil(n/10) = (n+9) div 10 — no float
+    // boundary. 100 TB note: partition-by-stratum windows put one
+    // reducer per stratum; with few giant strata, use the two-pass
+    // form instead — aggregate counts (tiny), broadcast quotas, then
+    // pre-filter by a hash threshold just above the rate and rank only
+    // the survivors, so the sort sees ~quota rows per stratum.
+    "q_x_stratified" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byStratum = Window.partitionBy(col("source"))
+      table(s, d, "documents")
+        .withColumn("rnd", md5(concat(lit("strat"), col("doc_id").cast("string"))))
+        .withColumn("n_total", count(lit(1)).over(byStratum))
+        .withColumn("rk", row_number().over(
+          byStratum.orderBy(col("rnd"), col("doc_id"))))
+        .filter(col("rk") <= expr("(n_total + 9L) div 10L"))
+        .groupBy(col("source"))
+        .agg(max(col("n_total")).as("n_total"),
+          count(lit(1)).as("n_taken"),
+          sum(col("n_chars")).as("chars_sampled"))
+        .orderBy(col("source"))
+    }),
+
     // Token-distribution quality signals: word entropy
     // H = ln(N) − Σ c·ln(c) / N (one aggregation, no self-join) and
     // distinct-token ratio — the repetition filters of a corpus
@@ -1373,6 +1401,17 @@ object Extensions {
                + (strpos('0123456789abcdef', substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), 2, 1)) - 1)
                < (CASE WHEN lang = 'en' THEN 200 WHEN lang = 'de' THEN 128 ELSE 64 END)
          GROUP BY lang ORDER BY lang""",
+
+    "q_x_stratified" ->
+      """WITH r AS (SELECT source, n_chars,
+                  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_total,
+                  row_number() OVER (PARTITION BY source
+                      ORDER BY md5(concat('strat', CAST(doc_id AS VARCHAR))), doc_id) AS rk
+           FROM documents)
+         SELECT source, max(n_total) AS n_total, count(*) AS n_taken,
+                CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+         FROM r WHERE rk <= (n_total + 9) // 10
+         GROUP BY source ORDER BY source""",
 
     "q_x_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
