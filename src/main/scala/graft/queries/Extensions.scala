@@ -702,6 +702,23 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // Distributed BPE tokenizer training — the vocabulary-learning
+    // step of an LLM pipeline (Sennrich-style merges). One corpus
+    // pass builds the word-frequency table; the 24 merge rounds then
+    // run over the vocabulary-sized table only (operators.Bpe scaladoc
+    // has the 100 TB shape). Deterministic on any partitioning: pair
+    // argmax tie-breaks (count desc, pair asc). No-oracle by design —
+    // the iterative argmax is not SQL-expressible; BpeSpec asserts
+    // exact merge-list equality vs an independent single-node
+    // reference plus partitioning invariance.
+    "q_x_bpe" -> ((s, d) => {
+      import s.implicits._
+      graft.operators.Bpe.trainMerges(table(s, d, "documents"), "text", 24)
+        .toDF()
+        .select(col("rank"), col("left"), col("right"), col("freq"))
+        .orderBy(col("rank"))
+    }),
+
     // Keyword search with tf ranking — the ts_rank-style full-text
     // surface of the reference's ad-hoc PG SQL (README.md:62-78),
     // engine-shaped: explode → term filter (pushes into the scan of a

@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE training: the distributed trainer must reproduce, merge for
+  * merge, an independent single-node reference implementation (its own
+  * word counting, its own pair counting, its own merge application —
+  * shared code with the operator is limited to nothing), and must be
+  * invariant to input partitioning.
+  */
+class BpeSpec extends SparkSuite {
+
+  // ---- independent single-node reference BPE -----------------------
+  private def refMerges(corpus: Seq[String], n: Int): Seq[(String, String, Long)] = {
+    def splitWord(w: String): Vector[String] =
+      w.map(_.toString).toVector :+ Bpe.EndOfWord
+    var words: Map[Vector[String], Long] = corpus
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => splitWord(w) -> ws.size.toLong }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var continue = true
+    while (out.length < n && continue) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.isEmpty) continue = false
+      else {
+        // same total order as the operator: count desc, then pair asc
+        val ((l, r), c) = counts.minBy { case ((a, b), cnt) => (-cnt, a, b) }
+        out += ((l, r, c))
+        // independent merge application (recursive find-first)
+        def apply1(s: Vector[String]): Vector[String] = {
+          val i = (0 until s.length - 1).find(j => s(j) == l && s(j + 1) == r)
+          i match {
+            case Some(j) =>
+              // left-to-right non-overlapping: recurse only on the tail
+              s.take(j) ++ (Vector(l + r) ++ apply1(s.drop(j + 2)))
+            case None => s
+          }
+        }
+        words = words.groupBy { case (syms, _) => apply1(syms) }
+          .map { case (syms, m) => syms -> m.values.sum }
+      }
+    }
+    out.toSeq
+  }
+
+  private val corpus = Seq(
+    "low low low low low lower lower newest newest newest newest newest newest",
+    "widest widest widest new new new newer lowest",
+    "the model trains on the newest data the model trains")
+
+  test("applyMerge collapses left-to-right, non-overlapping") {
+    assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(Bpe.applyMerge(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    assert(Bpe.applyMerge(Seq("x", "y"), "a", "b") == Seq("x", "y"))
+    assert(Bpe.applyMerge(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+  }
+
+  test("trainMerges matches the single-node reference, merge for merge") {
+    import spark.implicits._
+    val docs = corpus.toDF("text")
+    val got = Bpe.trainMerges(docs, "text", 12)
+      .map(m => (m.left, m.right, m.freq))
+    val want = refMerges(corpus, 12)
+    assert(got == want)
+  }
+
+  test("trainMerges is invariant to input partitioning") {
+    import spark.implicits._
+    val docs = corpus.toDF("text")
+    val a = Bpe.trainMerges(docs, "text", 8)
+    val b = Bpe.trainMerges(docs.repartition(7), "text", 8)
+    assert(a == b)
+  }
+
+  test("trainMerges stops early when the vocabulary is fully merged") {
+    import spark.implicits._
+    val docs = Seq("ab ab ab").toDF("text")
+    val merges = Bpe.trainMerges(docs, "text", 50)
+    // "ab</w>" needs exactly 2 merges from (a,b,</w>) regardless of order
+    assert(merges.length == 2)
+    assert(merges.map(_.rank) == Seq(1, 2))
+    // learned merges reduce the word to one symbol
+    val syms = merges.foldLeft(Seq("a", "b", Bpe.EndOfWord)) {
+      (s, m) => Bpe.applyMerge(s, m.left, m.right)
+    }
+    assert(syms == Seq("ab" + Bpe.EndOfWord))
+  }
+
+  test("merge ranks learn frequent subwords on the fixture corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val merges = Bpe.trainMerges(docs, "text", 16)
+    assert(merges.length == 16)
+    assert(merges.map(_.rank) == (1 to 16))
+    // pair counts are non-increasing in rank ONLY per greedy step —
+    // not globally monotone (a merge can create a more frequent new
+    // pair) — but every winning count must be positive
+    assert(merges.forall(_.freq > 0))
+    // deterministic across retrains on the same input
+    assert(Bpe.trainMerges(docs, "text", 16) == merges)
+  }
+}
