@@ -115,4 +115,62 @@ object Bpe {
     }
     merges.toSeq
   }
+
+  /** Standard BPE encode of one word's symbols: repeatedly apply the
+    * LOWEST-rank merge present among adjacent pairs until none
+    * applies (the subword-nmt / tokenizers encode loop — not a single
+    * rank-order pass, which can miss an early merge whose pair only
+    * becomes adjacent after a later merge fires). */
+  def segment(syms: Seq[String], merges: Seq[Merge]): Seq[String] = {
+    val rankOf: Map[(String, String), Int] =
+      merges.map(m => (m.left, m.right) -> m.rank).toMap
+    var s = syms
+    var done = false
+    while (!done) {
+      val best = s.zip(s.drop(1))
+        .flatMap(p => rankOf.get(p).map(r => (r, p)))
+        .sortBy(_._1).headOption
+      best match {
+        case Some((_, (l, r))) => s = applyMerge(s, l, r)
+        case None => done = true
+      }
+    }
+    s
+  }
+
+  /** Corpus tokenization stats under trained merges, grouped by
+    * `groupCol`: word count, subtoken count, subtokens/word and
+    * chars/subtoken (the fertility / compression dials a tokenizer is
+    * judged by).
+    *
+    * Scale shape: the encode loop (a per-word sequential UDF) runs
+    * once per DISTINCT word, never per occurrence — the corpus-sized
+    * token stream is first reduced to a (group, word, n_occ) table
+    * (vocabulary × groups rows), and the encoded widths join back on
+    * the word key. Both join sides are vocabulary-scale, so no
+    * broadcast-size assumption is needed — a plain equi-join
+    * co-partitions them even when the vocabulary itself is huge. */
+  def encodeStats(docs: DataFrame, textCol: String, groupCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val ms = merges
+    val nSub = udf((w: String) =>
+      segment(w.map(_.toString) :+ EndOfWord, ms).length)
+    val tok = docs
+      .select(col(groupCol).as("g"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    val perWord = tok.groupBy(col("g"), col("w")).agg(count(lit(1)).as("n_occ"))
+    val wordSub = perWord.select(col("w")).distinct()
+      .select(col("w"), nSub(col("w")).as("n_sub"),
+        length(col("w")).cast("long").as("n_chars_w"))
+    perWord.join(wordSub, "w")
+      .groupBy(col("g").as(groupCol))
+      .agg(sum(col("n_occ")).as("n_words"),
+        sum(col("n_occ") * col("n_sub")).as("n_subtokens"),
+        round(sum(col("n_occ") * col("n_sub")) / sum(col("n_occ")), 6)
+          .as("subtok_per_word"),
+        round(sum(col("n_occ") * col("n_chars_w")) /
+          sum(col("n_occ") * col("n_sub")), 6).as("chars_per_subtok"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -719,6 +719,20 @@ object Extensions {
         .orderBy(col("rank"))
     }),
 
+    // Tokenizer APPLY at corpus scale: train 16 BPE merges, then
+    // encode and report per-lang fertility (subtokens/word) and
+    // compression (chars/subtoken) — the dials a tokenizer is judged
+    // by. The encode loop runs once per DISTINCT word (vocab-sized),
+    // joined back to (lang, word, n_occ) counts — both join sides
+    // vocabulary-scale, no broadcast-size assumption. No-oracle by
+    // design (depends on the learned merges); BpeSpec pins the stats
+    // to hand-computed values on a tiny corpus.
+    "q_x_bpe_encode" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val merges = graft.operators.Bpe.trainMerges(docs, "text", 16)
+      graft.operators.Bpe.encodeStats(docs, "text", "lang", merges)
+    }),
+
     // Keyword search with tf ranking — the ts_rank-style full-text
     // surface of the reference's ad-hoc PG SQL (README.md:62-78),
     // engine-shaped: explode → term filter (pushes into the scan of a

@@ -89,6 +89,46 @@ class BpeSpec extends SparkSuite {
     assert(syms == Seq("ab" + Bpe.EndOfWord))
   }
 
+  test("segment concatenates back to the original word") {
+    import spark.implicits._
+    val docs = corpus.toDF("text")
+    val merges = Bpe.trainMerges(docs, "text", 10)
+    for (w <- Seq("lowest", "newest", "model", "x")) {
+      val syms = Bpe.segment(w.map(_.toString) :+ Bpe.EndOfWord, merges)
+      assert(syms.mkString == w + Bpe.EndOfWord)
+    }
+  }
+
+  test("segment prefers the lowest-rank applicable merge") {
+    // merges: rank 1 = (b,c); rank 2 = (a,b). On "abc" the standard
+    // encoder fires (b,c) first → [a, bc]; a naive rank-order single
+    // pass would fire (a,b) at rank 2 → [ab, c].
+    val merges = Seq(Bpe.Merge(1, "b", "c", 9L), Bpe.Merge(2, "a", "b", 9L))
+    assert(Bpe.segment(Seq("a", "b", "c"), merges) == Seq("a", "bc"))
+  }
+
+  test("encodeStats matches hand-computed fertility on a tiny corpus") {
+    import spark.implicits._
+    // one group; zero merges → every word is chars+1 subtokens
+    val docs = Seq(("en", "ab ab cde"), ("en", "ab")).toDF("lang", "text")
+    val got = Bpe.encodeStats(docs, "text", "lang", Seq.empty)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    // words: ab x3 (3 subtoks each), cde x1 (4 subtoks)
+    // n_words=4, n_subtokens=13, subtok/word=3.25, chars/subtok=(3*2+3)/13
+    assert(got == Seq(("en", 4L, 13L, 3.25, math.rint(9.0 / 13 * 1e6) / 1e6)))
+  }
+
+  test("encodeStats with a learned merge shrinks subtoken count") {
+    import spark.implicits._
+    val docs = Seq(("en", "ab ab ab cde")).toDF("lang", "text")
+    val m0 = Bpe.encodeStats(docs, "text", "lang", Seq.empty)
+      .select("n_subtokens").as[Long].head()
+    val merges = Bpe.trainMerges(docs, "text", 4)
+    val m4 = Bpe.encodeStats(docs, "text", "lang", merges)
+      .select("n_subtokens").as[Long].head()
+    assert(m4 < m0)
+  }
+
   test("merge ranks learn frequent subwords on the fixture corpus") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val merges = Bpe.trainMerges(docs, "text", 16)
