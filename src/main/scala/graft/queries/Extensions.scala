@@ -23,6 +23,28 @@ object Extensions {
 
   private val enStop = TextFunctions.stopwordsByLang("en")
 
+  /** zlib-deflated size (bytes) of the UTF-8 text at fixed level 6 —
+    * the compression-ratio quality kernel. A Scala UDF is the honest
+    * form here: the cost IS the deflate, which no codegen'd
+    * expression would avoid; the fixed level keeps the signal
+    * deterministic across runs and partitionings. Streams through an
+    * 8 KiB buffer counting output bytes — never materializes the
+    * compressed body. */
+  private val deflatedBytes = udf { (t: String) =>
+    if (t == null) null.asInstanceOf[java.lang.Long]
+    else {
+      val raw = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end()
+      java.lang.Long.valueOf(n)
+    }
+  }
+
   val defs: Map[String, Q] = Map(
     // ---- dedup family -------------------------------------------------
     "q_x_exact_dedup" -> ((s, d) =>
@@ -323,6 +345,28 @@ object Extensions {
           TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))
     }),
+
+    // Compression-ratio quality signal (the Gopher-rules repetitive-
+    // document detector, Rae et al. 2021 §A1.1 family): a doc whose
+    // zlib-deflated size is a small fraction of its raw size is
+    // boilerplate/template spam that n-gram repetition scores can
+    // miss (q_x_rep_ngrams catches exact trigram repeats; deflate
+    // catches longer-range and approximate redundancy). Map-only; the
+    // per-doc byte kernel is a Scala UDF by necessity — the cost IS
+    // the deflate, which no codegen'd expression would avoid.
+    // No-oracle by design (DuckDB has no zlib); CompressRatioSpec
+    // pins the signal's invariants and determinism.
+    "q_x_compress_ratio" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          deflatedBytes(col("text")).as("n_deflated"))
+        .filter(col("n_bytes") > 0)
+        // integer-exact flag: deflated below 35% of raw (x100 both
+        // sides, no float boundary against the rounded display ratio)
+        .withColumn("compress_ratio", round(col("n_deflated") / col("n_bytes"), 6))
+        .withColumn("flagged", col("n_deflated") * 100 < col("n_bytes") * 35)
+        .orderBy(col("doc_id"))),
 
     "q_x_lang_id" -> ((s, d) =>
       table(s, d, "documents")
