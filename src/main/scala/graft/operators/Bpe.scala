@@ -59,10 +59,28 @@ object Bpe {
     out.toSeq
   }
 
-  /** The distinct-word working table: (syms: array<string> of 1-char
-    * symbols plus the [[EndOfWord]] terminal, freq: corpus occurrence
-    * count). This is the single corpus-sized pass — everything after
-    * it is vocabulary-sized. */
+  /** Code-point symbolization of one word — the JVM-side twin of the
+    * plan-side [[graft.functions.CharNgrams]] n=1 split (UTF8String
+    * "chars" are code points), so trained merges and the encode loop
+    * agree on what a base symbol is even for supplementary-plane text
+    * (an emoji is ONE symbol, never a surrogate pair split in two). */
+  def charSyms(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** The distinct-word working table: (syms: array<string> of
+    * one-code-point symbols plus the [[EndOfWord]] terminal, freq:
+    * corpus occurrence count). This is the single corpus-sized pass —
+    * everything after it is vocabulary-sized. The char split reuses
+    * the codegen'd [[graft.functions.CharNgrams]] with n=1, the same
+    * code-point semantics as [[charSyms]]. */
   def wordTable(docs: DataFrame, textCol: String): DataFrame =
     docs
       .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
@@ -70,7 +88,7 @@ object Bpe {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(
         concat(
-          filter(split(col("w"), ""), c => c =!= ""),
+          graft.functions.TextFunctions.charNgramsExpr("w", 1),
           array(lit(EndOfWord))).as("syms"),
         col("freq"))
 
@@ -78,7 +96,11 @@ object Bpe {
     * Stops early (returning fewer merges) if the vocabulary is fully
     * merged before the budget is spent. Deterministic on any
     * partitioning: the argmax orders by (count desc, left asc,
-    * right asc). The returned list is merge-rank-ordered and tiny
+    * right asc), where string order is Spark's binary UTF-8 compare —
+    * i.e. code-POINT order, which a JVM UTF-16 String compare only
+    * matches when ties never pit a supplementary-plane symbol against
+    * a BMP char above U+E000 (the spec corpora keep clear of that
+    * edge). The returned list is merge-rank-ordered and tiny
     * (≤ numMerges rows on the driver — this is tokenizer metadata,
     * not data). */
   def trainMerges(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
@@ -116,14 +138,22 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Merge-pair → rank lookup, built ONCE per merge list — callers on
+    * per-word hot paths ([[encodeStats]]'s UDF) hoist this out of the
+    * loop instead of rebuilding it per word. */
+  def rankIndex(merges: Seq[Merge]): Map[(String, String), Int] =
+    merges.map(m => (m.left, m.right) -> m.rank).toMap
+
   /** Standard BPE encode of one word's symbols: repeatedly apply the
     * LOWEST-rank merge present among adjacent pairs until none
     * applies (the subword-nmt / tokenizers encode loop — not a single
     * rank-order pass, which can miss an early merge whose pair only
     * becomes adjacent after a later merge fires). */
-  def segment(syms: Seq[String], merges: Seq[Merge]): Seq[String] = {
-    val rankOf: Map[(String, String), Int] =
-      merges.map(m => (m.left, m.right) -> m.rank).toMap
+  def segment(syms: Seq[String], merges: Seq[Merge]): Seq[String] =
+    segmentByRank(syms, rankIndex(merges))
+
+  /** [[segment]] with a pre-built [[rankIndex]]. */
+  def segmentByRank(syms: Seq[String], rankOf: Map[(String, String), Int]): Seq[String] = {
     var s = syms
     var done = false
     while (!done) {
@@ -152,9 +182,9 @@ object Bpe {
     * co-partitions them even when the vocabulary itself is huge. */
   def encodeStats(docs: DataFrame, textCol: String, groupCol: String,
       merges: Seq[Merge]): DataFrame = {
-    val ms = merges
+    val rankOf = rankIndex(merges) // built once, serialized to executors
     val nSub = udf((w: String) =>
-      segment(w.map(_.toString) :+ EndOfWord, ms).length)
+      segmentByRank(charSyms(w) :+ EndOfWord, rankOf).length)
     val tok = docs
       .select(col(groupCol).as("g"),
         explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))

@@ -23,26 +23,37 @@ object Extensions {
 
   private val enStop = TextFunctions.stopwordsByLang("en")
 
-  /** zlib-deflated size (bytes) of the UTF-8 text at fixed level 6 —
-    * the compression-ratio quality kernel. A Scala UDF is the honest
-    * form here: the cost IS the deflate, which no codegen'd
-    * expression would avoid; the fixed level keeps the signal
-    * deterministic across runs and partitionings. Streams through an
-    * 8 KiB buffer counting output bytes — never materializes the
-    * compressed body. */
-  private val deflatedBytes = udf { (t: String) =>
-    if (t == null) null.asInstanceOf[java.lang.Long]
-    else {
-      val raw = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val d = new java.util.zip.Deflater(6)
-      d.setInput(raw)
+  /** zlib-deflate kernel for q_x_compress_ratio. Lives in its own
+    * object so the UDF lambda captures nothing: executors reach it as
+    * a static, and the per-THREAD Deflater (reset per row, never
+    * re-allocated) amortizes the ~256 KB native deflateInit across
+    * the whole partition instead of paying it per document. The
+    * ThreadLocal is executor-JVM state — never serialized. */
+  private object DeflateKernel {
+    private val local = new ThreadLocal[java.util.zip.Deflater] {
+      override def initialValue(): java.util.zip.Deflater =
+        new java.util.zip.Deflater(6) // fixed level → deterministic signal
+    }
+    def size(t: String): Long = {
+      val d = local.get()
+      d.reset() // clears any state a prior row's failure left behind
+      d.setInput(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       d.finish()
       val buf = new Array[Byte](8192)
       var n = 0L
       while (!d.finished()) n += d.deflate(buf)
-      d.end()
-      java.lang.Long.valueOf(n)
+      n
     }
+  }
+
+  /** zlib-deflated size (bytes) of the UTF-8 text at fixed level 6 —
+    * the compression-ratio quality kernel. A Scala UDF is the honest
+    * form here: the cost IS the deflate, which no codegen'd
+    * expression would avoid. Streams through an 8 KiB buffer counting
+    * output bytes — never materializes the compressed body. */
+  private val deflatedBytes = udf { (t: String) =>
+    if (t == null) null.asInstanceOf[java.lang.Long]
+    else java.lang.Long.valueOf(DeflateKernel.size(t))
   }
 
   val defs: Map[String, Q] = Map(
@@ -754,7 +765,10 @@ object Extensions {
     // argmax tie-breaks (count desc, pair asc). No-oracle by design —
     // the iterative argmax is not SQL-expressible; BpeSpec asserts
     // exact merge-list equality vs an independent single-node
-    // reference plus partitioning invariance.
+    // reference plus partitioning invariance. Training runs its jobs
+    // EAGERLY while the query is built (the q_x_dup_clusters precedent
+    // for iterative operators) — deliberate, so bench and correctness
+    // both measure the true training cost rather than a cached replay.
     "q_x_bpe" -> ((s, d) => {
       import s.implicits._
       graft.operators.Bpe.trainMerges(table(s, d, "documents"), "text", 24)

@@ -13,8 +13,11 @@ class BpeSpec extends SparkSuite {
 
   // ---- independent single-node reference BPE -----------------------
   private def refMerges(corpus: Seq[String], n: Int): Seq[(String, String, Long)] = {
+    // code-POINT split (independent of Bpe.charSyms): a surrogate
+    // pair is one symbol, matching the plan-side UTF8String semantics
     def splitWord(w: String): Vector[String] =
-      w.map(_.toString).toVector :+ Bpe.EndOfWord
+      w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).toVector :+ Bpe.EndOfWord
     var words: Map[Vector[String], Long] = corpus
       .flatMap(_.split(" ")).filter(_.nonEmpty)
       .groupBy(identity).map { case (w, ws) => splitWord(w) -> ws.size.toLong }
@@ -127,6 +130,23 @@ class BpeSpec extends SparkSuite {
     val m4 = Bpe.encodeStats(docs, "text", "lang", merges)
       .select("n_subtokens").as[Long].head()
     assert(m4 < m0)
+  }
+
+  test("non-BMP text: trainer and encoder agree on code-point symbols") {
+    import spark.implicits._
+    // an emoji is ONE symbol on both the plan side (UTF8String chars)
+    // and the JVM side (charSyms) — a code-UNIT split would break the
+    // surrogate pair in two and trained merges would never fire
+    val emoji = new String(Character.toChars(0x1F600))
+    val docs = Seq(("en", s"${emoji}x ${emoji}x ${emoji}x")).toDF("lang", "text")
+    val merges = Bpe.trainMerges(docs, "text", 2)
+    assert(merges.map(m => (m.left, m.right)) ==
+      refMerges(Seq(s"${emoji}x ${emoji}x ${emoji}x"), 2).map(t => (t._1, t._2)))
+    // full merge chain collapses the word to a single subtoken
+    val stats = Bpe.encodeStats(docs, "text", "lang", merges)
+      .select("n_words", "n_subtokens").as[(Long, Long)].head()
+    assert(stats == ((3L, 3L))) // 3 occurrences x 1 subtoken each
+    assert(Bpe.charSyms(s"${emoji}x") == Vector(emoji, "x"))
   }
 
   test("merge ranks learn frequent subwords on the fixture corpus") {

@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
 class CompressRatioSpec extends SparkSuite {
   import spark.implicits._
 
-  private def runOn(texts: Seq[(Long, String)]): Map[Long, (Long, Long, Double, Boolean)] = {
+  private def runOn(texts: Seq[(Long, String)], parts: Int = 1): Map[Long, (Long, Long, Double, Boolean)] = {
     val dir = Files.createTempDirectory("graft_cr").toString
     texts.toDF("doc_id", "text")
+      .repartition(parts)
       .select(col("doc_id"), col("text"), lit("en").as("lang"),
         lit("src").as("source"), length(col("text")).as("n_chars"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -41,8 +42,8 @@ class CompressRatioSpec extends SparkSuite {
 
   test("ratio and flag are deterministic across runs and partitionings") {
     val texts = (1L to 40L).map(i => i -> s"doc $i ${"na " * (i % 7).toInt}content")
-    val a = runOn(texts)
-    val b = runOn(texts)
+    val a = runOn(texts, parts = 1)
+    val b = runOn(texts, parts = 7)
     assert(a == b)
   }
 
