@@ -587,6 +587,32 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // Leakage-safe train/val/test split: the bucket rule of q_x_split
+    // applied to the near-dup CLUSTER id instead of the doc id, so
+    // near-duplicates can never straddle train and test — the eval-
+    // contamination path q_x_contam cannot see (a paraphrase of a
+    // training doc leaking into test). Composes the q_x_dup_clusters
+    // derivation (lossless exact-Jaccard edges → connected
+    // components); every doc is a CC node, so the cluster frame
+    // already carries the whole corpus — no join back needed.
+    "q_x_split_safe" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val sets = docs.select(col("doc_id"),
+        array_distinct(TextFunctions.wordNgramsExpr("text", 3)).as("g"))
+      val edges = Dedup.exactJaccardPairs(sets, "doc_id", "g", threshold = 0.6)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      graft.operators.Components
+        .connectedComponents(s, docs.select(col("doc_id").as("id")), edges)
+        .withColumn("split",
+          when(col("cluster_id") % 10 < 8, "train")
+            .when(col("cluster_id") % 10 < 9, "val")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .orderBy(col("split"))
+    }),
+
     // Exact duplicated-SPAN detection (window-key approximation of
     // suffix-array substring dedup, Lee et al. 2022): per doc, how
     // many of its 10-word windows appear verbatim in another doc —
@@ -1443,6 +1469,30 @@ object Extensions {
                SELECT r.id, s.v FROM r JOIN sym s ON r.reach = s.u)
          SELECT id AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
          FROM r GROUP BY id ORDER BY doc_id""",
+
+    "q_x_split_safe" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                      ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                        i -> array_to_string(ws[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))) END AS s
+               FROM w),
+         e AS (SELECT a.doc_id AS u, b.doc_id AS v
+               FROM g a JOIN g b ON a.doc_id < b.doc_id
+               WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+                 AND len(list_intersect(a.s, b.s)) * 1000000
+                     >= len(list_distinct(list_concat(a.s, b.s))) * 600000),
+         sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         r AS (SELECT doc_id AS id, doc_id AS reach FROM documents
+               UNION
+               SELECT r.id, s.v FROM r JOIN sym s ON r.reach = s.u),
+         c AS (SELECT id, min(reach) AS cluster_id FROM r GROUP BY id)
+         SELECT CASE WHEN cluster_id % 10 < 8 THEN 'train'
+                     WHEN cluster_id % 10 < 9 THEN 'val'
+                     ELSE 'test' END AS split,
+                count(*) AS n_docs,
+                count(DISTINCT cluster_id) AS n_clusters
+         FROM c GROUP BY 1 ORDER BY split""",
 
     "q_x_span_dedup" ->
       """WITH wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

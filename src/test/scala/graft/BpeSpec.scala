@@ -149,6 +149,22 @@ class BpeSpec extends SparkSuite {
     assert(Bpe.charSyms(s"${emoji}x") == Vector(emoji, "x"))
   }
 
+  test("randomized corpora: trainer matches the reference on 8 seeds") {
+    import spark.implicits._
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      // zipfish toy corpora: small alphabet, repeated draws so real
+      // merge structure exists; 3 docs x 30 words
+      val vocabPool = Vector.fill(12)(
+        (1 to (1 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString)
+      val docs3 = Seq.fill(3)(
+        Seq.fill(30)(vocabPool(rnd.nextInt(vocabPool.length))).mkString(" "))
+      val got = Bpe.trainMerges(docs3.toDF("text"), "text", 6)
+        .map(m => (m.left, m.right, m.freq))
+      assert(got == refMerges(docs3, 6), s"seed $seed diverged")
+    }
+  }
+
   test("merge ranks learn frequent subwords on the fixture corpus") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val merges = Bpe.trainMerges(docs, "text", 16)
