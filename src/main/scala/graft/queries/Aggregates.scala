@@ -141,7 +141,52 @@ object Aggregates {
           sum(when(col("l_returnflag") === "A", money(col("l_extendedprice")))
             .otherwise(lit(0).cast(dec2))).cast(dec2).cast("double").as("sum_a"),
           count(when(col("l_quantity") > 40, 1)).as("n_heavy"))
-        .orderBy(col("l_linestatus")))
+        .orderBy(col("l_linestatus"))),
+
+    // Ordered-sequence funnel over events (view → click → purchase):
+    // stage k counts users whose earliest stage-k event strictly
+    // follows their stage-(k−1) entry time — the event-analytics
+    // staple (windowed-funnel / MATCH_RECOGNIZE territory) built from
+    // plain aggs. Scale: the first groupBy shuffles on user_id; every
+    // later join + groupBy reuses that partitioning (join key =
+    // grouping key), so the funnel depth adds NO extra shuffles of
+    // the events table — and each stage's input shrinks to the
+    // previous stage's survivors.
+    "q_funnel" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      def stage(prev: DataFrame, prevT: String, typ: String, t: String) =
+        ev.join(prev, "user_id")
+          .filter(col("event_type") === typ && col("ts") > col(prevT))
+          .groupBy(col("user_id")).agg(min(col("ts")).as(t))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = stage(s1, "t1", "click", "t2")
+      val s3 = stage(s2, "t2", "purchase", "t3")
+      s1.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
+        .unionByName(s2.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("2_click")))
+        .unionByName(s3.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("3_purchase")))
+        .select(col("stage"), col("n_users"))
+        .orderBy(col("stage"))
+    }),
+
+    // Weekly cohort retention: users grouped by first-activity week,
+    // tracked for presence in each later week — the second
+    // event-analytics staple. Two shuffles total (user grain, then
+    // cohort×offset grain); the distinct-per-week pass rides the
+    // user_id partitioning of the cohort join.
+    "q_retention" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      val weekOf = (t: org.apache.spark.sql.Column) =>
+        floor(unix_timestamp(t) / lit(604800L)).cast("long")
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(weekOf(min(col("ts"))).as("cohort_week"))
+      val active = ev.select(col("user_id"), weekOf(col("ts")).as("week")).distinct()
+      active.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -217,6 +262,32 @@ object Aggregates {
                 CAST(CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(18,2))
                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS DOUBLE) AS sum_a,
                 count(*) FILTER (WHERE l_quantity > 40) AS n_heavy
-         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+         SELECT stage, n_users FROM (
+           SELECT '1_view' AS stage, count(*) AS n_users FROM s1
+           UNION ALL SELECT '2_click', count(*) FROM s2
+           UNION ALL SELECT '3_purchase', count(*) FROM s3)
+         ORDER BY stage""",
+
+    "q_retention" ->
+      """WITH c AS (SELECT user_id,
+                  (epoch_us(min(ts)) // 1000000) // 604800 AS cohort_week
+                FROM events GROUP BY 1),
+         a AS (SELECT DISTINCT user_id,
+                  (epoch_us(ts) // 1000000) // 604800 AS week
+               FROM events)
+         SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+                CAST(a.week - c.cohort_week AS BIGINT) AS week_offset,
+                count(*) AS n_active
+         FROM a JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""
   )
 }
