@@ -146,6 +146,27 @@ object Windows {
           first(col("value")).over(w).as("first_v"),
           last(col("value")).over(w).as("last_v"))
         .orderBy(col("event_id"))
+    }),
+
+    // Gap-based batch sessionization: a new session starts when a
+    // user is idle > 24 h (fixture cadence: ~10% of gaps — ~10-event
+    // sessions). Both windows share one (user_id, ts, event_id)
+    // sort, so boundary flag + running counter cost a single
+    // Exchange+Sort, and the (user_id, session_seq) agg reuses the
+    // user_id hash partitioning. Gaps compare exact integer µs on
+    // both engines — no float or sub-second truncation drift.
+    "q_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+      table(s, d, "events")
+        .withColumn("nb",
+          when(gapUs.isNull || gapUs > lit(86400000000L), lit(1L)).otherwise(lit(0L)))
+        .withColumn("session_seq", sum(col("nb")).over(run))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("session_seq"))
     })
   )
 
@@ -236,6 +257,22 @@ object Windows {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-         ORDER BY event_id"""
+         ORDER BY event_id""",
+
+    "q_sessionize" ->
+      """WITH b AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 86400000000
+                       THEN 1 ELSE 0 END AS nb
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           FROM b)
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS n_events
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq"""
   )
 }
