@@ -186,6 +186,23 @@ object Aggregates {
           (col("week") - col("cohort_week")).as("week_offset"))
         .agg(count(lit(1)).as("n_active"))
         .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // Per-key z-score outlier detection: events whose value sits
+    // ≥ 2 sample standard deviations from the user's mean. The
+    // per-user stats frame is tiny (one row per user) — broadcast
+    // back onto the stream, so the events table is never shuffled.
+    // z rounds to 6dp BEFORE the threshold test so both engines
+    // compare the same canonical number (SURVEY §7.4 float rule).
+    "q_anomaly" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      val stats = ev.groupBy(col("user_id"))
+        .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+      ev.join(broadcast(stats), Seq("user_id"))
+        .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 6))
+        .filter(abs(col("z")) >= 2.0)
+        .select(col("event_id"), col("user_id"), col("value"), col("z"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -288,6 +305,15 @@ object Aggregates {
                 CAST(a.week - c.cohort_week AS BIGINT) AS week_offset,
                 count(*) AS n_active
          FROM a JOIN c USING (user_id)
-         GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""
+         GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+
+    "q_anomaly" ->
+      """WITH s AS (SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma
+                    FROM events GROUP BY 1)
+         SELECT event_id, e.user_id, value,
+                round((value - mu) / sigma, 6) AS z
+         FROM events e JOIN s ON e.user_id = s.user_id
+         WHERE abs(round((value - mu) / sigma, 6)) >= 2.0
+         ORDER BY event_id"""
   )
 }

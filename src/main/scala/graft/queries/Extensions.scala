@@ -645,6 +645,26 @@ object Extensions {
         .orderBy(col("lang"))
     }),
 
+    // Quality-weighted deterministic sampling (the "sample in
+    // proportion to a quality score" keep rule of FineWeb-Edu/DCLM
+    // style curation): a doc survives iff its 16-bit md5 bucket falls
+    // under floor(quality × 65536) — acceptance probability tracks
+    // the score, yet membership is a pure function of doc_id (no
+    // rand(), reproducible on any cluster/partitioning). Map-only:
+    // codegen'd hash/string predicate, no shuffle before the final
+    // order — at 100 TB this is one free pass over the corpus.
+    "q_x_weighted_sample" -> ((s, d) => {
+      val h = md5(concat(lit("wsamp"), col("doc_id").cast("string")))
+      val hex = lit("0123456789abcdef")
+      def nib(i: Int) = instr(hex, substring(h, i, 1)) - 1
+      val bucket = ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
+      table(s, d, "documents")
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .filter(bucket < floor(col("quality") * 65536))
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact-quota stratified sampling: exactly ceil(n_s/10) docs from
     // each source stratum, chosen by a deterministic md5 rank —
     // reproducible on any cluster and partitioning. Complements
@@ -1540,6 +1560,27 @@ object Extensions {
                + (strpos('0123456789abcdef', substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), 2, 1)) - 1)
                < (CASE WHEN lang = 'en' THEN 200 WHEN lang = 'de' THEN 128 ELSE 64 END)
          GROUP BY lang ORDER BY lang""",
+
+    "q_x_weighted_sample" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+                  string_split(text, ' ') AS words,
+                  md5(concat('wsamp', CAST(doc_id AS VARCHAR))) AS h
+           FROM documents),
+         q AS (
+           SELECT doc_id, lang, h,
+                  round(least(1.0, CAST(len(words) AS DOUBLE) / 100.0)
+                        * (1.0 - CAST(len(list_intersect(words,
+                            ['the','a','of','and','to','in','is','it'])) AS DOUBLE)
+                           / CAST(len(words) AS DOUBLE)), 6) AS quality
+           FROM w)
+         SELECT doc_id, lang, quality FROM q
+         WHERE ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1))
+               < floor(quality * 65536)
+         ORDER BY doc_id""",
 
     "q_x_stratified" ->
       """WITH r AS (SELECT source, n_chars,
