@@ -194,6 +194,25 @@ object Aggregates {
     // back onto the stream, so the events table is never shuffled.
     // z rounds to 6dp BEFORE the threshold test so both engines
     // compare the same canonical number (SURVEY §7.4 float rule).
+    // Mergeable-sketch rollup — the 100 TB pre-aggregation pattern:
+    // hourly HLL partials are tiny and persistable; daily (or weekly,
+    // monthly) distinct-user counts come from lossless sketch UNION
+    // without ever re-scanning raw events. Union-of-partials equals
+    // the single-pass sketch exactly at the same lgK (spec-asserted),
+    // so rollup grain costs nothing in accuracy. No oracle by design
+    // (DuckDB's approx_count_distinct is a different sketch);
+    // ApproxSpec bounds the error vs exact distincts.
+    "q_agg_sketch" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      val hourly = ev
+        .groupBy(date_trunc("DAY", col("ts")).as("day"),
+          hour(col("ts")).as("hr"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      hourly.groupBy(col("day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+        .orderBy(col("day"))
+    }),
+
     "q_anomaly" -> ((s, d) => {
       val ev = table(s, d, "events")
       val stats = ev.groupBy(col("user_id"))

@@ -587,6 +587,26 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // Document centrality over the similarity graph (PageRank):
+    // ranks duplicate-cluster members by connectivity — the
+    // principled representative-selection signal (vs the length rule
+    // of q_x_dedup_keep) — with isolated docs at the floor (1−d)/N.
+    // Fixed 10 iterations at damping 0.85; the oracle unrolls the
+    // identical recurrence relationally, and ranks surface as ppm
+    // rounded to 3dp (FP noise ~1e-11 ppm — far under the rounding).
+    "q_x_pagerank" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val sets = docs.select(col("doc_id"),
+        array_distinct(TextFunctions.wordNgramsExpr("text", 3)).as("g"))
+      val edges = Dedup.exactJaccardPairs(sets, "doc_id", "g", threshold = 0.6)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      graft.operators.PageRank
+        .pageRank(s, docs.select(col("doc_id").as("id")), edges)
+        .select(col("id").as("doc_id"),
+          round(col("rank") * 1000000, 3).as("pr_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Leakage-safe train/val/test split: the bucket rule of q_x_split
     // applied to the near-dup CLUSTER id instead of the doc id, so
     // near-duplicates can never straddle train and test — the eval-
@@ -1489,6 +1509,37 @@ object Extensions {
                SELECT r.id, s.v FROM r JOIN sym s ON r.reach = s.u)
          SELECT id AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
          FROM r GROUP BY id ORDER BY doc_id""",
+
+    "q_x_pagerank" -> {
+      val rounds = (1 to 10).map { k =>
+        s"""r$k AS (SELECT d.doc_id,
+           |           0.15 / (SELECT n FROM nn)
+           |             + 0.85 * coalesce(sum(p.rank / dg.outdeg), 0) AS rank
+           |         FROM documents d
+           |         LEFT JOIN sym s ON s.dst = d.doc_id
+           |         LEFT JOIN r${k - 1} p ON p.doc_id = s.src
+           |         LEFT JOIN deg dg ON dg.src = s.src
+           |         GROUP BY d.doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                      ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                        i -> array_to_string(ws[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))) END AS s
+               FROM w),
+         e AS (SELECT a.doc_id AS u, b.doc_id AS v
+               FROM g a JOIN g b ON a.doc_id < b.doc_id
+               WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+                 AND len(list_intersect(a.s, b.s)) * 1000000
+                     >= len(list_distinct(list_concat(a.s, b.s))) * 600000),
+         sym AS (SELECT u AS src, v AS dst FROM e UNION SELECT v AS src, u AS dst FROM e),
+         deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         r0 AS (SELECT doc_id, CAST(1 AS DOUBLE) / nn.n AS rank FROM documents, nn),
+         $rounds
+         SELECT doc_id, round(rank * 1000000, 3) AS pr_ppm
+         FROM r10 ORDER BY doc_id"""
+    },
 
     "q_x_split_safe" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -19,6 +19,27 @@ class ApproxSpec extends SparkSuite {
     }
   }
 
+  test("hll rollup: union of hourly partials == direct daily sketch, within 5% of exact") {
+    val ev = Tables.table(spark, sfDir, "events")
+    val direct = ev
+      .groupBy(date_trunc("DAY", $"ts").as("day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("direct_users"))
+    val exact = ev
+      .groupBy(date_trunc("DAY", $"ts").as("day"))
+      .agg(countDistinct($"user_id").as("exact_users"))
+    val rows = queries.Aggregates.defs("q_agg_sketch")(spark, sfDir)
+      .join(direct, "day").join(exact, "day")
+      .select($"approx_users", $"direct_users", $"exact_users")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (merged, direct, exact) =>
+      assert(merged == direct,
+        s"hourly-union estimate $merged != single-pass estimate $direct")
+      assert(math.abs(merged - exact).toDouble / exact < 0.05,
+        s"sketch $merged vs exact $exact")
+    }
+  }
+
   test("percentile_approx within 5% relative of exact percentile") {
     val got = queries.Aggregates.defs("q_agg_approx_pct")(spark, sfDir)
       .join(
