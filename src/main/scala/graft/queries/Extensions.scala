@@ -665,6 +665,24 @@ object Extensions {
         .orderBy(col("lang"))
     }),
 
+    // Temperature-scaled source mixture (the multilingual-LM sampling
+    // rule, α = 0.3): upweight small sources by renormalizing
+    // n_i^α — the declarative form of the mixture-design step that
+    // precedes q_x_mix's per-source keep rates. Two tiny aggregates
+    // (per-source counts, then a 1-row total broadcast back); the
+    // corpus itself is scanned once for counts and never shuffled.
+    "q_x_temp_mix" -> ((s, d) => {
+      val counts = table(s, d, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum(col("n_docs")).cast("double").as("tot"),
+        sum(pow(col("n_docs"), 0.3)).as("tot_pow"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          round(col("n_docs") / col("tot"), 6).as("nat_share"),
+          round(pow(col("n_docs"), 0.3) / col("tot_pow"), 6).as("temp_share"))
+        .orderBy(col("source"))
+    }),
+
     // Quality-weighted deterministic sampling (the "sample in
     // proportion to a quality score" keep rule of FineWeb-Edu/DCLM
     // style curation): a doc survives iff its 16-bit md5 bucket falls
@@ -1611,6 +1629,15 @@ object Extensions {
                + (strpos('0123456789abcdef', substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), 2, 1)) - 1)
                < (CASE WHEN lang = 'en' THEN 200 WHEN lang = 'de' THEN 128 ELSE 64 END)
          GROUP BY lang ORDER BY lang""",
+
+    "q_x_temp_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS tot,
+                      sum(pow(n_docs, 0.3)) AS tot_pow FROM c)
+         SELECT source, n_docs,
+                round(CAST(n_docs AS DOUBLE) / tot, 6) AS nat_share,
+                round(pow(n_docs, 0.3) / tot_pow, 6) AS temp_share
+         FROM c, t ORDER BY source""",
 
     "q_x_weighted_sample" ->
       """WITH w AS (

@@ -148,6 +148,26 @@ object Windows {
         .orderBy(col("event_id"))
     }),
 
+    // Gaps-and-islands sequence analytics: longest strictly-increasing
+    // value run per user. Same two-stacked-windows shape as
+    // q_sessionize (boundary flag + running run-id over ONE shared
+    // sort), then two aggs that both ride the user_id partitioning —
+    // the relational form of MATCH_RECOGNIZE's A B+ pattern.
+    "q_win_streak" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prev = lag(col("value"), 1).over(w)
+      table(s, d, "events")
+        .withColumn("brk",
+          when(prev.isNull || col("value") <= prev, lit(1L)).otherwise(lit(0L)))
+        .withColumn("run_id", sum(col("brk")).over(run))
+        .groupBy(col("user_id"), col("run_id"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("max_streak"), count(lit(1)).as("n_runs"))
+        .orderBy(col("user_id"))
+    }),
+
     // Gap-based batch sessionization: a new session starts when a
     // user is idle > 24 h (fixture cadence: ~10% of gaps — ~10-event
     // sessions). Both windows share one (user_id, ts, event_id)
@@ -258,6 +278,20 @@ object Windows {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY event_id""",
+
+    "q_win_streak" ->
+      """WITH b AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN lag(value) OVER w IS NULL OR value <= lag(value) OVER w
+                       THEN 1 ELSE 0 END AS brk
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         r AS (
+           SELECT user_id, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+           FROM b),
+         l AS (SELECT user_id, run_id, count(*) AS len FROM r GROUP BY 1, 2)
+         SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak, count(*) AS n_runs
+         FROM l GROUP BY 1 ORDER BY user_id""",
 
     "q_sessionize" ->
       """WITH b AS (
