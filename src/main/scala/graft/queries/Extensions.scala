@@ -665,6 +665,33 @@ object Extensions {
         .orderBy(col("lang"))
     }),
 
+    // Incremental rollup maintenance (operators.IncrementalAgg): the
+    // daily per-type stats table maintained the way the reference's
+    // 5-minute batches would — historical state folded with a delta
+    // batch's partial aggregate (here: everything after a cut
+    // timestamp PLUS deterministic late stragglers touching old
+    // days). DECIMAL sums make the fold exactly associative, so the
+    // merged state hash-matches the oracle's full recompute — the
+    // no-drift contract. Cost at 100 TB ∝ rollup + batch, never raw
+    // history.
+    "q_x_incr_agg" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .withColumn("day", to_date(col("ts")))
+      val isDelta = col("ts") >= lit("2024-01-21 12:00:00").cast("timestamp") ||
+        col("event_id") % 97 === 0
+      val keys = Seq("day", "event_type")
+      val state = graft.operators.IncrementalAgg
+        .rollup(ev.filter(!isDelta), keys, "value")
+      val delta = graft.operators.IncrementalAgg
+        .rollup(ev.filter(isDelta), keys, "value")
+      graft.operators.IncrementalAgg
+        .withAvg(graft.operators.IncrementalAgg.merge(state, delta, keys))
+        .select(col("day"), col("event_type"), col("n"),
+          col("sum_v").cast("double").as("sum_v"),
+          col("min_v"), col("max_v"), col("avg_v"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
     // Temperature-scaled source mixture (the multilingual-LM sampling
     // rule, α = 0.3): upweight small sources by renormalizing
     // n_i^α — the declarative form of the mixture-design step that
@@ -1629,6 +1656,14 @@ object Extensions {
                + (strpos('0123456789abcdef', substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), 2, 1)) - 1)
                < (CASE WHEN lang = 'en' THEN 200 WHEN lang = 'de' THEN 128 ELSE 64 END)
          GROUP BY lang ORDER BY lang""",
+
+    "q_x_incr_agg" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_v,
+                min(value) AS min_v, max(value) AS max_v,
+                round(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)
+                      / count(*), 6) AS avg_v
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
 
     "q_x_temp_mix" ->
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
