@@ -18,6 +18,9 @@ object Bench {
     // timing (SURVEY.md §6/M5: cache shared scans across queries).
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.enableCaching(spark, sfDir)
+    // Five near-dup queries share one similarity-graph derivation
+    // (operators.DupGraph); compute it once per bench run.
+    graft.operators.DupGraph.enableCaching()
     // One cold (warm-up) pass + two timed runs per query, reporting the
     // min (steady-state, scheduler-noise-resistant); the cold pass
     // total is included for transparency.
@@ -111,5 +114,8 @@ object Bench {
     while (kept > 0 && line(kept).length > budget) kept -= 1
     println(line(kept))
     spark.stop()
+    // Self-describing artifact (r6 advice): a bench with failed queries
+    // must not report rc=0 — gates keyed on exit status see red.
+    if (failed.nonEmpty) sys.exit(2)
   }
 }

@@ -42,15 +42,36 @@ object Tables {
         cachedTables((dir, n)) = df
       }
 
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which the
-    * Spark Parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos
-    * as a plain long and truncate to microseconds — the same truncation
-    * DuckDB applies when it coerces TIMESTAMP_NS to its µs TIMESTAMP,
-    * so oracle comparisons stay exact.
+  /** Load `events` and normalize `ts` to session-timezone TimestampType
+    * regardless of how the fixture generation wrote it. Fixtures have
+    * shipped with two physical encodings so far, and this loader must
+    * keep working across regenerations:
+    *
+    *  - INT64 TIMESTAMP(NANOS): the Spark reader rejects it
+    *    ([PARQUET_TYPE_ILLEGAL]) unless `nanosAsLong` is set, which
+    *    surfaces it as LongType → truncate nanos to micros (the same
+    *    truncation DuckDB applies coercing TIMESTAMP_NS to µs).
+    *  - timestamp[us] with isAdjustedToUTC=false: Spark 4 reads it as
+    *    TIMESTAMP_NTZ → cast to TimestampType. All entry points pin
+    *    `spark.sql.session.timeZone=UTC`, so the cast is wall-clock
+    *    identity and matches DuckDB's naive µs TIMESTAMP exactly.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // Harmless for µs fixtures; required to even read a nanos fixture.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventsTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** Branch on the ACTUAL on-disk dtype of `ts` — never assume the
+    * fixture encoding (regression: a stale nanos-as-long assumption
+    * broke every events query when the fixture moved to µs).
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 }

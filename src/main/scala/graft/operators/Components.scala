@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   * from plain shuffles here).
   *
   * Scale notes: each round is two hash-shuffle joins on the label key
-  * (no cross join, no driver-side adjacency); `localCheckpoint`
-  * truncates the plan each round so Catalyst analysis cost stays O(1) in
-  * the round count rather than compounding.
+  * (no cross join, no driver-side adjacency); each round's plan is
+  * truncated via [[Checkpoints.truncate]] (reliable checkpoint when
+  * opted in for cluster runs, localCheckpoint otherwise) so Catalyst
+  * analysis cost stays O(1) in the round count rather than compounding.
   */
 object Components {
 
@@ -41,19 +42,19 @@ object Components {
     // otherwise re-execute the upstream candidate-pair computation
     // (measured: 12.6 s → 2.5 s on the dup-clusters query).
     val e0 = edges.select(col("a").as("src"), col("b").as("dst"))
-      .localCheckpoint()
+      .transform(Checkpoints.truncate(_))
     val sym = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .transform(Checkpoints.truncate(_))
 
     // lbl(x) = min(x, direct neighbors)
     var lbl = nodes.select(col("id"))
       .join(sym, col("id") === col("src"), "left")
       .groupBy(col("id"))
       .agg(least(min(col("dst")), first(col("id"))).as("lbl"))
-      .localCheckpoint()
+      .transform(Checkpoints.truncate(_))
 
     var converged = false
     var iter = 0
@@ -79,7 +80,7 @@ object Components {
         .join(jump, col("lbl1") === col("jid"), "left")
         .select(col("id"), col("prev"),
           least(col("lbl1"), coalesce(col("jlbl"), col("lbl1"))).as("lbl"))
-        .localCheckpoint(eager = false)
+        .transform(Checkpoints.truncate(_, eager = false))
       converged = next.filter(col("lbl") =!= col("prev")).count() == 0
       lbl = next.select(col("id"), col("lbl"))
       iter += 1

@@ -382,11 +382,21 @@ object Dedup {
     */
   def keepLongestPerCluster(spark: SparkSession, docs: DataFrame,
       textCol: String, idCol: String, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sets = docs.select(col(idCol),
       array_distinct(TextFunctions.wordNgramsExpr(textCol, 3)).as("g"))
     val edges = exactJaccardPairs(sets, idCol, "g", threshold)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    keepLongestFromEdges(spark, docs, textCol, idCol, edges)
+  }
+
+  /** [[keepLongestPerCluster]] over a caller-supplied (a, b) edge
+    * list, so the similarity-graph derivation can be shared (and
+    * cached once) across the whole near-dup query family
+    * ([[DupGraph]]) instead of recomputed per query.
+    */
+  def keepLongestFromEdges(spark: SparkSession, docs: DataFrame,
+      textCol: String, idCol: String, edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // ids keep their native type end-to-end (connectedComponents is
     // type-preserving) — a string-id corpus must not be silently
     // nulled out by a long cast.

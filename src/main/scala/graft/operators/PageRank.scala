@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   * Components lesson). Each round is one hash join of the rank frame
   * against the edge list plus one aggregate on dst — two shuffles of
   * rank-sized data, no cross join, no driver-side adjacency. The
-  * per-round lazy localCheckpoint truncates lineage so Catalyst
-  * analysis stays O(1) in the iteration count. The only broadcast is
-  * the 1-row node count.
+  * per-round lazy lineage cut ([[Checkpoints.truncate]] — reliable
+  * checkpoint in cluster mode, localCheckpoint locally) keeps Catalyst
+  * analysis O(1) in the iteration count. The only broadcast is the
+  * 1-row node count.
   */
 object PageRank {
 
@@ -39,13 +40,13 @@ object PageRank {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val e0 = edges.select(col("a").as("src"), col("b").as("dst"))
-      .localCheckpoint()
+      .transform(Checkpoints.truncate(_))
     val sym = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val withDeg = sym.join(deg, "src").localCheckpoint()
+    val withDeg = sym.join(deg, "src").transform(Checkpoints.truncate(_))
     val n = broadcast(nodes.agg(count(lit(1)).as("n")))
     val base = nodes.select(col("id")).crossJoin(n)
     var ranks = base.select(col("id"), (lit(1.0) / col("n")).as("rank"))
@@ -60,7 +61,7 @@ object PageRank {
         .select(col("id"),
           (lit(1.0 - damping) / col("n")
             + lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
-        .localCheckpoint(eager = false)
+        .transform(Checkpoints.truncate(_, eager = false))
     }
     ranks
   }

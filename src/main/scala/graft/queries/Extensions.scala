@@ -119,21 +119,28 @@ object Extensions {
           maxHamming = 3)
         .orderBy(col("doc_a"), col("doc_b"))),
 
-    // Exact shingled Jaccard on a restricted pair set — adjacent ids as
-    // the blocking key, i.e. the verify kernel of a blocked similarity
-    // pipeline run on one deterministic block. (The fixture's planted
-    // near-dups are NOT id-adjacent — q_x_allpairs_jaccard is the
-    // unrestricted lossless join that finds them; this row oracle-checks
-    // the per-pair jaccard arithmetic itself on a linear-size pair set.)
+    // Char-trigram Jaccard over a CONTENT-blocked candidate set: the
+    // blocking key is the document's first two tokens (header blocking
+    // — the q_x_fuzzy pattern on text), pairs form only within a block,
+    // and both block membership and the verify read nothing but the
+    // text. Deliberately lossy (a near-dup with an edited header is
+    // missed — q_x_allpairs_jaccard is the lossless path); what this
+    // row oracle-checks is the per-pair Jaccard arithmetic on a
+    // realistically blocked pair set. Block size is bounded by the
+    // header key's selectivity (vocabulary², independent of corpus
+    // size), so within-block pair counts stay linear at any SF.
     "q_x_ngram_jaccard" -> ((s, d) => {
       val sh = table(s, d, "documents")
-        .select(col("doc_id"), TextFunctions.shinglesExpr("text", 3).as("s"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("s").as("sa"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("s").as("sb"))
-      a.join(b, col("doc_a") + 1 === col("doc_b"))
+        .select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 2), " ").as("blk"),
+          TextFunctions.shinglesExpr("text", 3).as("s"))
+      val a = sh.select(col("blk"), col("doc_id").as("doc_a"), col("s").as("sa"))
+      val b = sh.select(col("blk"), col("doc_id").as("doc_b"), col("s").as("sb"))
+      a.join(b, Seq("blk"))
+        .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           round(TextFunctions.jaccard(col("sa"), col("sb")), 6).as("jaccard"))
-        .orderBy(col("doc_a"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // ---- similarity search -------------------------------------------
@@ -559,13 +566,9 @@ object Extensions {
     // pairs sit at j ≤ 0.07 while planted near-dups sit at j ≥ 0.9, and
     // the rare-prefix buckets stay small (measured at sf0.1: 300 k
     // candidates vs 12.5 M brute-force pairs).
-    "q_x_allpairs_jaccard" -> ((s, d) => {
-      val sets = table(s, d, "documents")
-        .select(col("doc_id"),
-          array_distinct(TextFunctions.wordNgramsExpr("text", 3)).as("g"))
-      Dedup.exactJaccardPairs(sets, "doc_id", "g", threshold = 0.6)
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    "q_x_allpairs_jaccard" -> ((s, d) =>
+      graft.operators.DupGraph.pairs(s, d, threshold = 0.6)
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // Near-duplicate CLUSTER assignment: candidate edges from the exact
     // similarity join above (all pairs with word-trigram Jaccard ≥ 0.6 —
@@ -577,10 +580,7 @@ object Extensions {
     // clustering; nothing exploits the fixture's layout.
     "q_x_dup_clusters" -> ((s, d) => {
       val docs = table(s, d, "documents")
-      val sets = docs.select(col("doc_id"),
-        array_distinct(TextFunctions.wordNgramsExpr("text", 3)).as("g"))
-      val edges = Dedup.exactJaccardPairs(sets, "doc_id", "g", threshold = 0.6)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val edges = graft.operators.DupGraph.edges(s, d, threshold = 0.6)
       graft.operators.Components
         .connectedComponents(s, docs.select(col("doc_id").as("id")), edges)
         .select(col("id").as("doc_id"), col("cluster_id"))
@@ -596,10 +596,7 @@ object Extensions {
     // rounded to 3dp (FP noise ~1e-11 ppm — far under the rounding).
     "q_x_pagerank" -> ((s, d) => {
       val docs = table(s, d, "documents")
-      val sets = docs.select(col("doc_id"),
-        array_distinct(TextFunctions.wordNgramsExpr("text", 3)).as("g"))
-      val edges = Dedup.exactJaccardPairs(sets, "doc_id", "g", threshold = 0.6)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val edges = graft.operators.DupGraph.edges(s, d, threshold = 0.6)
       graft.operators.PageRank
         .pageRank(s, docs.select(col("doc_id").as("id")), edges)
         .select(col("id").as("doc_id"),
@@ -617,10 +614,7 @@ object Extensions {
     // already carries the whole corpus — no join back needed.
     "q_x_split_safe" -> ((s, d) => {
       val docs = table(s, d, "documents")
-      val sets = docs.select(col("doc_id"),
-        array_distinct(TextFunctions.wordNgramsExpr("text", 3)).as("g"))
-      val edges = Dedup.exactJaccardPairs(sets, "doc_id", "g", threshold = 0.6)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val edges = graft.operators.DupGraph.edges(s, d, threshold = 0.6)
       graft.operators.Components
         .connectedComponents(s, docs.select(col("doc_id").as("id")), edges)
         .withColumn("split",
@@ -647,8 +641,8 @@ object Extensions {
     // turns q_x_dup_clusters' assignment into an actual drop list.
     // Integer-only ranking; per-cluster (partitioned) window.
     "q_x_dedup_keep" -> ((s, d) =>
-      Dedup.keepLongestPerCluster(s, table(s, d, "documents"),
-          "text", "doc_id", threshold = 0.6)
+      Dedup.keepLongestFromEdges(s, table(s, d, "documents"),
+          "text", "doc_id", graft.operators.DupGraph.edges(s, d, threshold = 0.6))
         .orderBy(col("doc_id"))),
 
     // Deterministic stratified sampling: keep-decision is a pure
@@ -792,7 +786,8 @@ object Extensions {
     // broadcast 1-row count — no fixed absolute cutoff that breaks at
     // other SFs). One explode + one distinct + one aggregate; posting
     // lists are per-TERM arrays, bounded by df, never corpus-sized
-    // rows.
+    // rows. Emitted comma-joined (both engines) so the driver's pandas
+    // sort/hash sees a flat string, not an unhashable array cell.
     "q_x_postings" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -803,7 +798,7 @@ object Extensions {
         .agg(count(lit(1)).as("df"), sort_array(collect_list(col("doc_id"))).as("postings"))
         .crossJoin(broadcast(n))
         .filter(col("df") * 5 >= col("n_docs"))
-        .select(col("term"), col("df"), col("postings"))
+        .select(col("term"), col("df"), array_join(col("postings"), ",").as("postings"))
         .orderBy(col("term"))
     }),
 
@@ -1163,6 +1158,7 @@ object Extensions {
     "q_x_ngram_jaccard" ->
       """WITH sh AS (
            SELECT doc_id,
+                  array_to_string(string_split(text, ' ')[1:2], ' ') AS blk,
                   CASE WHEN length(text) < 3 THEN []::VARCHAR[]
                        ELSE list_distinct(list_transform(range(1, length(text) - 1),
                               i -> substr(text, CAST(i AS INTEGER), 3))) END AS s
@@ -1170,8 +1166,8 @@ object Extensions {
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                       / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-         FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
-         ORDER BY doc_a""",
+         FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         ORDER BY doc_a, doc_b""",
 
     "q_x_knn" ->
       s"""WITH nv AS (
@@ -1388,7 +1384,8 @@ object Extensions {
       """WITH tok AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term, doc_id
                       FROM documents),
          n AS (SELECT count(*) AS n_docs FROM documents)
-         SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+         SELECT term, count(*) AS df,
+                array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
          FROM tok, n GROUP BY term, n_docs
          HAVING count(*) * 5 >= n_docs ORDER BY term""",
 

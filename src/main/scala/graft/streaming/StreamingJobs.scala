@@ -22,17 +22,6 @@ import org.apache.spark.sql.Row
   */
 object StreamingJobs {
 
-  /** Raw parquet schema of `events` — ts is INT64 nanos (see
-    * [[graft.Tables.events]]); converted right after read.
-    */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Stage a single fixture file into a per-fixture temp DIRECTORY
     * (Spark's file stream source requires a directory; in production:
     * a partitioned landing dir / Kafka). The staging key includes file
@@ -57,10 +46,12 @@ object StreamingJobs {
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val stage = stageFixtureFile(dir, "events")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // File stream sources need an explicit schema; take it from a batch
+    // footer read so the stream tracks the fixture's actual ts encoding
+    // (nanos-as-long vs µs NTZ) instead of assuming one.
+    val onDisk = spark.read.parquet(stage.toString).schema
+    graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(onDisk).parquet(stage.toString))
   }
 
   /** Tumbling 5-min counts per event_type, 10-min watermark. */
