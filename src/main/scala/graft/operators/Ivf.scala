@@ -85,6 +85,26 @@ object Ivf {
     org.apache.spark.sql.graft.Shim.cacheIfNeeded(centroids)
   }
 
+  /** Public k-means clustering over an embedding corpus: train k
+    * centroids ([[train]] — deterministic hash-spread seeding, Lloyd
+    * iterations as DataFrame jobs) and assign every vector to its
+    * nearest. The IVF coarse quantizer exposed as a first-class
+    * clustering operator (corpus partitioning for curriculum /
+    * domain-mix design, semantic bucketing before per-bucket dedup).
+    *
+    * Scale shape: centroids broadcast, assignment a map-side argmin —
+    * the corpus shuffles only for the per-centroid mean updates
+    * (dimension-wise partial aggregates), `iters` times.
+    *
+    * @return (vec_id, centroid_id); centroid ids are the seed rows'
+    *         vec_ids (stable, not dense).
+    */
+  def kmeansAssignments(spark: SparkSession, corpus: DataFrame,
+      k: Int, iters: Int = 3): DataFrame =
+    assign(corpus.select(col("vec_id"), col("embedding")),
+        train(spark, corpus, k, iters))
+      .select(col("vec_id"), col("centroid_id"))
+
   /** Approximate top-k: probe the `nProbe` nearest inverted lists per
     * query, exact cosine rerank within them.
     */

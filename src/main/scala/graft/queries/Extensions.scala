@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.table
 import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
 import graft.multimodal.Multimodal
 import graft.operators.{Dedup, Similarity}
 
@@ -84,6 +85,28 @@ object Extensions {
           bands = 8, rowsPerBand = 6, threshold = 0.9, ngram = 3)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // Corpus snapshot diff (dataset versioning audit): content-level
+    // added / removed / retained between two corpus snapshots
+    // (simulated as deterministic id-filter views of the fixture),
+    // compared by sha256 so renames/re-ids don't count as churn and
+    // exact duplicates collapse first. Scale shape: only 32-byte
+    // hashes shuffle into the full-outer join — payloads never move.
+    "q_x_snapshot_diff" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      def hashes(snap: DataFrame) =
+        snap.select(sha2(col("text"), 256).as("h")).distinct()
+      val old = hashes(docs.filter(col("doc_id") % 7 =!= 0))
+        .withColumn("in_old", lit(1))
+      val neu = hashes(docs.filter(col("doc_id") % 5 =!= 0))
+        .withColumn("in_new", lit(1))
+      old.join(neu, Seq("h"), "full_outer")
+        .select(when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .otherwise("retained").as("change_type"))
+        .groupBy(col("change_type")).agg(count(lit(1)).as("n_contents"))
+        .orderBy(col("change_type"))
+    }),
+
     // Incremental exact dedup: which docs of the "new batch"
     // (doc_id % 5 == 0) are content-new vs the historical corpus —
     // bloom-gated anti join (only possible-dups shuffle).
@@ -157,6 +180,60 @@ object Extensions {
     "q_x_cos_pairs" -> ((s, d) =>
       Similarity.blockedCosinePairs(s, table(s, d, "embeddings"), threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Semantic OUTLIER scoring: cosine of every vector against its
+    // label-group centroid — the mislabel/contamination detector of an
+    // embedding-curated corpus (a vector far from its group's center
+    // is a labeling error or an off-distribution document). Scale
+    // shape: centroids are one dimension-wise aggregate (64·|labels|
+    // rows) broadcast back; scoring is map-side graft_dot — the corpus
+    // shuffles once, for the centroid partials. Scores round to 6dp;
+    // the ~1e-15 cross-engine drift of the float centroid average is
+    // far below the rounding.
+    "q_x_outlier" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val cent = emb
+        .select(col("label"),
+          posexplode(VectorFunctions.toDouble(col("embedding"))).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("label"), expr("transform(pm, p -> p.m)").as("c"))
+      emb.join(broadcast(cent), "label")
+        .select(col("vec_id"), col("label"),
+          round(VectorFunctions.dot(col("embedding"), col("c"))
+            / (VectorFunctions.norm(col("embedding")) * VectorFunctions.norm(col("c"))),
+            6).as("cos_centroid"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // K-means corpus clustering (operators.Ivf.kmeansAssignments —
+    // the IVF coarse quantizer as a first-class operator): k=10 over
+    // the embedding corpus, reported per cluster with its majority
+    // metadata label and the label-association purity. (The fixture's
+    // labels are arbitrary metadata on isotropic vectors — measured
+    // within-label cosine ≈ across-label — so purity here sits near
+    // 1/|labels|; the column is the honest association measurement,
+    // not a recovery claim.) No SQL oracle (iterative float training);
+    // KmeansSpec asserts totality, the k bound, Lloyd's monotone SSE
+    // improvement, and determinism.
+    "q_x_kmeans" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = table(s, d, "embeddings")
+      val byLabel = graft.operators.Ivf.kmeansAssignments(s, emb, k = 10, iters = 3)
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("centroid_id"), col("label")).agg(count(lit(1)).as("nl"))
+      val w = Window.partitionBy(col("centroid_id"))
+        .orderBy(col("nl").desc, col("label").asc)
+      byLabel.withColumn("rn", row_number().over(w))
+        .groupBy(col("centroid_id"))
+        .agg(sum(col("nl")).as("n_vectors"),
+          max(when(col("rn") === 1, col("label"))).as("top_label"),
+          max(when(col("rn") === 1, col("nl"))).as("n_top"))
+        .select(col("centroid_id"), col("n_vectors"), col("top_label"),
+          round(col("n_top").cast("double") / col("n_vectors"), 6).as("purity"))
+        .orderBy(col("centroid_id"))
+    }),
 
     // Approximate ANN via random-hyperplane LSH with multi-probe.
     // No oracle (model-defined); spec asserts recall vs brute force.
@@ -281,6 +358,81 @@ object Extensions {
     }),
 
     // ---- text analysis ------------------------------------------------
+    // Pointwise mutual information over term co-occurrence (phrase /
+    // collocation mining): PMI(a,b) = ln(P(a,b) / P(a)P(b)) at the
+    // document level, for pairs co-occurring in ≥ 5 docs. Plan: one
+    // distinct-token explode, a per-doc pair self-join, one pair
+    // aggregate; df tables broadcast. Scale: the per-doc pair join is
+    // O(Σ u_d²) in distinct terms per doc — at web scale restrict to a
+    // broadcast top-V vocabulary first (the q_x_vocab_oov pattern),
+    // bounding pairs per doc by V. ln on both engines (DuckDB log()
+    // is log10 — dialect trap); double drift ≪ the 6dp rounding.
+    "q_x_pmi" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val n = docs.agg(count(lit(1)).as("nd"))
+      val tok = docs.select(col("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col("text")))).as("t"))
+      val df = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val a = tok.select(col("doc_id"), col("t").as("term_a"))
+      val b = tok.select(col("doc_id"), col("t").as("term_b"))
+      a.join(b, Seq("doc_id")).filter(col("term_a") < col("term_b"))
+        .groupBy(col("term_a"), col("term_b")).agg(count(lit(1)).as("df_ab"))
+        .filter(col("df_ab") >= 5)
+        .join(broadcast(df.select(col("t").as("term_a"), col("df").as("df_a"))), "term_a")
+        .join(broadcast(df.select(col("t").as("term_b"), col("df").as("df_b"))), "term_b")
+        .crossJoin(broadcast(n))
+        .select(col("term_a"), col("term_b"), col("df_ab"),
+          round(log((col("df_ab") * col("nd")).cast("double")
+            / (col("df_a") * col("df_b")).cast("double")), 6).as("pmi"))
+        .orderBy(col("term_a"), col("term_b"))
+    }),
+
+    // Feature hashing (the hashing trick, Weinberger et al. 2009):
+    // fixed-width bag-of-words vectors with md5-derived dimension and
+    // sign, L2-normalized — the no-vocabulary featurizer (streaming-
+    // friendly: no global dictionary pass, unlike TF-IDF). Integer
+    // signed-tf sums until the final normalize, so both engines agree
+    // bit-for-bit pre-rounding. Map-side until one (doc, dim)
+    // aggregate; no joins besides the per-doc norm. Output exploded
+    // (doc_id, dim, weight) — the oracle-friendly sparse form.
+    "q_x_feat_hash" -> ((s, d) => {
+      val k = 16
+      val tok = table(s, d, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+      val hashed = tok
+        .withColumn("dim", conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long") % k)
+        .withColumn("sgn",
+          when(conv(substring(md5(col("t")), 9, 1), 16, 10).cast("long") % 2 === 0, 1L)
+            .otherwise(-1L))
+      val w = hashed.groupBy(col("doc_id"), col("dim")).agg(sum(col("sgn")).as("w"))
+      val norm = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      w.join(norm, "doc_id")
+        .filter(col("nrm") > 0)
+        .select(col("doc_id"), col("dim").cast("int").as("dim"),
+          round(col("w").cast("double") / col("nrm"), 6).as("weight"))
+        .orderBy(col("doc_id"), col("dim"))
+    }),
+
+    // First-order Markov transition estimation over the event stream:
+    // per-user event-type bigrams (lag window, ts ties broken on
+    // event_id) → global transition counts and row-normalized
+    // probabilities — user-behavior modeling / next-event priors.
+    // Partitioned window + two aggregates; nothing global but the
+    // |types|² output.
+    "q_x_markov" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = table(s, d, "events")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type")).agg(count(lit(1)).as("n_trans"))
+      val tot = trans.groupBy(col("prev_type")).agg(sum(col("n_trans")).as("n_from"))
+      trans.join(tot, "prev_type")
+        .select(col("prev_type"), col("event_type"), col("n_trans"),
+          round(col("n_trans").cast("double") / col("n_from"), 6).as("p"))
+        .orderBy(col("prev_type"), col("event_type"))
+    }),
+
     "q_x_text_stats" -> ((s, d) => {
       val words = TextFunctions.tokens(col("text"))
       table(s, d, "documents")
@@ -1131,6 +1283,16 @@ object Extensions {
                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
          FROM documents ORDER BY doc_id""",
 
+    "q_x_snapshot_diff" ->
+      """WITH old AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 7 <> 0),
+         neu AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 5 <> 0)
+         SELECT CASE WHEN o.h IS NULL THEN 'added'
+                     WHEN n.h IS NULL THEN 'removed'
+                     ELSE 'retained' END AS change_type,
+                count(*) AS n_contents
+         FROM old o FULL OUTER JOIN neu n ON o.h = n.h
+         GROUP BY 1 ORDER BY change_type""",
+
     "q_x_incr_dedup" ->
       """WITH inc AS (
            SELECT min(doc_id) AS doc_id, sha256(text) AS h
@@ -1242,6 +1404,69 @@ object Extensions {
                 count(*) AS n
          FROM embeddings, range(0, 8) r(i)
          GROUP BY label, i ORDER BY label, pos""",
+
+    "q_x_outlier" ->
+      """WITH dims AS (
+           SELECT label, CAST(i AS INTEGER) AS pos,
+                  CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+                  vec_id
+           FROM embeddings, range(1, 65) r(i)),
+         cent AS (SELECT label, pos, avg(x) AS m FROM dims GROUP BY label, pos),
+         sc AS (
+           SELECT d.vec_id, d.label,
+                  sum(d.x * c.m) AS dt,
+                  sqrt(sum(d.x * d.x)) AS nv,
+                  sqrt(sum(c.m * c.m)) AS nc
+           FROM dims d JOIN cent c ON d.label = c.label AND d.pos = c.pos
+           GROUP BY d.vec_id, d.label)
+         SELECT vec_id, label, round(dt / (nv * nc), 6) AS cos_centroid
+         FROM sc ORDER BY vec_id""",
+
+    "q_x_pmi" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+                      FROM documents),
+         n AS (SELECT count(*) AS nd FROM documents),
+         df AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+         pair AS (SELECT a.t AS term_a, b.t AS term_b, count(*) AS df_ab
+                  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t
+                  GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT p.term_a, p.term_b, p.df_ab,
+                round(ln(CAST(p.df_ab * n.nd AS DOUBLE)
+                         / CAST(fa.df * fb.df AS DOUBLE)), 6) AS pmi
+         FROM pair p
+         JOIN df fa ON p.term_a = fa.t
+         JOIN df fb ON p.term_b = fb.t
+         CROSS JOIN n
+         ORDER BY term_a, term_b""",
+
+    "q_x_feat_hash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                      FROM documents),
+         h AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 16 AS dim,
+                      CASE WHEN CAST(('0x' || substr(md5(t), 9, 1)) AS BIGINT) % 2 = 0
+                           THEN 1 ELSE -1 END AS sgn
+               FROM tok),
+         w AS (SELECT doc_id, dim, sum(sgn) AS w FROM h GROUP BY doc_id, dim),
+         nm AS (SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm
+                FROM w GROUP BY doc_id)
+         SELECT w.doc_id, CAST(w.dim AS INTEGER) AS dim,
+                round(CAST(w.w AS DOUBLE) / nm.nrm, 6) AS weight
+         FROM w JOIN nm ON w.doc_id = nm.doc_id
+         WHERE nm.nrm > 0 ORDER BY w.doc_id, dim""",
+
+    "q_x_markov" ->
+      """WITH t AS (SELECT event_type,
+                           lag(event_type) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_type
+                    FROM events),
+         tr AS (SELECT prev_type, event_type, count(*) AS n_trans
+                FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT prev_type, sum(n_trans) AS n_from FROM tr GROUP BY 1)
+         SELECT tr.prev_type, tr.event_type, tr.n_trans,
+                round(CAST(tr.n_trans AS DOUBLE) / CAST(tot.n_from AS DOUBLE), 6) AS p
+         FROM tr JOIN tot ON tr.prev_type = tot.prev_type
+         ORDER BY tr.prev_type, event_type""",
 
     "q_x_text_stats" ->
       """SELECT lang, count(*) AS n_docs,

@@ -83,6 +83,20 @@ object Windows {
         .orderBy(col("o_orderkey"))),
 
     // cume_dist / nth_value — the remaining analytic functions.
+    // Equal-depth bucketing (ntile) + percent_rank: quantile bucket
+    // assignment per partition — the windowed form of histogram
+    // equi-depth binning. Deterministic: the order key
+    // (o_totalprice, o_orderkey) is total within each partition.
+    "q_win_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_win_cume" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(floor(col("o_totalprice") / 50000))
@@ -232,6 +246,14 @@ object Windows {
       """SELECT o_orderkey, o_orderpriority,
                 count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
                                RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS n_in_range
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_win_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+                ntile(4) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS quartile,
+                round(percent_rank() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey), 6) AS pr
          FROM orders ORDER BY o_orderkey""",
 
     "q_win_cume" ->

@@ -13,8 +13,9 @@ class EmptyInputSpec extends SparkSuite {
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     tables.foreach { t =>
-      // events: keep the raw nanos-as-long shape so Tables.events'
-      // div-1000 conversion still applies to the empty copy
+      // events: read with nanosAsLong set so a nanos-encoded fixture
+      // round-trips; the empty copy keeps the fixture's ts encoding
+      // and Tables.events branches on it either way.
       if (t == "events") spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$t.parquet").limit(0)
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
