@@ -326,6 +326,53 @@ object Extensions {
         .orderBy(col("vec_id"))
     }),
 
+    // Winsorization (robust numeric-feature clipping): per-group exact
+    // P01/P99 thresholds, values clipped into [p01, p99], reported per
+    // group with clip counts and the clipped mean — the outlier-robust
+    // normalization step of numeric feature prep. Thresholds are ONE
+    // small aggregate broadcast back (no global sort; same
+    // percentile-definition pairing as q_x_quality_gate: Spark exact
+    // percentile == DuckDB quantile_cont). Counts integer-exact; the
+    // clip comparisons use bit-identical thresholds on both engines.
+    "q_x_winsorize" -> ((s, d) => {
+      val o = table(s, d, "orders").select(col("o_orderpriority"), col("o_totalprice"))
+      val thr = o.groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(o_totalprice, 0.01)").as("p01"),
+          expr("percentile(o_totalprice, 0.99)").as("p99"))
+      o.join(broadcast(thr), "o_orderpriority")
+        .withColumn("clipped",
+          when(col("o_totalprice") < col("p01"), col("p01"))
+            .when(col("o_totalprice") > col("p99"), col("p99"))
+            .otherwise(col("o_totalprice")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_totalprice") < col("p01"), 1L).otherwise(0L)).as("n_clip_low"),
+          sum(when(col("o_totalprice") > col("p99"), 1L).otherwise(0L)).as("n_clip_high"),
+          round(first(col("p01")), 6).as("p01"),
+          round(first(col("p99")), 6).as("p99"),
+          round(avg(col("clipped")), 6).as("avg_clipped"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Differential-privacy style noisy count release (Laplace
+    // mechanism, ε=1): per-lang doc counts + Laplace(1/ε) noise. The
+    // noise draw is DETERMINISTIC here — uniform from md5(lang) via
+    // inverse-CDF — so the release is reproducible and oracle-able;
+    // a production deployment swaps the seeded uniform for real
+    // randomness, keeping the identical mechanism shape. Map-only
+    // past one tiny aggregate; the noisy column rounds to 3dp (ln
+    // cross-engine drift ≤ ulps, far below the rounding).
+    "q_x_dp_count" -> ((s, d) => {
+      val u = (conv(substring(md5(concat(lit("dp1:"), col("lang"))), 1, 8), 16, 10)
+        .cast("double") / lit(4294967296.0)) - lit(0.5) // uniform (-0.5, 0.5)
+      val lap = -signum(u) * log(lit(1.0) - lit(2.0) * abs(u)) // b = 1/ε = 1
+      table(s, d, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
+        .select(col("lang"),
+          round(col("n_raw") + lap, 3).as("n_noisy"))
+        .orderBy(col("lang"))
+    }),
+
     "q_x_vec_stats" -> ((s, d) =>
       table(s, d, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -737,6 +784,25 @@ object Extensions {
         .connectedComponents(s, docs.select(col("doc_id").as("id")), edges)
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Duplication REPORT: the cluster-size histogram of the near-dup
+    // graph — "how duplicated is this corpus" as one table (cluster
+    // size → number of clusters, docs covered, docs that dedup would
+    // drop). The curation summary a pipeline publishes after
+    // q_x_dup_clusters; two tiny aggregates past the shared edge
+    // derivation.
+    "q_x_dup_stats" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val edges = graft.operators.DupGraph.edges(s, d, threshold = 0.6)
+      graft.operators.Components
+        .connectedComponents(s, docs.select(col("doc_id").as("id")), edges)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"),
+          sum(col("sz") - 1).as("n_droppable"))
+        .orderBy(col("sz"))
     }),
 
     // Document centrality over the similarity graph (PageRank):
@@ -1405,6 +1471,31 @@ object Extensions {
          FROM embeddings, range(0, 8) r(i)
          GROUP BY label, i ORDER BY label, pos""",
 
+    "q_x_winsorize" ->
+      """WITH thr AS (SELECT o_orderpriority,
+                quantile_cont(o_totalprice, 0.01) AS p01,
+                quantile_cont(o_totalprice, 0.99) AS p99
+              FROM orders GROUP BY 1)
+         SELECT o.o_orderpriority, count(*) AS n,
+                CAST(sum(CASE WHEN o.o_totalprice < t.p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+                CAST(sum(CASE WHEN o.o_totalprice > t.p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+                round(any_value(t.p01), 6) AS p01,
+                round(any_value(t.p99), 6) AS p99,
+                round(avg(CASE WHEN o.o_totalprice < t.p01 THEN t.p01
+                               WHEN o.o_totalprice > t.p99 THEN t.p99
+                               ELSE o.o_totalprice END), 6) AS avg_clipped
+         FROM orders o JOIN thr t USING (o_orderpriority)
+         GROUP BY o.o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_x_dp_count" ->
+      """WITH c AS (SELECT lang, count(*) AS n_raw FROM documents GROUP BY lang),
+         u AS (SELECT lang, n_raw,
+                 CAST(('0x' || substr(md5('dp1:' || lang), 1, 8)) AS BIGINT)
+                   / 4294967296.0 - 0.5 AS u
+               FROM c)
+         SELECT lang, round(n_raw - sign(u) * ln(1 - 2 * abs(u)), 3) AS n_noisy
+         FROM u ORDER BY lang""",
+
     "q_x_outlier" ->
       """WITH dims AS (
            SELECT label, CAST(i AS INTEGER) AS pos,
@@ -1776,6 +1867,29 @@ object Extensions {
                SELECT r.id, s.v FROM r JOIN sym s ON r.reach = s.u)
          SELECT id AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
          FROM r GROUP BY id ORDER BY doc_id""",
+
+    "q_x_dup_stats" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                      ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                        i -> array_to_string(ws[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))) END AS s
+               FROM w),
+         e AS (SELECT a.doc_id AS u, b.doc_id AS v
+               FROM g a JOIN g b ON a.doc_id < b.doc_id
+               WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+                 AND len(list_intersect(a.s, b.s)) * 1000000
+                     >= len(list_distinct(list_concat(a.s, b.s))) * 600000),
+         sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         r AS (SELECT doc_id AS id, doc_id AS reach FROM documents
+               UNION
+               SELECT r.id, s.v FROM r JOIN sym s ON r.reach = s.u),
+         c AS (SELECT id, min(reach) AS cluster_id FROM r GROUP BY id),
+         zs AS (SELECT cluster_id, count(*) AS sz FROM c GROUP BY 1)
+         SELECT sz, count(*) AS n_clusters,
+                CAST(sum(sz) AS BIGINT) AS n_docs,
+                CAST(sum(sz - 1) AS BIGINT) AS n_droppable
+         FROM zs GROUP BY sz ORDER BY sz""",
 
     "q_x_pagerank" -> {
       val rounds = (1 to 10).map { k =>
