@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed PCA over an embedding corpus — the intrinsic-
+  * dimensionality audit (how many directions carry the variance) and
+  * the front door to projection-based compression.
+  *
+  * Scale shape: ALL corpus-sized work is one aggregation pass — the
+  * mean vector (d rows after map-side combine) and the raw second-
+  * moment matrix (d² rows after map-side combine; the explode is
+  * consumed by a hash aggregate in the same stage, so the shuffle
+  * carries d²·partitions partials, never n·d² rows). Only the d×d
+  * covariance (64×64 = 32 KB here) reaches the driver, where a cyclic
+  * Jacobi eigensolver runs — driver-side by DIMENSION, not by corpus
+  * size, the same justification as broadcasting k centroids.
+  *
+  * Numerical honesty: eigenVALUES are stable under the ~1e-15
+  * partition-order drift of the double aggregates (Weyl: |Δλ| ≤
+  * ‖ΔC‖), so the spectrum rounds safely at 6dp. EigenVECTORS of
+  * near-degenerate spectra (e.g. isotropic corpora like the fixture)
+  * are NOT reproducible across engines and are deliberately not part
+  * of any declared query output; PcaSpec asserts vector recovery only
+  * on planted-anisotropy data where the gap makes them stable.
+  */
+object Pca {
+
+  /** (n, mean[d], cov[d][d]) of the `embedding` column — one
+    * distributed pass; cov is the sample covariance (n−1 denominator).
+    */
+  def covariance(emb: DataFrame, dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
+    val xd = transform(col("embedding"), _.cast("double"))
+    val base = emb.select(xd.as("v"))
+    val n = base.count()
+    require(n >= 2, s"covariance needs >= 2 rows, got $n")
+    val mu = base.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(sum(col("x")).as("s"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1) / n)
+    // raw second moments: per-row outer product exploded flat, folded
+    // by the SAME-STAGE hash aggregate (map-side combine) — the
+    // shuffle sees d² partials per partition only
+    val m = base.select(posexplode(
+        flatten(transform(col("v"), x => transform(col("v"), y => x * y))))
+        .as(Seq("ij", "p")))
+      .groupBy(col("ij")).agg(sum(col("p")).as("s"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      (m(i * dim + j) - n.toDouble * mu(i) * mu(j)) / (n - 1).toDouble
+    }
+    (n, mu, cov)
+  }
+
+  /** Symmetric eigendecomposition via cyclic Jacobi rotations —
+    * deterministic, dependency-free, ample for d ≤ a few hundred.
+    * Returns (eigenvalues desc, eigenvectors as rows, same order).
+    */
+  def eigenSym(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    def offDiag(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) { var j = i + 1; while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    while (offDiag() > 1e-20 && sweep < 100) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            // branch form keeps theta == 0 rotating (t = 1, the 45°
+            // case for equal diagonal entries) — signum(0) = 0 would
+            // silently skip it
+            val t = if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+                    else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    (order.map(i => a(i)(i)).toArray,
+      order.map(i => (0 until d).map(k => v(k)(i)).toArray).toArray)
+  }
+
+  /** Eigenvalue spectrum of the corpus covariance as a tiny local
+    * DataFrame: (rank, eigenvalue, cum_frac of total variance).
+    */
+  def spectrum(spark: SparkSession, emb: DataFrame, dim: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("rank", IntegerType, nullable = false),
+      StructField("eigenvalue", DoubleType, nullable = false),
+      StructField("cum_frac", DoubleType, nullable = false)))
+    // degenerate corpus (< 2 rows — e.g. an empty partition/day):
+    // no covariance exists; emit an empty spectrum, never throw
+    if (emb.limit(2).count() < 2)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+    val (_, _, cov) = covariance(emb, dim)
+    val (vals, _) = eigenSym(cov)
+    val total = vals.sum
+    var cum = 0.0
+    val rows = vals.zipWithIndex.map { case (ev, i) =>
+      cum += ev
+      Row(i + 1, ev, cum / total)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+}

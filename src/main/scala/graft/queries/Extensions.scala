@@ -326,6 +326,75 @@ object Extensions {
         .orderBy(col("vec_id"))
     }),
 
+    // PCA eigenvalue spectrum of the embedding covariance (intrinsic-
+    // dimensionality audit; operators.Pca): corpus-sized work is ONE
+    // aggregation pass (mean + second moments, d² map-side partials);
+    // only the 64×64 covariance reaches the driver's Jacobi solver.
+    // Output is the SPECTRUM only — eigenvectors of near-degenerate
+    // spectra (this fixture is isotropic) are not cross-engine
+    // reproducible and are deliberately excluded; PcaSpec verifies
+    // vector recovery on planted-anisotropy data. No SQL oracle
+    // (eigensolve); eigenvalues stable at 6dp (Weyl bound).
+    "q_x_pca_spectrum" -> ((s, d) =>
+      graft.operators.Pca.spectrum(s, table(s, d, "embeddings"), 64)
+        .select(col("rank"), round(col("eigenvalue"), 6).as("eigenvalue"),
+          round(col("cum_frac"), 6).as("cum_frac"))
+        .orderBy(col("rank"))),
+
+    // Pairwise Pearson correlation matrix over the numeric fact
+    // columns (feature-redundancy audit before model training): all 6
+    // pairs in ONE aggregation pass (each corr is an algebraic
+    // aggregate — map-side partials, one tiny shuffle), unpivoted to
+    // (col_a, col_b, corr) rows. Same sample-corr definition both
+    // engines; the partition-order double drift is ~1e-15, rounded at
+    // 6dp.
+    "q_x_corr" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val aggs = pairs.map { case (a, b) =>
+        round(corr(col(a), col(b)), 6).as(s"${a}__${b}")
+      }
+      val stackExpr = "stack(" + pairs.size + ", " + pairs.map { case (a, b) =>
+        s"'$a', '$b', ${a}__${b}"
+      }.mkString(", ") + ") as (col_a, col_b, corr)"
+      table(s, d, "lineitem")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(stackExpr))
+        .orderBy(col("col_a"), col("col_b"))
+    }),
+
+    // Poisson bootstrap of the corpus mean doc length (Chamandy et
+    // al., the resampling scheme that works in ONE distributed pass:
+    // per (doc, rep) an independent Poisson(1) inclusion weight, so no
+    // per-replicate global resample). Weights come deterministic from
+    // an md5 inverse-CDF draw — reproducible on any cluster and
+    // oracle-able; the CDF cut points are shared literals. All-integer
+    // weighted sums; only the final mean divides. Scale: map-only
+    // explode ×R then one aggregate — corpus scanned once.
+    "q_x_bootstrap" -> ((s, d) => {
+      val u = conv(substring(md5(concat(col("doc_id"), lit("_"), col("rep"))), 1, 8), 16, 10)
+        .cast("double") / lit(4294967296.0)
+      // Poisson(1) CDF: P(0)=e^-1, P(<=1), P(<=2), P(<=3), P(<=4); cap 5
+      val w = when(u < 0.36787944117144233, 0L)
+        .when(u < 0.7357588823428847, 1L)
+        .when(u < 0.9196986029286058, 2L)
+        .when(u < 0.9810118431238462, 3L)
+        .when(u < 0.9963401531726563, 4L)
+        .otherwise(5L)
+      table(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(0), lit(19))).as("rep"))
+        .withColumn("w", w)
+        .groupBy(col("rep"))
+        .agg(sum(col("w")).as("n_eff"),
+          sum(col("w") * col("n_chars")).as("wsum"))
+        .select(col("rep").cast("int").as("rep"), col("n_eff"),
+          round(col("wsum").cast("double") / col("n_eff"), 6).as("boot_mean"))
+        .orderBy(col("rep"))
+    }),
+
     // Winsorization (robust numeric-feature clipping): per-group exact
     // P01/P99 thresholds, values clipped into [p01, p99], reported per
     // group with clip counts and the clipped mean — the outlier-robust
@@ -1470,6 +1539,42 @@ object Extensions {
                 count(*) AS n
          FROM embeddings, range(0, 8) r(i)
          GROUP BY label, i ORDER BY label, pos""",
+
+    "q_x_corr" ->
+      """WITH c AS (SELECT
+           round(corr(l_quantity, l_extendedprice), 6) AS q_e,
+           round(corr(l_quantity, l_discount), 6) AS q_d,
+           round(corr(l_quantity, l_tax), 6) AS q_t,
+           round(corr(l_extendedprice, l_discount), 6) AS e_d,
+           round(corr(l_extendedprice, l_tax), 6) AS e_t,
+           round(corr(l_discount, l_tax), 6) AS d_t
+         FROM lineitem)
+         SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, q_e AS corr FROM c
+         UNION ALL SELECT 'l_quantity', 'l_discount', q_d FROM c
+         UNION ALL SELECT 'l_quantity', 'l_tax', q_t FROM c
+         UNION ALL SELECT 'l_extendedprice', 'l_discount', e_d FROM c
+         UNION ALL SELECT 'l_extendedprice', 'l_tax', e_t FROM c
+         UNION ALL SELECT 'l_discount', 'l_tax', d_t FROM c
+         ORDER BY col_a, col_b""",
+
+    "q_x_bootstrap" ->
+      """WITH r AS (SELECT doc_id, n_chars, unnest(range(0, 20)) AS rep FROM documents),
+         u AS (SELECT rep, n_chars,
+                 CAST(('0x' || substr(md5(doc_id || '_' || rep), 1, 8)) AS BIGINT)
+                   / 4294967296.0 AS u
+               FROM r),
+         w AS (SELECT rep, n_chars,
+                 CASE WHEN u < 0.36787944117144233 THEN 0
+                      WHEN u < 0.7357588823428847 THEN 1
+                      WHEN u < 0.9196986029286058 THEN 2
+                      WHEN u < 0.9810118431238462 THEN 3
+                      WHEN u < 0.9963401531726563 THEN 4
+                      ELSE 5 END AS w
+               FROM u)
+         SELECT CAST(rep AS INTEGER) AS rep,
+                CAST(sum(w) AS BIGINT) AS n_eff,
+                round(CAST(sum(w * n_chars) AS DOUBLE) / sum(w), 6) AS boot_mean
+         FROM w GROUP BY rep ORDER BY rep""",
 
     "q_x_winsorize" ->
       """WITH thr AS (SELECT o_orderpriority,
