@@ -47,10 +47,23 @@ object Dedup {
     */
   def incrementalExact(corpus: DataFrame, incoming: DataFrame,
       textCol: String, idCol: String,
+      expectedNumItems: Long = 1000000L): DataFrame =
+    incrementalExactByHash(
+      corpus.select(sha2(col(textCol), 256).as("ch")).distinct(),
+      incoming, textCol, idCol, expectedNumItems)
+
+  /** [[incrementalExact]] against a pre-hashed corpus — `corpusHashes`
+    * has one column `ch` of sha256 hex strings. This is the form a
+    * GROWING deployment uses: the corpus store persists only the
+    * 32-byte content hashes (the dedup state), never re-hashing the
+    * payload corpus per batch.
+    */
+  def incrementalExactByHash(corpusHashes: DataFrame, incoming: DataFrame,
+      textCol: String, idCol: String,
       expectedNumItems: Long = 1000000L): DataFrame = {
     val inc = exactByHash(incoming, textCol, idCol)
       .select(col(idCol), col("h"))
-    val corp = corpus.select(sha2(col(textCol), 256).as("ch")).distinct()
+    val corp = corpusHashes.select(col("ch"))
     // bloom keys are a 64-bit fold of the 256-bit hash — collisions
     // only add false positives, which the exact join removes
     val mightBeDup = BloomPrune.pruneCol(

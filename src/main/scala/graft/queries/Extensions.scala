@@ -181,6 +181,43 @@ object Extensions {
       Similarity.blockedCosinePairs(s, table(s, d, "embeddings"), threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
+    // k=60 — the fusion rule hybrid RAG stacks actually deploy):
+    // per query doc, a SEMANTIC ranking (embedding cosine, rounded
+    // 9dp like q_x_knn) and a LEXICAL ranking (word-set Jaccard) are
+    // fused by Σ 1/(60+rank). Ranks are integers and the fused score
+    // is a rational of integers, so ordering is engine-exact. This
+    // fixture scores all candidates brute-force (the oracle needs
+    // it); at 100 TB each arm generates candidates from its index
+    // (ANN lists / inverted postings) and only the union is fused —
+    // same fusion plan, pruned inputs.
+    "q_x_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cand = table(s, d, "embeddings")
+        .join(table(s, d, "documents"), col("vec_id") === col("doc_id"))
+        .select(col("doc_id"), col("embedding"),
+          array_distinct(TextFunctions.tokens(col("text"))).as("ws"))
+      val q = cand.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("query_id"), col("embedding").as("qv"),
+          col("ws").as("qws"))
+      val scored = cand.join(broadcast(q), col("doc_id") =!= col("query_id"))
+        .withColumn("cos", round(
+          VectorFunctions.dot(col("qv"), col("embedding"))
+            / (VectorFunctions.norm(col("qv")) * VectorFunctions.norm(col("embedding"))), 9))
+        .withColumn("jac", TextFunctions.jaccard(col("ws"), col("qws")))
+      val wc = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("doc_id"))
+      val wj = Window.partitionBy(col("query_id")).orderBy(col("jac").desc, col("doc_id"))
+      val wf = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id"))
+      scored
+        .withColumn("rc", row_number().over(wc))
+        .withColumn("rj", row_number().over(wj))
+        .withColumn("rrf", lit(1.0) / (col("rc") + 60) + lit(1.0) / (col("rj") + 60))
+        .withColumn("rank", row_number().over(wf))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rank").cast("int").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Semantic OUTLIER scoring: cosine of every vector against its
     // label-group centroid — the mislabel/contamination detector of an
     // embedding-curated corpus (a vector far from its group's center
@@ -1600,6 +1637,32 @@ object Extensions {
                FROM c)
          SELECT lang, round(n_raw - sign(u) * ln(1 - 2 * abs(u)), 3) AS n_noisy
          FROM u ORDER BY lang""",
+
+    "q_x_rrf" ->
+      s"""WITH nv AS (
+           SELECT e.vec_id, e.embedding,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS nrm,
+                  list_distinct(string_split(d.text, ' ')) AS ws
+           FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+         q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, ws AS qws
+               FROM nv WHERE vec_id % 25 = 0),
+         c AS (SELECT vec_id AS cand_id, embedding AS cv, nrm AS cn, ws AS cws FROM nv),
+         p AS (SELECT query_id, cand_id,
+                 round($knnCosSql, 9) AS cos,
+                 CAST(len(list_intersect(cws, qws)) AS DOUBLE)
+                   / len(list_distinct(list_concat(cws, qws))) AS jac
+               FROM q CROSS JOIN c WHERE cand_id <> query_id),
+         r AS (SELECT query_id, cand_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rc,
+                 row_number() OVER (PARTITION BY query_id ORDER BY jac DESC, cand_id) AS rj
+               FROM p)
+         SELECT query_id, cand_id AS doc_id, CAST(rank AS INTEGER) AS rank FROM (
+           SELECT query_id, cand_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY 1.0 / (rc + 60) + 1.0 / (rj + 60) DESC, cand_id) AS rank
+           FROM r)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
 
     "q_x_outlier" ->
       """WITH dims AS (

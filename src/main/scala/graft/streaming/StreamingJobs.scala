@@ -170,6 +170,31 @@ object StreamingJobs {
         }
       }
 
+  /** Streaming exact incremental dedup with a GROWING corpus — the
+    * reference's staging→target DISTINCT merge (weather-etl.py:152-163)
+    * at corpus scale: each micro-batch keeps only content-new docs
+    * versus everything accepted so far (bloom-pruned anti join,
+    * [[graft.operators.Dedup.incrementalExactByHash]]), and the
+    * accepted rows' hashes become corpus state for the next batch.
+    *
+    * Cross-batch state lives in the CALLER'S store (`loadHashes` /
+    * `store`), not executor memory: at 100 TB the store is a
+    * partitioned hash table (32 bytes per accepted doc) that both
+    * sides of the anti join key on — bounded state however large the
+    * corpus payload grows. First arrival wins within the stream; ties
+    * inside one batch resolve to the smallest id (exactByHash).
+    */
+  def growingDedupSink(docs: DataFrame, textCol: String, idCol: String)(
+      loadHashes: Long => DataFrame,
+      store: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val novel = graft.operators.Dedup
+          .incrementalExactByHash(loadHashes(id), batch, textCol, idCol)
+        store(batch.join(novel.select(col(idCol), col("h")), Seq(idCol)), id)
+      }
+
   /** Last-writer-wins upsert sink (U2 streaming form;
     * weather-etl.py:152-163): each micro-batch merges into `target`
     * under `mergeAndStore`, which the caller implements over its store
