@@ -378,6 +378,38 @@ object Extensions {
           round(col("cum_frac"), 6).as("cum_frac"))
         .orderBy(col("rank"))),
 
+    // Signal-redundancy audit across the quality family: pairwise
+    // correlation of the per-doc quality signals (chars, tokens, word
+    // entropy, distinct ratio) — tells a curation pipeline which
+    // signals are measuring the same thing before it weights them.
+    // One explode + two aggregates derive all signals; the corr pass
+    // is algebraic (map-side partials). Signals enter corr UNROUNDED
+    // (the ~ulp ln drift washes out of a 500-point correlation far
+    // below the 6dp output rounding).
+    "q_x_quality_corr" -> ((s, d) => {
+      val tf = table(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("n_chars"), col("w")).agg(count(lit(1)).as("c"))
+      val sig = tf.groupBy(col("doc_id"), col("n_chars")).agg(
+        sum(col("c")).as("n_tokens"),
+        (log(sum(col("c"))) - sum(col("c") * log(col("c"))) / sum(col("c"))).as("entropy"),
+        (count(lit(1)).cast("double") / sum(col("c"))).as("distinct_ratio"))
+      val names = Seq("distinct_ratio", "entropy", "n_chars", "n_tokens")
+      val pairs = for {
+        i <- names.indices; j <- names.indices if i < j
+      } yield (names(i), names(j))
+      val aggs = pairs.map { case (a, b) =>
+        round(corr(col(a), col(b)), 6).as(s"${a}__${b}")
+      }
+      val stackExpr = "stack(" + pairs.size + ", " + pairs.map { case (a, b) =>
+        s"'$a', '$b', ${a}__${b}"
+      }.mkString(", ") + ") as (sig_a, sig_b, corr)"
+      sig.agg(aggs.head, aggs.tail: _*)
+        .select(expr(stackExpr))
+        .orderBy(col("sig_a"), col("sig_b"))
+    }),
+
     // Pairwise Pearson correlation matrix over the numeric fact
     // columns (feature-redundancy audit before model training): all 6
     // pairs in ONE aggregation pass (each corr is an algebraic
@@ -1576,6 +1608,31 @@ object Extensions {
                 count(*) AS n
          FROM embeddings, range(0, 8) r(i)
          GROUP BY label, i ORDER BY label, pos""",
+
+    "q_x_quality_corr" ->
+      """WITH tok AS (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+         tf AS (SELECT doc_id, n_chars, w, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+         sig AS (SELECT doc_id, any_value(n_chars) AS n_chars,
+                        CAST(sum(c) AS BIGINT) AS n_tokens,
+                        ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / CAST(sum(c) AS DOUBLE) AS entropy,
+                        CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS distinct_ratio
+                 FROM tf GROUP BY doc_id),
+         m AS (SELECT
+           round(corr(distinct_ratio, entropy), 6) AS de,
+           round(corr(distinct_ratio, n_chars), 6) AS dc,
+           round(corr(distinct_ratio, n_tokens), 6) AS dt,
+           round(corr(entropy, n_chars), 6) AS ec,
+           round(corr(entropy, n_tokens), 6) AS et,
+           round(corr(n_chars, n_tokens), 6) AS ct
+         FROM sig)
+         SELECT 'distinct_ratio' AS sig_a, 'entropy' AS sig_b, de AS corr FROM m
+         UNION ALL SELECT 'distinct_ratio', 'n_chars', dc FROM m
+         UNION ALL SELECT 'distinct_ratio', 'n_tokens', dt FROM m
+         UNION ALL SELECT 'entropy', 'n_chars', ec FROM m
+         UNION ALL SELECT 'entropy', 'n_tokens', et FROM m
+         UNION ALL SELECT 'n_chars', 'n_tokens', ct FROM m
+         ORDER BY sig_a, sig_b""",
 
     "q_x_corr" ->
       """WITH c AS (SELECT
