@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Round-gate step 0 (dev/NOTES.md): assert the round ARTIFACTS are
+green before the snapshot commit references them.
+
+Usage: python3 dev/gate_check.py <round>   e.g. python3 dev/gate_check.py 7
+
+Checks, against the repo root:
+  1. BENCH_r{N}.json exists and its embedded "failed":[...] list is
+     empty (the r6 failure class: 37 failing queries shipped inside an
+     rc=0 artifact).
+  2. CORRECTNESS_r{N}.json exists and every entry has err == null or
+     err == "no_oracle".
+  3. Every query name in CORRECTNESS also... (the driver derives its
+     query list from SparkEntry at run time, so a missing-key diff
+     needs the JVM; the cheap proxy here is: CORRECTNESS must contain
+     at least as many entries as the previous round's).
+
+Exit 0 = green; nonzero with a reason otherwise. Dev tool only.
+"""
+import json
+import re
+import sys
+
+
+def main(rnd: int) -> int:
+    ok = True
+
+    bench_path = f"BENCH_r{rnd:02d}.json"
+    try:
+        bench = json.load(open(bench_path))
+    except FileNotFoundError:
+        print(f"GATE RED: {bench_path} missing")
+        return 2
+    # the driver artifact wraps the bench line: {"rc", "tail", "parsed"}
+    # — prefer the parsed metric object, fall back to regexing the
+    # (escaped) tail text
+    parsed = bench.get("parsed")
+    if isinstance(parsed, dict) and "failed" in parsed:
+        if parsed["failed"]:
+            print(f"GATE RED: {bench_path} failed list non-empty: {parsed['failed']}")
+            ok = False
+    else:
+        tail = bench.get("tail", "") or ""
+        m = re.search(r'\\?"failed\\?":\[(.*?)\]', tail)
+        if m is None:
+            print(f"GATE RED: {bench_path} has no \"failed\" list — unparseable artifact")
+            ok = False
+        elif m.group(1).strip():
+            print(f"GATE RED: {bench_path} failed list non-empty: [{m.group(1)}]")
+            ok = False
+    if bench.get("rc", 0) != 0:
+        print(f"GATE RED: {bench_path} rc={bench.get('rc')}")
+        ok = False
+
+    corr_path = f"CORRECTNESS_r{rnd:02d}.json"
+    try:
+        corr = json.load(open(corr_path))
+    except FileNotFoundError:
+        print(f"GATE RED: {corr_path} missing")
+        return 2
+    bad = {k: v.get("err") for k, v in corr.items()
+           if v.get("err") not in (None, "no_oracle")}
+    if bad:
+        print(f"GATE RED: {corr_path} has {len(bad)} entries with real errors:")
+        for k, e in sorted(bad.items()):
+            print(f"  {k}: {str(e)[:120]}")
+        ok = False
+    not_matching = {k for k, v in corr.items()
+                    if v.get("err") is None and not (
+                        v.get("rows_match") and v.get("schema_match")
+                        and v.get("hash_match"))}
+    if not_matching:
+        print(f"GATE RED: {corr_path} oracle mismatches: {sorted(not_matching)}")
+        ok = False
+
+    prev = f"CORRECTNESS_r{rnd - 1:02d}.json"
+    try:
+        n_prev = len(json.load(open(prev)))
+        if len(corr) < n_prev:
+            print(f"GATE RED: {corr_path} has {len(corr)} entries < {prev}'s "
+                  f"{n_prev} — queries disappeared from the board")
+            ok = False
+    except FileNotFoundError:
+        pass
+
+    if ok:
+        print(f"GATE GREEN: bench failed:[] and all {len(corr)} correctness "
+              f"entries pass or are no-oracle")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(int(sys.argv[1])))
