@@ -542,6 +542,24 @@ object Extensions {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // CROSS-SOURCE near-dup contamination matrix: which source pairs
+    // share near-duplicate content (the q_x_source_profile sketch's
+    // exact ground truth, and the practical "is dataset B a re-crawl
+    // of dataset A" audit). Lossless edges from the shared DupGraph
+    // derivation joined to each endpoint's source; emits only pairs
+    // with at least one crossing edge.
+    "q_x_source_xdup" -> ((s, d) => {
+      val src = table(s, d, "documents").select(col("doc_id"), col("source"))
+      graft.operators.DupGraph.pairs(s, d, threshold = 0.6)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+        .filter(col("sa") =!= col("sb"))
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_xdup_pairs"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // ---- text analysis ------------------------------------------------
     // Pointwise mutual information over term co-occurrence (phrase /
     // collocation mining): PMI(a,b) = ln(P(a,b) / P(a)P(b)) at the
@@ -2092,6 +2110,23 @@ object Extensions {
                SELECT r.id, s.v FROM r JOIN sym s ON r.reach = s.u)
          SELECT id AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
          FROM r GROUP BY id ORDER BY doc_id""",
+
+    "q_x_source_xdup" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id, source,
+                 CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                      ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                        i -> array_to_string(ws[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))) END AS s
+               FROM w),
+         e AS (SELECT a.source AS sa, b.source AS sb
+               FROM g a JOIN g b ON a.doc_id < b.doc_id
+               WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+                 AND len(list_intersect(a.s, b.s)) * 1000000
+                     >= len(list_distinct(list_concat(a.s, b.s))) * 600000
+                 AND a.source <> b.source)
+         SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b,
+                count(*) AS n_xdup_pairs
+         FROM e GROUP BY 1, 2 ORDER BY src_a, src_b""",
 
     "q_x_dup_stats" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
