@@ -57,6 +57,62 @@ object TransformWithStateJobs {
         OutputMode.Update())
   }
 
+  // ---- exponential smoothing (EWMA) ---------------------------------
+
+  case class EwmaIn(event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, value: Double)
+  case class EwmaOut(event_type: String, n: Long, ewma: Double)
+
+  /** Per-key exponentially weighted moving average — the classic
+    * streaming-telemetry smoother (y ← α·x + (1−α)·y). The recurrence
+    * is order-dependent and therefore NOT a window/aggregate
+    * composition at scale ((1−α)^-i reweighting overflows doubles
+    * beyond a few thousand rows) — per-key managed state folding each
+    * batch in (ts, event_id) order is the honest distributed form.
+    * State is one (n, ewma) pair per key: O(distinct keys), store-
+    * managed.
+    */
+  class EwmaProcessor(alpha: Double)
+    extends StatefulProcessor[String, EwmaIn, EwmaOut] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[EwmaOut] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[EwmaOut](
+        "ewma", Encoders.product[EwmaOut],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[EwmaIn],
+        timers: TimerValues): Iterator[EwmaOut] = {
+      val prev = Option(state.get())
+      var n = prev.map(_.n).getOrElse(0L)
+      var y = prev.map(_.ewma).getOrElse(0.0)
+      // rows within a batch are unordered; (ts, event_id) is a total
+      // order so the fold is deterministic at any parallelism
+      rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
+        y = if (n == 0) r.value else alpha * r.value + (1.0 - alpha) * y
+        n += 1
+      }
+      val next = EwmaOut(key, n, y)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** EWMA of `value` per event_type over the events stream. Batch
+    * boundaries must not change the result (the fold just resumes
+    * from state) — EwmaSpec proves 1-batch == 3-batch == a driver
+    * reference fold.
+    */
+  def ewma(spark: SparkSession, events: DataFrame,
+      alpha: Double = 0.2): Dataset[EwmaOut] = {
+    import spark.implicits._
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    events.selectExpr("event_type", "event_id", "ts", "value").as[EwmaIn]
+      .groupByKey(_.event_type)
+      .transformWithState(new EwmaProcessor(alpha),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** transformWithState requires RocksDB-backed state. */
   def withRocksDb(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{StreamingJobs, TransformWithStateJobs}
+
+/** The EWMA stateful processor must be batching-invariant (the fold
+  * resumes from managed state) and match an independent driver-side
+  * fold of the same (ts, event_id)-ordered sequence.
+  */
+class EwmaSpec extends SparkSuite {
+
+  private val alpha = 0.2
+
+  /** driver-side reference: sequential fold per event_type */
+  private def reference(): Map[String, (Long, Double)] = {
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2).getTime, r.getDouble(3)))
+      .sortBy(r => (r._3, r._2))
+    rows.groupBy(_._1).map { case (k, rs) =>
+      var n = 0L; var y = 0.0
+      rs.foreach { r =>
+        y = if (n == 0) r._4 else alpha * r._4 + (1.0 - alpha) * y
+        n += 1
+      }
+      k -> (n, y)
+    }
+  }
+
+  private def finalStates(streamName: String): Map[String, (Long, Double)] = {
+    val finals = operators.Upsert.dedupKeyed(
+      spark.table(streamName), Seq("event_type"), Seq(col("n")))
+    finals.collect().map(r =>
+      r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("ewma"))).toMap
+  }
+
+  private def close(a: Map[String, (Long, Double)], b: Map[String, (Long, Double)]): Unit = {
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, (n, y)) =>
+      assert(b(k)._1 == n, s"$k: n ${b(k)._1} != $n")
+      assert(math.abs(b(k)._2 - y) < 1e-9, s"$k: ewma ${b(k)._2} != $y")
+    }
+  }
+
+  test("single-batch streamed EWMA == driver reference fold") {
+    TransformWithStateJobs.withRocksDb(spark)
+    try {
+      val out = TransformWithStateJobs.ewma(
+        spark, StreamingJobs.readEvents(spark, sfDir), alpha)
+      val q = out.toDF().writeStream.format("memory").queryName("t_ewma1")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      close(reference(), finalStates("t_ewma1"))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("3-batch streamed EWMA == single batch (state resumes the fold)") {
+    TransformWithStateJobs.withRocksDb(spark)
+    try {
+      // split events into three ts-ordered slices so cross-batch order
+      // equals event order per key
+      val ev = Tables.events(spark, sfDir)
+      val cuts = ev.stat.approxQuantile("event_id", Array(0.33, 0.66), 0.0)
+      val dir = Files.createTempDirectory("graft-ewma").toString
+      val slices = Seq(
+        ev.filter(col("event_id") < cuts(0)),
+        ev.filter(col("event_id") >= cuts(0) && col("event_id") < cuts(1)),
+        ev.filter(col("event_id") >= cuts(1)))
+      // events fixture is ts-ordered by event_id (spec-checked below),
+      // so event_id slicing preserves per-key time order across batches
+      val ordered = ev.select(col("event_id"), col("ts")).orderBy("event_id").collect()
+      assert(ordered.sliding(2).forall(p =>
+        !p(1).getTimestamp(1).before(p(0).getTimestamp(1))),
+        "fixture events must be ts-ordered by event_id for this slicing")
+      slices.zipWithIndex.foreach { case (df, i) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$dir/part$i")
+        val f = Files.list(Paths.get(s"$dir/part$i"))
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        val dst = Paths.get(s"$dir/b$i.parquet")
+        Files.move(f, dst)
+        dst.toFile.setLastModified(1700000000000L + i * 60000L)
+      }
+      val stream = spark.readStream.schema(
+          Tables.events(spark, sfDir).schema)
+        .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+        .parquet(dir)
+      val q = TransformWithStateJobs.ewma(spark, stream, alpha)
+        .toDF().writeStream.format("memory").queryName("t_ewma3")
+        .outputMode("update").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-ewma-ckpt").toString)
+        .start()
+      q.awaitTermination()
+      close(reference(), finalStates("t_ewma3"))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+}
