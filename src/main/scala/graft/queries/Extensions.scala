@@ -218,6 +218,37 @@ object Extensions {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // HARD-NEGATIVE mining for contrastive training: per query doc,
+    // the top-5 most cosine-similar docs that are NOT near-duplicates
+    // (cluster mates would be false negatives — semantically the same
+    // document). Composes the similarity arm (brute-force here — the
+    // oracle needs exactness; ANN generates candidates at 100 TB) with
+    // the lossless DupGraph edge set as the exclusion list. Integer
+    // output (ids + rank); cosine rounds at 9dp before ranking like
+    // q_x_knn.
+    "q_x_hard_neg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = table(s, d, "embeddings")
+      val dups = graft.operators.DupGraph.pairs(s, d, threshold = 0.6)
+        .select(col("doc_a"), col("doc_b"))
+      // symmetric exclusion list (query, excluded-candidate)
+      val excl = dups.select(col("doc_a").as("query_id"), col("doc_b").as("cand_id"))
+        .unionByName(dups.select(col("doc_b").as("query_id"), col("doc_a").as("cand_id")))
+      val q = emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val scored = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+        .join(broadcast(q), col("cand_id") =!= col("query_id"))
+        .join(excl, Seq("query_id", "cand_id"), "left_anti")
+        .withColumn("cos", round(
+          VectorFunctions.dot(col("qv"), col("cv"))
+            / (VectorFunctions.norm(col("qv")) * VectorFunctions.norm(col("cv"))), 9))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("cand_id"), col("rank").cast("int").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Semantic OUTLIER scoring: cosine of every vector against its
     // label-group centroid — the mislabel/contamination detector of an
     // embedding-curated corpus (a vector far from its group's center
@@ -1712,6 +1743,37 @@ object Extensions {
                FROM c)
          SELECT lang, round(n_raw - sign(u) * ln(1 - 2 * abs(u)), 3) AS n_noisy
          FROM u ORDER BY lang""",
+
+    "q_x_hard_neg" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                      ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                        i -> array_to_string(ws[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))) END AS s
+               FROM w),
+         ex AS (SELECT a.doc_id AS u, b.doc_id AS v
+               FROM g a JOIN g b ON a.doc_id <> b.doc_id
+               WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+                 AND len(list_intersect(a.s, b.s)) * 1000000
+                     >= len(list_distinct(list_concat(a.s, b.s))) * 600000),
+         nv AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM nv WHERE vec_id % 25 = 0),
+         c AS (SELECT vec_id AS cand_id, embedding AS cv, nrm AS cn FROM nv),
+         p AS (
+           SELECT query_id, cand_id, round($knnCosSql, 9) AS cos
+           FROM q CROSS JOIN c
+           WHERE cand_id <> query_id
+             AND NOT EXISTS (SELECT 1 FROM ex
+                             WHERE ex.u = query_id AND ex.v = cand_id))
+         SELECT query_id, cand_id, rank FROM (
+           SELECT query_id, cand_id,
+                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rank
+           FROM p)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "q_x_rrf" ->
       s"""WITH nv AS (

@@ -58,6 +58,23 @@ object SetOps {
       a.unionByName(b).distinct().orderBy(col("event_id"), col("event_type"), col("value"))
     }),
 
+    // Schema-evolution-tolerant union: two snapshot versions with
+    // drifted schemas (v2 added a column, dropped another) unioned by
+    // NAME with missing columns null-filled — how a pipeline reads a
+    // dataset across a schema migration without rewriting history.
+    // Spark `unionByName(allowMissingColumns)` == DuckDB
+    // `UNION ALL BY NAME`.
+    "q_union_evolve" -> ((s, d) => {
+      val c = table(s, d, "customer")
+      val v1 = c.select(lit(1).as("snap"), col("c_custkey"), col("c_name"),
+        col("c_nationkey"))
+      val v2 = c.filter(col("c_custkey") % 2 === 0)
+        .select(lit(2).as("snap"), col("c_custkey"), col("c_name"),
+          col("c_acctbal"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .orderBy(col("snap"), col("c_custkey"))
+    }),
+
     "q_intersect" -> ((s, d) =>
       table(s, d, "customer").filter(col("c_acctbal") > 0).select(col("c_custkey"))
         .intersect(table(s, d, "orders").select(col("o_custkey").as("c_custkey")))
@@ -244,6 +261,14 @@ object SetOps {
          UNION
          SELECT event_id, event_type, value FROM events WHERE value > 150
          ORDER BY event_id, event_type, value""",
+
+    "q_union_evolve" ->
+      """SELECT * FROM (
+           SELECT 1 AS snap, c_custkey, c_name, c_nationkey FROM customer
+           UNION ALL BY NAME
+           SELECT 2 AS snap, c_custkey, c_name, c_acctbal FROM customer
+           WHERE c_custkey % 2 = 0)
+         ORDER BY snap, c_custkey""",
 
     "q_intersect" ->
       """SELECT c_custkey FROM customer WHERE c_acctbal > 0
