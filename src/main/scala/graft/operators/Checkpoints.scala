@@ -15,7 +15,14 @@ import org.apache.spark.sql.DataFrame
   *    the 100 TB mode (r6 verdict note): rounds survive executor loss
   *    at the cost of one HDFS/object-store write per round. Opt in by
   *    setting BOTH `spark.graft.reliableCheckpoint=true` and
-  *    `SparkContext.setCheckpointDir(...)`.
+  *    `SparkContext.setCheckpointDir(...)`. The frame is persisted
+  *    BEFORE checkpointing (the standard pairing): Spark's reliable
+  *    checkpoint writes files in a SECOND job, which would otherwise
+  *    recompute the whole round's plan; with the persist, the write
+  *    job reads cached blocks. Eager cuts unpersist right after the
+  *    write; lazy cuts stay persisted until materialization (the
+  *    caller's next action), then the blocks are redundant and
+  *    LRU-evictable — bounded at one round's frame.
   */
 object Checkpoints {
   val ConfKey = "spark.graft.reliableCheckpoint"
@@ -24,6 +31,11 @@ object Checkpoints {
     val ss = df.sparkSession
     val reliable = ss.conf.get(ConfKey, "false").toBoolean &&
       ss.sparkContext.getCheckpointDir.isDefined
-    if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+    if (reliable) {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = df.checkpoint(eager)
+      if (eager) df.unpersist(blocking = false)
+      out
+    } else df.localCheckpoint(eager)
   }
 }

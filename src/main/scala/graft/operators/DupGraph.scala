@@ -24,11 +24,24 @@ import graft.functions.TextFunctions
   */
 object DupGraph {
   @volatile private var cachingEnabled = false
+  // keyed by session UUID too: a cached DataFrame is bound to the
+  // session that built it — serving it to a later, different session
+  // would throw at action time
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long), DataFrame]
 
   /** Bench-time opt-in; Verify/specs leave this off. */
   def enableCaching(): Unit = cachingEnabled = true
+
+  /** Drop all cached edge frames and disable caching — for tools that
+    * recreate sessions in-process.
+    */
+  def reset(): Unit = {
+    cachingEnabled = false
+    cache.values.foreach(df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    cache.clear()
+  }
 
   /** Word-trigram shingle SETS of the documents table — the element
     * space every near-dup query in this family shares.
@@ -45,7 +58,9 @@ object DupGraph {
     def build = Dedup.exactJaccardPairs(
       trigramSets(spark, dir), "doc_id", "g", threshold)
     if (cachingEnabled)
-      cache.getOrElseUpdate((dir, math.round(threshold * 1000000L)), build.cache())
+      cache.getOrElseUpdate(
+        (System.identityHashCode(spark).toString, dir,
+          math.round(threshold * 1000000L)), build.cache())
     else build
   }
 

@@ -8,14 +8,14 @@ import org.apache.spark.sql.types._
   * dimensionality audit (how many directions carry the variance) and
   * the front door to projection-based compression.
   *
-  * Scale shape: ALL corpus-sized work is one aggregation pass — the
-  * mean vector (d rows after map-side combine) and the raw second-
-  * moment matrix (d² rows after map-side combine; the explode is
-  * consumed by a hash aggregate in the same stage, so the shuffle
-  * carries d²·partitions partials, never n·d² rows). Only the d×d
-  * covariance (64×64 = 32 KB here) reaches the driver, where a cyclic
-  * Jacobi eigensolver runs — driver-side by DIMENSION, not by corpus
-  * size, the same justification as broadcasting k centroids.
+  * Scale shape: ALL corpus-sized work is literally ONE aggregation
+  * pass — each row's flattened outer product, the vector itself, and
+  * a count entry explode into the same-stage hash aggregate, so the
+  * corpus is read once and the shuffle carries (d²+d+1)·partitions
+  * partials, never n·d² rows. Only the d×d covariance (64×64 = 32 KB
+  * here) reaches the driver, where a cyclic Jacobi eigensolver runs —
+  * driver-side by DIMENSION, not by corpus size, the same
+  * justification as broadcasting k centroids.
   *
   * Numerical honesty: eigenVALUES are stable under the ~1e-15
   * partition-order drift of the double aggregates (Weyl: |Δλ| ≤
@@ -27,27 +27,29 @@ import org.apache.spark.sql.types._
   */
 object Pca {
 
-  /** (n, mean[d], cov[d][d]) of the `embedding` column — one
-    * distributed pass; cov is the sample covariance (n−1 denominator).
+  /** (n, mean[d], cov[d][d]) of the `embedding` column — ONE corpus
+    * pass: each row emits its flattened outer product (d² entries)
+    * concatenated with the vector itself (d first-moment entries) and
+    * a trailing 1 (the row count), all folded by the same-stage hash
+    * aggregate — the shuffle carries d²+d+1 partials per partition,
+    * never n·d² rows. Cov is the sample covariance (n−1 denominator).
     */
   def covariance(emb: DataFrame, dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
     val xd = transform(col("embedding"), _.cast("double"))
-    val base = emb.select(xd.as("v"))
-    val n = base.count()
-    require(n >= 2, s"covariance needs >= 2 rows, got $n")
-    val mu = base.select(posexplode(col("v")).as(Seq("i", "x")))
+    val agg = emb.select(xd.as("v"))
+      .select(posexplode(concat(
+          flatten(transform(col("v"), x => transform(col("v"), y => x * y))),
+          col("v"), array(lit(1.0)))).as(Seq("i", "x")))
       .groupBy(col("i")).agg(sum(col("x")).as("s"))
-      .collect().sortBy(_.getInt(0)).map(_.getDouble(1) / n)
-    // raw second moments: per-row outer product exploded flat, folded
-    // by the SAME-STAGE hash aggregate (map-side combine) — the
-    // shuffle sees d² partials per partition only
-    val m = base.select(posexplode(
-        flatten(transform(col("v"), x => transform(col("v"), y => x * y))))
-        .as(Seq("ij", "p")))
-      .groupBy(col("ij")).agg(sum(col("p")).as("s"))
       .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    require(agg.length == dim * dim + dim + 1,
+      s"covariance expected width ${dim * dim + dim + 1}, got ${agg.length} " +
+        "(empty corpus or wrong dim?)")
+    val n = math.round(agg(dim * dim + dim))
+    require(n >= 2, s"covariance needs >= 2 rows, got $n")
+    val mu = Array.tabulate(dim)(i => agg(dim * dim + i) / n)
     val cov = Array.tabulate(dim, dim) { (i, j) =>
-      (m(i * dim + j) - n.toDouble * mu(i) * mu(j)) / (n - 1).toDouble
+      (agg(i * dim + j) - n.toDouble * mu(i) * mu(j)) / (n - 1).toDouble
     }
     (n, mu, cov)
   }

@@ -193,17 +193,20 @@ object Extensions {
     // same fusion plan, pruned inputs.
     "q_x_rrf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // norms precomputed per ROW (the bruteForceKnn pattern) — the
+      // per-pair kernel then does ONE 64-element dot, not three
       val cand = table(s, d, "embeddings")
         .join(table(s, d, "documents"), col("vec_id") === col("doc_id"))
         .select(col("doc_id"), col("embedding"),
+          VectorFunctions.norm(col("embedding")).as("cn"),
           array_distinct(TextFunctions.tokens(col("text"))).as("ws"))
       val q = cand.filter(col("doc_id") % 25 === 0)
         .select(col("doc_id").as("query_id"), col("embedding").as("qv"),
-          col("ws").as("qws"))
+          col("cn").as("qn"), col("ws").as("qws"))
       val scored = cand.join(broadcast(q), col("doc_id") =!= col("query_id"))
         .withColumn("cos", round(
           VectorFunctions.dot(col("qv"), col("embedding"))
-            / (VectorFunctions.norm(col("qv")) * VectorFunctions.norm(col("embedding"))), 9))
+            / (col("qn") * col("cn")), 9))
         .withColumn("jac", TextFunctions.jaccard(col("ws"), col("qws")))
       val wc = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("doc_id"))
       val wj = Window.partitionBy(col("query_id")).orderBy(col("jac").desc, col("doc_id"))
@@ -234,14 +237,16 @@ object Extensions {
       // symmetric exclusion list (query, excluded-candidate)
       val excl = dups.select(col("doc_a").as("query_id"), col("doc_b").as("cand_id"))
         .unionByName(dups.select(col("doc_b").as("query_id"), col("doc_a").as("cand_id")))
+      // norms precomputed per ROW (the bruteForceKnn pattern)
       val q = emb.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val scored = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          VectorFunctions.norm(col("embedding")).as("qn"))
+      val scored = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+          VectorFunctions.norm(col("embedding")).as("cnn"))
         .join(broadcast(q), col("cand_id") =!= col("query_id"))
         .join(excl, Seq("query_id", "cand_id"), "left_anti")
         .withColumn("cos", round(
-          VectorFunctions.dot(col("qv"), col("cv"))
-            / (VectorFunctions.norm(col("qv")) * VectorFunctions.norm(col("cv"))), 9))
+          VectorFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cnn")), 9))
       val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
@@ -532,8 +537,11 @@ object Extensions {
     // past one tiny aggregate; the noisy column rounds to 3dp (ln
     // cross-engine drift ≤ ulps, far below the rounding).
     "q_x_dp_count" -> ((s, d) => {
-      val u = (conv(substring(md5(concat(lit("dp1:"), col("lang"))), 1, 8), 16, 10)
-        .cast("double") / lit(4294967296.0)) - lit(0.5) // uniform (-0.5, 0.5)
+      // +0.5 before the divide keeps u strictly inside (-0.5, 0.5):
+      // a hash of 00000000 would otherwise land exactly on -0.5 and
+      // ln(0) diverges (NULL on Spark, an ERROR on DuckDB)
+      val u = ((conv(substring(md5(concat(lit("dp1:"), col("lang"))), 1, 8), 16, 10)
+        .cast("double") + lit(0.5)) / lit(4294967296.0)) - lit(0.5)
       val lap = -signum(u) * log(lit(1.0) - lit(2.0) * abs(u)) // b = 1/ε = 1
       table(s, d, "documents")
         .groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
@@ -1738,7 +1746,7 @@ object Extensions {
     "q_x_dp_count" ->
       """WITH c AS (SELECT lang, count(*) AS n_raw FROM documents GROUP BY lang),
          u AS (SELECT lang, n_raw,
-                 CAST(('0x' || substr(md5('dp1:' || lang), 1, 8)) AS BIGINT)
+                 (CAST(('0x' || substr(md5('dp1:' || lang), 1, 8)) AS BIGINT) + 0.5)
                    / 4294967296.0 - 0.5 AS u
                FROM c)
          SELECT lang, round(n_raw - sign(u) * ln(1 - 2 * abs(u)), 3) AS n_noisy

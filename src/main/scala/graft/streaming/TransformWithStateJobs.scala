@@ -87,8 +87,12 @@ object TransformWithStateJobs {
       var n = prev.map(_.n).getOrElse(0L)
       var y = prev.map(_.ewma).getOrElse(0.0)
       // rows within a batch are unordered; (ts, event_id) is a total
-      // order so the fold is deterministic at any parallelism
-      rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
+      // order so the fold is deterministic at any parallelism.
+      // getTime alone truncates to milliseconds — getNanos carries the
+      // full sub-second fraction, so sub-ms data still folds in true
+      // time order.
+      rows.toSeq.sortBy(r => (r.ts.getTime / 1000, r.ts.getNanos, r.event_id))
+        .foreach { r =>
         y = if (n == 0) r.value else alpha * r.value + (1.0 - alpha) * y
         n += 1
       }

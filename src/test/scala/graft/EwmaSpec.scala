@@ -20,7 +20,10 @@ class EwmaSpec extends SparkSuite {
     val rows = Tables.events(spark, sfDir)
       .select(col("event_type"), col("event_id"), col("ts"), col("value"))
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2).getTime, r.getDouble(3)))
+      .map { r =>
+        val ts = r.getTimestamp(2)
+        (r.getString(0), r.getLong(1), (ts.getTime / 1000, ts.getNanos), r.getDouble(3))
+      }
       .sortBy(r => (r._3, r._2))
     rows.groupBy(_._1).map { case (k, rs) =>
       var n = 0L; var y = 0.0
