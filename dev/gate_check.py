@@ -83,6 +83,35 @@ def main(rnd: int) -> int:
     except FileNotFoundError:
         pass
 
+    # 4. CORRECTNESS and BENCH must cover the IDENTICAL query-name set
+    #    (r6 failure mode: name-level diffs hid failing queries behind
+    #    matching counts). The driver's bench line truncates its
+    #    per-query map, so the name set comes from the full-map file
+    #    Bench writes alongside.
+    full = None
+    for cand in (f"dev/bench_full_r{rnd:02d}.json", "dev/bench_full_latest.json"):
+        try:
+            full = json.load(open(cand))
+            break
+        except FileNotFoundError:
+            continue
+    if full is None:
+        print("GATE RED: no dev/bench_full_r{N}.json / dev/bench_full_latest.json"
+              " — cannot cross-check bench vs correctness name sets")
+        ok = False
+    else:
+        bnames, cnames = set(full.get("queries", {})), set(corr)
+        if bnames != cnames:
+            only_b = sorted(bnames - cnames)
+            only_c = sorted(cnames - bnames)
+            if only_b:
+                print(f"GATE RED: {len(only_b)} queries benched but missing a "
+                      f"correctness row: {only_b}")
+            if only_c:
+                print(f"GATE RED: {len(only_c)} queries in correctness but "
+                      f"never benched: {only_c}")
+            ok = False
+
     if ok:
         print(f"GATE GREEN: bench failed:[] and all {len(corr)} correctness "
               f"entries pass or are no-oracle")

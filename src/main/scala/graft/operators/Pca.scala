@@ -36,7 +36,16 @@ object Pca {
     */
   def covariance(emb: DataFrame, dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
     val xd = transform(col("embedding"), _.cast("double"))
+    // per-row dimension guard: a row of d' != dim would emit d'²+d'+1
+    // entries whose flat indices land in OTHER rows' covariance slots
+    // — silent corruption the overall-width require below cannot see
+    // as long as one full-dim row exists. Fail loudly instead (same
+    // stance as Pq.sliceExpr); size(NULL) = -1 also trips the guard.
     val agg = emb.select(xd.as("v"))
+      .select(expr(
+        s"""IF(size(v) = $dim, v,
+            |  raise_error(concat('graft PCA: embedding dimension ',
+            |    CAST(size(v) AS STRING), ' != expected $dim')))""".stripMargin).as("v"))
       .select(posexplode(concat(
           flatten(transform(col("v"), x => transform(col("v"), y => x * y))),
           col("v"), array(lit(1.0)))).as(Seq("i", "x")))
@@ -133,9 +142,12 @@ object Pca {
     val (vals, _) = eigenSym(cov)
     val total = vals.sum
     var cum = 0.0
+    // zero total variance (n >= 2 identical embeddings): cum/total
+    // would be NaN; emit 0.0 — same never-throw stance as the <2-row
+    // case above
     val rows = vals.zipWithIndex.map { case (ev, i) =>
       cum += ev
-      Row(i + 1, ev, cum / total)
+      Row(i + 1, ev, if (total <= 0.0) 0.0 else cum / total)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }

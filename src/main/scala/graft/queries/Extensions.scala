@@ -161,6 +161,11 @@ object Extensions {
       val b = sh.select(col("blk"), col("doc_id").as("doc_b"), col("s").as("sb"))
       a.join(b, Seq("blk"))
         .filter(col("doc_a") < col("doc_b"))
+        // two <3-char docs share the same (empty-ish) block key and
+        // would pair with empty shingle sets → 0/0, whose NULL-vs-NaN
+        // fate differs across engines; drop empty-union pairs on BOTH
+        // engines (the q_x_dup_stats guard)
+        .filter(size(array_union(col("sa"), col("sb"))) > 0)
         .select(col("doc_a"), col("doc_b"),
           round(TextFunctions.jaccard(col("sa"), col("sb")), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -333,14 +338,18 @@ object Extensions {
     // Approximate ANN via product quantization (m=8 subspace codebooks
     // of 32 centroids each → 8 small codes per vector, ~50× smaller
     // than the 64 raw floats) with ADC scoring and exact cosine rerank
-    // of the top-8k candidates. The corpus-COMPRESSION scale path,
+    // of the top-16k candidates (rerank is the cheap recall dial — it
+    // scales only the exact-rerank row count, never the corpus-sized
+    // ADC pass; measured 0.58 → 0.73 recall@10 going 8 → 16,
+    // dev/recall.txt). The corpus-COMPRESSION scale path,
     // complementing the bucketing path (LSH) and the partition-pruning
     // path (IVF). No oracle (model-defined); PqSpec asserts recall vs
     // brute force, Recall emits the measured number per round.
     "q_x_ann_pq" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       graft.operators.Pq.pqKnn(s, emb.filter(col("vec_id") % 25 === 0), emb,
-          k = 10, m = 8, kCodes = 32, iters = 1, rerankFactor = 8)
+          k = 10, m = 8, kCodes = 32, iters = 1, rerankFactor = 16,
+          memoKey = Some(d))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -354,7 +363,8 @@ object Extensions {
     "q_x_ann_ivfpq" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       graft.operators.IvfPq.ivfPqKnn(s, emb.filter(col("vec_id") % 25 === 0), emb,
-          k = 10, nCoarse = 16, nProbe = 4, m = 8, kCodes = 32, iters = 1, rerankFactor = 8)
+          k = 10, nCoarse = 16, nProbe = 4, m = 8, kCodes = 32, iters = 1, rerankFactor = 8,
+          memoKey = Some(d))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1590,6 +1600,7 @@ object Extensions {
                 round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                       / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
          FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
          ORDER BY doc_a, doc_b""",
 
     "q_x_knn" ->

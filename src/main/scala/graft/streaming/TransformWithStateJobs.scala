@@ -90,8 +90,10 @@ object TransformWithStateJobs {
       // order so the fold is deterministic at any parallelism.
       // getTime alone truncates to milliseconds — getNanos carries the
       // full sub-second fraction, so sub-ms data still folds in true
-      // time order.
-      rows.toSeq.sortBy(r => (r.ts.getTime / 1000, r.ts.getNanos, r.event_id))
+      // time order. floorDiv, not /: getTime/1000 truncates TOWARD
+      // ZERO for pre-epoch timestamps while getNanos stays in
+      // [0, 1e9), which would sort -0.5s after -1.0s.
+      rows.toSeq.sortBy(r => (Math.floorDiv(r.ts.getTime, 1000L), r.ts.getNanos, r.event_id))
         .foreach { r =>
         y = if (n == 0) r.value else alpha * r.value + (1.0 - alpha) * y
         n += 1

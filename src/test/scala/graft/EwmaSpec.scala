@@ -22,7 +22,9 @@ class EwmaSpec extends SparkSuite {
       .collect()
       .map { r =>
         val ts = r.getTimestamp(2)
-        (r.getString(0), r.getLong(1), (ts.getTime / 1000, ts.getNanos), r.getDouble(3))
+        // floorDiv like the processor: plain / truncates toward zero
+        // for pre-epoch millis, misordering against getNanos ∈ [0,1e9)
+        (r.getString(0), r.getLong(1), (Math.floorDiv(ts.getTime, 1000L), ts.getNanos), r.getDouble(3))
       }
       .sortBy(r => (r._3, r._2))
     rows.groupBy(_._1).map { case (k, rs) =>
@@ -101,6 +103,59 @@ class EwmaSpec extends SparkSuite {
         .start()
       q.awaitTermination()
       close(reference(), finalStates("t_ewma3"))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("kill + restart from checkpoint resumes the fold (RocksDB state restore)") {
+    TransformWithStateJobs.withRocksDb(spark)
+    try {
+      val ev = Tables.events(spark, sfDir)
+      val cut = ev.stat.approxQuantile("event_id", Array(0.66), 0.0)(0)
+      val dir = Files.createTempDirectory("graft-ewma-restart").toString
+      val ckpt = Files.createTempDirectory("graft-ewma-restart-ckpt").toString
+      def writeSlice(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = s"$dir/_stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val f = Files.list(Paths.get(tmp))
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        Files.move(f, Paths.get(s"$dir/$name.parquet"))
+      }
+      // memory sink does not support checkpoint recovery; foreachBatch
+      // does, and collects each batch's updates into a driver buffer
+      val updates = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+      def runOnce(): Unit = {
+        val stream = spark.readStream.schema(ev.schema).parquet(dir)
+        val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+          (df, _) => {
+            val rows = df.collect().map(r =>
+              (r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Double]("ewma")))
+            updates.synchronized { updates ++= rows }
+          }
+        val q = TransformWithStateJobs.ewma(spark, stream, alpha)
+          .toDF().writeStream.foreachBatch(sink)
+          .outputMode("update").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.awaitTermination()
+      }
+      // run 1 folds the first two thirds, then the query STOPS (the
+      // kill); run 2 is a brand-new query object on the same
+      // checkpoint — state must come back from the RocksDB snapshot,
+      // not from reprocessing (the source file of run 1 is still
+      // present, so a restart that re-read it would double-fold and
+      // fail the n/ewma equality below).
+      writeSlice(ev.filter(col("event_id") < cut), "b0")
+      runOnce()
+      writeSlice(ev.filter(col("event_id") >= cut), "b1")
+      runOnce()
+      // per-key n is monotone in the fold — the row with max n is each
+      // key's LAST update across both runs (keys untouched by slice 2
+      // keep their run-1 state)
+      val merged = updates.groupBy(_._1).map { case (k, rs) =>
+        val last = rs.maxBy(_._2)
+        k -> (last._2, last._3)
+      }
+      close(reference(), merged)
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 }
