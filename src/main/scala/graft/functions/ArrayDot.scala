@@ -158,6 +158,11 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         "graft_adc", exprs => AdcLookup(exprs(0), exprs(1)), "built-in")
     }
+    val kmvId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kmv")
+    if (!registry.functionExists(kmvId)) {
+      registry.createOrReplaceTempFunction(
+        "graft_kmv", exprs => KmvSketch.build(exprs), "built-in")
+    }
     graft.plans.IntersectCountRewrite.install(spark)
   }
 }

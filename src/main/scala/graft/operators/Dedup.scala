@@ -202,6 +202,52 @@ object Dedup {
     * (⌈p·n/q⌉ = (p·n+q−1) div q). Shared by the self-join and R-S
     * prefix-filter variants so the lemma's arithmetic lives once.
     */
+  /** Exact containment join: every ORDERED pair (a, b), a ≠ b, with
+    * containment |Sa ∩ Sb| / |Sa| ≥ threshold — the asymmetric
+    * near-dup relation Jaccard can't express: a short document quoted
+    * wholesale inside a long one has high containment but low Jaccard
+    * (the long doc's extra shingles dilute the union). The quote /
+    * near-superset detector of a curation pipeline.
+    *
+    * Prefix filter (PPJoin overlap bound, Xiao et al. 2008): a
+    * qualifying pair shares ≥ ⌈θ·|Sa|⌉ elements, so a must match b
+    * within its first |Sa| − ⌈θ·|Sa|⌉ + 1 rarest elements — the SAME
+    * prefix length as the Jaccard case, so [[prefixOf]] is reused
+    * verbatim. The asymmetry: b's side joins its FULL posting list
+    * (containment puts no lower bound on how deep the shared element
+    * sits in b). Rarest-first ordering keeps those buckets small —
+    * a's prefix elements are globally rare, so even b's full postings
+    * for them are short. Verify is integer-rational (inter·1e6 ≥
+    * |Sa|·p) — no float boundary; empty Sa is excluded before any
+    * division.
+    *
+    * @return (doc_a, doc_b, containment) — a's shingles covered by b.
+    */
+  def containmentPairs(sets: DataFrame, idCol: String, setCol: String,
+      threshold: Double): DataFrame = {
+    val p = math.round(threshold * 1000000L) // θ = p / 1e6, exact
+    val q = 1000000L
+    val base = sets.select(col(idCol).as("doc_id"), col(setCol).as("s"))
+      .filter(size(col("s")) > 0)
+      .localCheckpoint(eager = false)
+    val la = base.select(col("doc_id").as("doc_a"), col("s"))
+    val rb = base.select(col("doc_id").as("doc_b"), col("s"))
+    val freq = base.select(explode(col("s")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+    val cand = prefixOf(la, "doc_a", freq, p, q)
+      .join(rb.select(col("doc_b"), explode(col("s")).as("t")), Seq("t"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(la.select(col("doc_a"), col("s").as("sa")), Seq("doc_a"))
+      .join(rb.select(col("doc_b"), col("s").as("sb")), Seq("doc_b"))
+      .withColumn("inter", call_function("graft_intersect_count", col("sa"), col("sb")))
+      .filter(col("inter") * q >= size(col("sa")).cast("long") * p)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / size(col("sa")), 6).as("containment"))
+  }
+
   private def prefixOf(base: DataFrame, id: String, freq: DataFrame,
       p: Long, q: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -96,6 +96,22 @@ object Aggregates {
           round(expr("percentile(l_quantity, 0.5)"), 6).as("med_q"))
         .orderBy(col("l_returnflag"))),
 
+    // Group-wise OLS via the SQL regression aggregates (one pass of
+    // mergeable moments — sums of x, y, x², xy — so partial
+    // aggregation combines map-side and the shuffle carries one
+    // 5-number summary per group regardless of corpus size; the
+    // scalable form of per-segment trend fitting, vs collecting rows
+    // to fit driver-side).
+    "q_agg_regr" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 6).as("icept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"))
+        .orderBy(col("l_returnflag"))),
+
     "q_agg_rollup" -> ((s, d) =>
       table(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -261,6 +277,14 @@ object Aggregates {
                 round(var_samp(l_quantity), 6) AS var_q,
                 round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
                 round(quantile_cont(l_quantity, 0.5), 6) AS med_q
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_agg_regr" ->
+      """SELECT l_returnflag,
+                count(*) AS n,
+                round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+                round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
+                round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q_agg_rollup" ->

@@ -974,6 +974,69 @@ object Extensions {
       graft.operators.DupGraph.pairs(s, d, threshold = 0.6)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // Exact containment join (Dedup.containmentPairs): every ORDERED
+    // pair with |Sa ∩ Sb| / |Sa| ≥ 0.8 over word-trigram shingles —
+    // the quote / near-superset detector Jaccard misses (a short doc
+    // embedded in a long one dilutes the union). Same rare-prefix
+    // candidate generation as the Jaccard join; b's side joins full
+    // postings (containment puts no position bound on b). Oracle:
+    // DuckDB brute-force over all ordered pairs.
+    "q_x_containment" -> ((s, d) =>
+      Dedup.containmentPairs(
+          graft.operators.DupGraph.trigramSets(s, d), "doc_id", "g", 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Cross-source vocabulary overlap via KMV bottom-k sketches
+    // (functions.KmvSketch, k=256): one bounded-memory aggregate pass
+    // over exploded shingle hashes gives a k-string summary per
+    // source; every pairwise Jaccard estimate then needs only the 20
+    // sketches (array ops on k-length arrays — driver-free, broadcast-
+    // sized). The sketched form of q_x_source_xdup's exact matrix: at
+    // 100 TB the exact per-pair intersection shuffles the full shingle
+    // vocabulary, while this ships 256 strings per (source ×
+    // partition) and answers ALL 190 pairs from one tiny table.
+    // Deterministic (k smallest distinct md5 strings is a pure set
+    // function) — so unlike most sketches it hash-matches a DuckDB
+    // oracle that reproduces the same bottom-k with a window rank.
+    "q_x_kmv_overlap" -> ((s, d) => {
+      val k = 256
+      val kmv = table(s, d, "documents")
+        .select(col("source"),
+          explode(TextFunctions.wordNgramsExpr("text", 3)).as("g"))
+        .select(col("source"), md5(col("g")).as("h"))
+        .groupBy(col("source"))
+        .agg(call_function("graft_kmv", col("h"), lit(k)).as("ks"))
+      val a = kmv.select(col("source").as("source_a"), col("ks").as("ka"))
+      val b = kmv.select(col("source").as("source_b"), col("ks").as("kb"))
+      a.join(b, col("source_a") < col("source_b"))
+        .withColumn("merged",
+          slice(array_sort(array_union(col("ka"), col("kb"))), 1, k))
+        .withColumn("k_shared",
+          size(array_intersect(array_intersect(col("merged"), col("ka")), col("kb"))))
+        .select(col("source_a"), col("source_b"), col("k_shared"),
+          round(col("k_shared").cast("double") /
+            least(lit(k), size(col("merged"))), 6).as("j_est"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // Triangle census of the semantic-similarity graph
+    // (operators.Triangles over blockedCosinePairs at cos ≥ 0.3):
+    // per-vertex triangle counts separate genuine duplicate CLUSTERS
+    // (cliques — every member closes triangles) from chains of
+    // borderline pairs that connected components would merge. Degree-
+    // ordered orientation bounds the wedge join at O(m^1.5) no matter
+    // how skewed the hub degrees — the scale property a naive
+    // neighbor-join lacks. Oracle: DuckDB brute-force edge derivation
+    // + 3-way self-join.
+    "q_x_triangles" -> ((s, d) => {
+      val edges = Similarity
+        .blockedCosinePairs(s, table(s, d, "embeddings"), threshold = 0.3)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      graft.operators.Triangles.perVertex(edges)
+        .select(col("id").as("vec_id"), col("n_tri"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Near-duplicate CLUSTER assignment: candidate edges from the exact
     // similarity join above (all pairs with word-trigram Jaccard ≥ 0.6 —
     // lossless, so no cluster is ever split by a missed edge) → generic
@@ -2172,6 +2235,65 @@ object Extensions {
          SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
          FROM p WHERE uni > 0 AND inter * 1000000 >= uni * 600000
          ORDER BY doc_a, doc_b""",
+
+    "q_x_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                      ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                        i -> array_to_string(ws[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))) END AS s
+               FROM w),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na
+               FROM g a JOIN g b ON a.doc_id <> b.doc_id
+               WHERE len(a.s) > 0 AND len(b.s) > 0)
+         SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / na, 6) AS containment
+         FROM p WHERE inter * 1000000 >= na * 800000
+         ORDER BY doc_a, doc_b""",
+
+    "q_x_kmv_overlap" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT source, g
+                FROM w, UNNEST(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                    i -> array_to_string(ws[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))) END) AS t(g)),
+         h AS (SELECT source, md5(g) AS h FROM sh),
+         rk AS (SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h) AS r FROM h),
+         kmv AS (SELECT source, list_sort(array_agg(h)) AS ks
+                 FROM rk WHERE r <= 256 GROUP BY source),
+         pr AS (SELECT a.source AS source_a, b.source AS source_b,
+                       a.ks AS ka, b.ks AS kb
+                FROM kmv a JOIN kmv b ON a.source < b.source),
+         est AS (SELECT source_a, source_b, ka, kb,
+                   list_sort(list_distinct(list_concat(ka, kb)))[1:256] AS merged
+                 FROM pr)
+         SELECT source_a, source_b,
+                len(list_intersect(list_intersect(merged, ka), kb)) AS k_shared,
+                round(CAST(len(list_intersect(list_intersect(merged, ka), kb)) AS DOUBLE)
+                      / least(256, len(merged)), 6) AS j_est
+         FROM est ORDER BY source_a, source_b""",
+
+    "q_x_triangles" ->
+      s"""WITH nv AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings),
+         a AS (SELECT vec_id AS id_a, embedding AS qv, nrm AS qn FROM nv),
+         b AS (SELECT vec_id AS id_b, embedding AS cv, nrm AS cn FROM nv),
+         e AS (SELECT id_a AS ea, id_b AS eb FROM (
+                 SELECT id_a, id_b, round($knnCosSql, 9) AS cos
+                 FROM a JOIN b ON id_a < id_b)
+               WHERE cos >= 0.3),
+         tri AS (SELECT e1.ea AS ta, e1.eb AS tb, e2.eb AS tc
+                 FROM e e1 JOIN e e2 ON e1.eb = e2.ea
+                      JOIN e e3 ON e3.ea = e1.ea AND e3.eb = e2.eb),
+         m AS (SELECT ta AS vec_id FROM tri
+               UNION ALL SELECT tb FROM tri
+               UNION ALL SELECT tc FROM tri)
+         SELECT vec_id, count(*) AS n_tri FROM m
+         GROUP BY vec_id ORDER BY vec_id""",
 
     "q_x_dup_clusters" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -169,6 +169,34 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("containmentPairs == brute-force ordered pairs; asymmetric subsets detected") {
+    // plant a strict-subset doc: 6 of doc 3's words → containment
+    // (50→3) = 1.0 while (3→50) stays far below threshold
+    val sub = scatterCorpus(3)._2.split(" ").distinct.take(6).mkString(" ")
+    val corpus2 = (scatterCorpus :+ (50L, sub)).toDF("id", "text")
+      .select($"id", array_distinct(array_remove(split($"text", " "), "")).as("s"))
+    for (theta <- Seq(0.6, 0.8, 1.0)) { // 1.0: prefix shrinks to the single rarest element
+      val got = Dedup.containmentPairs(corpus2, "id", "s", theta)
+        .as[(Long, Long, Double)].collect().toSet
+      val p = math.round(theta * 1000000L)
+      val a = corpus2.select($"id".as("doc_a"), $"s".as("sa"))
+      val b = corpus2.select($"id".as("doc_b"), $"s".as("sb"))
+      val want = a.join(b, $"doc_a" =!= $"doc_b")
+        .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("long"))
+        .withColumn("na", size($"sa").cast("long"))
+        .filter($"na" > 0 && $"inter" * 1000000L >= $"na" * p)
+        .select($"doc_a", $"doc_b",
+          round($"inter".cast("double") / $"na", 6).as("containment"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === want, s"at θ=$theta")
+      if (theta == 1.0) {
+        val pairs = got.map(t => (t._1, t._2))
+        assert(pairs.contains((50L, 3L)))   // subset → superset
+        assert(!pairs.contains((3L, 50L)))  // not the reverse
+      }
+    }
+  }
+
   test("exactJaccardPairs keeps native id types: string ids are not nulled out") {
     val strSets = scatterCorpus.toDF("id", "text")
       .select(format_string("doc-%03d", $"id").as("id"),
