@@ -21,6 +21,9 @@ object Bench {
     // Five near-dup queries share one similarity-graph derivation
     // (operators.DupGraph); compute it once per bench run.
     graft.operators.DupGraph.enableCaching()
+    // Four semantic-graph queries share the cosine edge derivation
+    // (operators.CosGraph at thresholds 0.3 / 0.4) the same way.
+    graft.operators.CosGraph.enableCaching()
     // ANN index artifacts (PQ codebook + codes) likewise build once
     // per bench run — the r7 q_x_ann_pq regression was the codebook
     // cache losing the plan-identity/LRU race under this JVM's

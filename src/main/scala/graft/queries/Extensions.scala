@@ -183,7 +183,7 @@ object Extensions {
     // jobs at construction); the primitive broadcast kernel
     // (exactCosinePairs) remains the small-subset verifier.
     "q_x_cos_pairs" -> ((s, d) =>
-      Similarity.blockedCosinePairs(s, table(s, d, "embeddings"), threshold = 0.4)
+      graft.operators.CosGraph.pairs(s, d, threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
     // Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
@@ -378,8 +378,7 @@ object Extensions {
     // the corpus, no driver collect), CC is O(log d) label rounds.
     "q_x_semantic_dedup" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
-      val edges = Similarity.blockedCosinePairs(s, emb, threshold = 0.4)
-        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val edges = graft.operators.CosGraph.edges(s, d, threshold = 0.4)
       graft.operators.Components
         .connectedComponents(s, emb.select(col("vec_id").as("id")), edges)
         .select(col("id").as("vec_id"), col("cluster_id"),
@@ -1029,12 +1028,59 @@ object Extensions {
     // neighbor-join lacks. Oracle: DuckDB brute-force edge derivation
     // + 3-way self-join.
     "q_x_triangles" -> ((s, d) => {
-      val edges = Similarity
-        .blockedCosinePairs(s, table(s, d, "embeddings"), threshold = 0.3)
-        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val edges = graft.operators.CosGraph.edges(s, d, threshold = 0.3)
       graft.operators.Triangles.perVertex(edges)
         .select(col("id").as("vec_id"), col("n_tri"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Density clustering (graph DBSCAN, ε = cos ≥ 0.3, minPts = 4)
+    // over the same semantic edge list: organic topic clumps with
+    // core/border roles, low-density background left unclustered —
+    // the no-k counterpart of q_x_kmeans. Deterministic min-cluster
+    // border rule makes the result a pure function of the edge set,
+    // so the full assignment hash-matches a DuckDB recursive-CTE
+    // oracle (unlike sequential DBSCAN's order-dependent borders).
+    "q_x_dbscan" -> ((s, d) => {
+      val edges = graft.operators.CosGraph.edges(s, d, threshold = 0.3)
+      graft.operators.Dbscan.cluster(s, edges, minPts = 4)
+        .select(col("id").as("vec_id"), col("role"), col("cluster_id"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Dedup CASCADE — the production composition: exact (sha256),
+    // near (word-trigram Jaccard ≥ 0.6), and quote/superset
+    // (containment ≥ 0.9, undirected) edges UNIONED into one dup
+    // graph → connected components → longest-doc-keeps rule. One
+    // modality alone misses what another catches (case variants hash
+    // apart but shingle together; a quoted doc fails Jaccard but
+    // hits containment); the cascade's cluster is the union-graph
+    // component. Each edge family keeps its own scale shape (hash
+    // equi-join / prefix-filter joins); only edge lists union.
+    "q_x_dedup_cascade" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, d, "documents")
+      val hashes = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      val exactE = hashes.select(col("doc_id").as("a"), col("h"))
+        .join(hashes.select(col("doc_id").as("b"), col("h")), Seq("h"))
+        .filter(col("a") < col("b")).select(col("a"), col("b"))
+      val jacE = graft.operators.DupGraph.edges(s, d, threshold = 0.6)
+      val contE = Dedup.containmentPairs(
+          graft.operators.DupGraph.trigramSets(s, d), "doc_id", "g", 0.9)
+        .select(least(col("doc_a"), col("doc_b")).as("a"),
+          greatest(col("doc_a"), col("doc_b")).as("b"))
+      val edges = exactE.unionByName(jacE).unionByName(contE)
+        .dropDuplicates("a", "b")
+      val cc = graft.operators.Components
+        .connectedComponents(s, docs.select(col("doc_id").as("id")), edges)
+      val byCluster = Window.partitionBy(col("cluster_id"))
+      cc.join(docs.select(col("doc_id").as("id"), length(col("text")).as("len")), Seq("id"))
+        .withColumn("n_members", count(lit(1)).over(byCluster))
+        .withColumn("keep", row_number().over(
+          byCluster.orderBy(col("len").desc, col("id"))) === 1)
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          col("n_members"), col("keep"))
+        .orderBy(col("doc_id"))
     }),
 
     // Near-duplicate CLUSTER assignment: candidate edges from the exact
@@ -2294,6 +2340,71 @@ object Extensions {
                UNION ALL SELECT tc FROM tri)
          SELECT vec_id, count(*) AS n_tri FROM m
          GROUP BY vec_id ORDER BY vec_id""",
+
+    "q_x_dbscan" ->
+      s"""WITH RECURSIVE nv AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings),
+         a AS (SELECT vec_id AS id_a, embedding AS qv, nrm AS qn FROM nv),
+         b AS (SELECT vec_id AS id_b, embedding AS cv, nrm AS cn FROM nv),
+         e AS (SELECT id_a AS ea, id_b AS eb FROM (
+                 SELECT id_a, id_b, round($knnCosSql, 9) AS cos
+                 FROM a JOIN b ON id_a < id_b)
+               WHERE cos >= 0.3),
+         sym AS (SELECT ea AS u, eb AS v FROM e UNION ALL SELECT eb, ea FROM e),
+         core AS (SELECT u AS id FROM sym GROUP BY u HAVING count(*) >= 3),
+         ce AS (SELECT s.u, s.v FROM sym s
+                JOIN core c1 ON s.u = c1.id JOIN core c2 ON s.v = c2.id),
+         r AS (SELECT id, id AS reach FROM core
+               UNION
+               SELECT r.id, ce.v FROM r JOIN ce ON r.reach = ce.u),
+         lab AS (SELECT id, min(reach) AS cluster_id FROM r GROUP BY id),
+         border AS (SELECT s.u AS id, min(l.cluster_id) AS cluster_id
+                    FROM sym s JOIN lab l ON s.v = l.id
+                    WHERE s.u NOT IN (SELECT id FROM core)
+                    GROUP BY s.u)
+         SELECT id AS vec_id, 'core' AS role, cluster_id FROM lab
+         UNION ALL
+         SELECT id AS vec_id, 'border' AS role, cluster_id FROM border
+         ORDER BY vec_id""",
+
+    "q_x_dedup_cascade" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                      ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                        i -> array_to_string(ws[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))) END AS s
+               FROM w),
+         je AS (SELECT a.doc_id AS u, b.doc_id AS v
+                FROM g a JOIN g b ON a.doc_id < b.doc_id
+                WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+                  AND len(list_intersect(a.s, b.s)) * 1000000
+                      >= len(list_distinct(list_concat(a.s, b.s))) * 600000),
+         co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na
+                FROM g a JOIN g b ON a.doc_id <> b.doc_id
+                WHERE len(a.s) > 0 AND len(b.s) > 0),
+         ce AS (SELECT DISTINCT least(doc_a, doc_b) AS u, greatest(doc_a, doc_b) AS v
+                FROM co WHERE inter * 1000000 >= na * 900000),
+         xe AS (SELECT a.doc_id AS u, b.doc_id AS v
+                FROM documents a JOIN documents b
+                  ON sha256(a.text) = sha256(b.text) AND a.doc_id < b.doc_id),
+         e AS (SELECT u, v FROM je UNION SELECT u, v FROM ce UNION SELECT u, v FROM xe),
+         sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         r AS (SELECT doc_id AS id, doc_id AS reach FROM documents
+               UNION
+               SELECT r.id, s.v FROM r JOIN sym s ON r.reach = s.u),
+         lab AS (SELECT id, CAST(min(reach) AS BIGINT) AS cluster_id
+                 FROM r GROUP BY id),
+         sized AS (SELECT lab.id, lab.cluster_id,
+                     count(*) OVER (PARTITION BY lab.cluster_id) AS n_members,
+                     row_number() OVER (PARTITION BY lab.cluster_id
+                       ORDER BY length(d.text) DESC, lab.id) AS rk
+                   FROM lab JOIN documents d ON d.doc_id = lab.id)
+         SELECT id AS doc_id, cluster_id, n_members, rk = 1 AS keep
+         FROM sized ORDER BY doc_id""",
 
     "q_x_dup_clusters" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
