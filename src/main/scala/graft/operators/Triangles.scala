@@ -52,6 +52,9 @@ object Triangles {
     val withDeg = e
       .join(deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "da"), Seq("a"))
       .join(deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "db"), Seq("b"))
+    // materialize once (lazily): the oriented list feeds both wedge
+    // sides AND the closing semi-join — without this the degree
+    // aggregate + degree joins replay three times
     val oriented = withDeg.select(
       when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
         col("a")).otherwise(col("b")).as("u"),
@@ -59,6 +62,7 @@ object Triangles {
         col("b")).otherwise(col("a")).as("v"),
       when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
         col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint(eager = false)
     // wedges from each source u: out-neighbor pairs in orientation order
     val o1 = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
     val o2 = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))

@@ -1284,6 +1284,144 @@ object Extensions {
         .orderBy(col("source"))
     }),
 
+    // Incremental view maintenance for JOINS (operators.
+    // IncrementalJoin): the orders⋈customer revenue view maintained
+    // under delta batches on BOTH sides via the classic delta rule
+    // (state ∪ ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB) — each refresh pays
+    // delta-sized join cost, never a recompute. DECIMAL money sums
+    // make the final aggregate exactly associative, so the merged
+    // view hash-matches the oracle's full recompute (the no-drift
+    // contract, join edition of q_x_incr_agg).
+    "q_x_incr_join" -> ((s, d) => {
+      val orders = table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val cust = table(s, d, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      val isDa = col("o_orderkey") % 89 === 0
+      val isDb = col("o_custkey") % 97 === 0
+      val (a0, da) = (orders.filter(!isDa), orders.filter(isDa))
+      val (b0, db) = (cust.filter(!isDb), cust.filter(isDb))
+      val state = a0.join(b0, Seq("o_custkey"))
+      graft.operators.IncrementalJoin
+        .refreshed(state, a0, da, b0, db, Seq("o_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").cast("double").as("sum_price"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // Distribution drift between corpus snapshots (PSI — population
+    // stability index, the model-monitoring standard): per source,
+    // PSI of the n_chars distribution between the old and new
+    // snapshot views (the q_x_snapshot_diff convention), over 256-char
+    // buckets with +0.5 Laplace smoothing on the union bucket
+    // universe. Two tiny bucket aggregates; the corpus scans once per
+    // side and nothing corpus-sized shuffles. PSI > 0.2 is the
+    // conventional "retrain / investigate" alarm.
+    "q_x_psi" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      def snap(pred: org.apache.spark.sql.Column) = docs.filter(pred)
+        .select(col("source"), expr("n_chars div 256").as("bucket"))
+      val co = snap(col("doc_id") % 7 =!= 0)
+        .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("c_old"))
+      val cn = snap(col("doc_id") % 5 =!= 0)
+        .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("c_new"))
+      val uni = co.select(col("source"), col("bucket"))
+        .union(cn.select(col("source"), col("bucket"))).distinct()
+      val joined = uni
+        .join(co, Seq("source", "bucket"), "left")
+        .join(cn, Seq("source", "bucket"), "left")
+        .na.fill(0L, Seq("c_old", "c_new"))
+      val tot = joined.groupBy(col("source")).agg(
+        sum(col("c_old")).as("n_old"), sum(col("c_new")).as("n_new"),
+        count(lit(1)).as("n_buckets"))
+      joined.join(tot, Seq("source"))
+        .withColumn("p", (col("c_old") + 0.5) / (col("n_old") + col("n_buckets") * 0.5))
+        .withColumn("q", (col("c_new") + 0.5) / (col("n_new") + col("n_buckets") * 0.5))
+        .groupBy(col("source"))
+        .agg(max(col("n_buckets")).as("n_buckets"),
+          round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+        .orderBy(col("source"))
+    }),
+
+    // Per-source KL divergence from the corpus token distribution —
+    // "which source is most unlike the mixture" (domain skew audit),
+    // over the broadcast top-200 corpus vocabulary with +0.5
+    // smoothing (both p and q are proper distributions over the same
+    // restricted vocab, so KL ≥ 0 and finite). One corpus token pass;
+    // everything after is (sources × 200)-sized.
+    "q_x_kl_source" -> ((s, d) => {
+      val toks = table(s, d, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+        .orderBy(col("cf").desc, col("tok")).limit(200)
+      // smooth by the ACTUAL vocab size (can be < 200 on tiny
+      // fixtures) — a fixed +100 would denormalize p and q and let
+      // KL go negative
+      val corpTot = vocab.agg(sum(col("cf")).as("nc"),
+        count(lit(1)).cast("double").as("v"))
+      val st = toks.join(broadcast(vocab.select(col("tok"))), Seq("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
+      val universe = table(s, d, "documents").select(col("source")).distinct()
+        .crossJoin(broadcast(vocab))
+      val filled = universe.join(st, Seq("source", "tok"), "left")
+        .na.fill(0L, Seq("tf"))
+      val ns = filled.groupBy(col("source")).agg(sum(col("tf")).as("n_s"))
+      filled.join(ns, Seq("source")).crossJoin(broadcast(corpTot))
+        .withColumn("p", (col("tf") + 0.5) / (col("n_s") + col("v") * 0.5))
+        .withColumn("q", (col("cf") + 0.5) / (col("nc") + col("v") * 0.5))
+        .groupBy(col("source"))
+        .agg(round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl"))
+        .orderBy(col("source"))
+    }),
+
+    // Skyline / pareto front over (quality max, n_chars min) — the
+    // multi-objective doc selection primitive ("best quality at every
+    // length budget"). Scale shape: the corpus-sized pass is ONE
+    // per-length aggregate; the dominance test runs on the
+    // length-domain-bounded table (a broadcast theta join — bounded
+    // by the VALUE DOMAIN of n_chars, not the corpus), then one
+    // equi-join back. No global-order window anywhere.
+    "q_x_pareto" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      val perLen = docs.groupBy(col("n_chars")).agg(max(col("quality")).as("qmax"))
+      val shorter = perLen.select(col("n_chars").as("len2"), col("qmax").as("q2"))
+      val m1 = perLen.join(broadcast(shorter), col("len2") < col("n_chars"), "left")
+        .groupBy(col("n_chars"), col("qmax")).agg(max(col("q2")).as("m1"))
+      docs.join(m1, Seq("n_chars"))
+        .filter(col("quality") === col("qmax") &&
+          (col("m1").isNull || col("m1") < col("quality")))
+        .select(col("doc_id"), col("n_chars"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Fixed-size weighted sampling (Efraimidis–Spirakis A-ES keys):
+    // EXACTLY 100 docs with inclusion probability ∝ quality, via
+    // key = ln(u)/w with u a deterministic md5 uniform — top-k of a
+    // pure doc function, so the sample is reproducible on any
+    // cluster AND stable under corpus growth (a new doc displaces at
+    // most one incumbent). Complements q_x_weighted_sample (rate-
+    // based, size only in expectation). TakeOrderedAndProject top-k —
+    // no global sort materializes; keys rounded 9dp pre-rank with
+    // doc_id tie-break so float noise can't flip ranks cross-engine.
+    "q_x_priority_sample" -> ((s, d) => {
+      val h = md5(concat(lit("psamp"), col("doc_id").cast("string")))
+      val hex = lit("0123456789abcdef")
+      def nib(i: Int) = instr(hex, substring(h, i, 1)) - 1
+      val bucket = ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
+      val u = (bucket.cast("double") + 0.5) / 65536.0
+      table(s, d, "documents")
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .filter(col("quality") > 0)
+        .withColumn("samp_key", round(log(u) / col("quality"), 9))
+        .orderBy(col("samp_key").desc, col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("lang"), col("quality"), col("samp_key"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-distribution quality signals: word entropy
     // H = ln(N) − Σ c·ln(c) / N (one aggregation, no self-join) and
     // distinct-token ratio — the repetition filters of a corpus
@@ -2604,6 +2742,94 @@ object Extensions {
                 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1))
                < floor(quality * 65536)
          ORDER BY doc_id""",
+
+    "q_x_incr_join" ->
+      """SELECT c_nationkey,
+                count(*) AS n_orders,
+                CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "q_x_psi" ->
+      """WITH old_s AS (SELECT source, n_chars // 256 AS bucket FROM documents WHERE doc_id % 7 <> 0),
+         new_s AS (SELECT source, n_chars // 256 AS bucket FROM documents WHERE doc_id % 5 <> 0),
+         co AS (SELECT source, bucket, count(*) AS c_old FROM old_s GROUP BY 1, 2),
+         cn AS (SELECT source, bucket, count(*) AS c_new FROM new_s GROUP BY 1, 2),
+         uni AS (SELECT source, bucket FROM co UNION SELECT source, bucket FROM cn),
+         j AS (SELECT u.source, u.bucket,
+                 COALESCE(co.c_old, 0) AS c_old, COALESCE(cn.c_new, 0) AS c_new
+               FROM uni u
+               LEFT JOIN co ON co.source = u.source AND co.bucket = u.bucket
+               LEFT JOIN cn ON cn.source = u.source AND cn.bucket = u.bucket),
+         t AS (SELECT source, sum(c_old) AS n_old, sum(c_new) AS n_new,
+                 count(*) AS n_buckets
+               FROM j GROUP BY source),
+         pq AS (SELECT j.source,
+                 (j.c_old + 0.5) / (t.n_old + 0.5 * t.n_buckets) AS p,
+                 (j.c_new + 0.5) / (t.n_new + 0.5 * t.n_buckets) AS q,
+                 t.n_buckets
+               FROM j JOIN t ON j.source = t.source)
+         SELECT source, CAST(max(n_buckets) AS BIGINT) AS n_buckets,
+                round(sum((p - q) * ln(p / q)), 6) AS psi
+         FROM pq GROUP BY source ORDER BY source""",
+
+    "q_x_kl_source" ->
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+         v AS (SELECT tok, count(*) AS cf FROM tk GROUP BY tok
+               ORDER BY count(*) DESC, tok LIMIT 200),
+         ct AS (SELECT sum(cf) AS nc, CAST(count(*) AS DOUBLE) AS vs FROM v),
+         st AS (SELECT tk.source, tk.tok, count(*) AS tf
+                FROM tk JOIN v ON tk.tok = v.tok GROUP BY 1, 2),
+         uni AS (SELECT s.source, v.tok, v.cf
+                 FROM (SELECT DISTINCT source FROM documents) s CROSS JOIN v),
+         f AS (SELECT uni.source, uni.tok, uni.cf, COALESCE(st.tf, 0) AS tf
+               FROM uni LEFT JOIN st ON st.source = uni.source AND st.tok = uni.tok),
+         ns AS (SELECT source, sum(tf) AS n_s FROM f GROUP BY source),
+         pq AS (SELECT f.source,
+                 (f.tf + 0.5) / (ns.n_s + ct.vs * 0.5) AS p,
+                 (f.cf + 0.5) / (ct.nc + ct.vs * 0.5) AS q
+               FROM f JOIN ns ON f.source = ns.source, ct)
+         SELECT source, round(sum(p * ln(p / q)), 6) AS kl
+         FROM pq GROUP BY source ORDER BY source""",
+
+    "q_x_pareto" ->
+      """WITH w AS (
+           SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents),
+         q AS (SELECT doc_id, n_chars,
+                 round(least(1.0, CAST(len(words) AS DOUBLE) / 100.0)
+                       * (1.0 - CAST(len(list_intersect(words,
+                           ['the','a','of','and','to','in','is','it'])) AS DOUBLE)
+                          / CAST(len(words) AS DOUBLE)), 6) AS quality
+               FROM w),
+         pl AS (SELECT n_chars, max(quality) AS qmax FROM q GROUP BY n_chars),
+         m AS (SELECT a.n_chars, a.qmax, max(b.qmax) AS m1
+               FROM pl a LEFT JOIN pl b ON b.n_chars < a.n_chars
+               GROUP BY a.n_chars, a.qmax)
+         SELECT q.doc_id, q.n_chars, q.quality
+         FROM q JOIN m ON q.n_chars = m.n_chars
+         WHERE q.quality = m.qmax AND (m.m1 IS NULL OR m.m1 < q.quality)
+         ORDER BY q.doc_id""",
+
+    "q_x_priority_sample" ->
+      """WITH w AS (
+           SELECT doc_id, lang, string_split(text, ' ') AS words,
+                  md5(concat('psamp', CAST(doc_id AS VARCHAR))) AS h
+           FROM documents),
+         q AS (SELECT doc_id, lang, h,
+                 round(least(1.0, CAST(len(words) AS DOUBLE) / 100.0)
+                       * (1.0 - CAST(len(list_intersect(words,
+                           ['the','a','of','and','to','in','is','it'])) AS DOUBLE)
+                          / CAST(len(words) AS DOUBLE)), 6) AS quality
+               FROM w),
+         k AS (SELECT doc_id, lang, quality,
+                 round(ln((((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+                       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+                       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) + 0.5)
+                     / 65536.0) / quality, 9) AS samp_key
+               FROM q WHERE quality > 0),
+         topk AS (SELECT * FROM k ORDER BY samp_key DESC, doc_id LIMIT 100)
+         SELECT doc_id, lang, quality, samp_key FROM topk ORDER BY doc_id""",
 
     "q_x_stratified" ->
       """WITH r AS (SELECT source, n_chars,

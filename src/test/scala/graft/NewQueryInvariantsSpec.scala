@@ -87,4 +87,92 @@ class NewQueryInvariantsSpec extends SparkSuite {
     val total = run("q_x_dup_stats").agg(sum(col("n_docs"))).head().getLong(0)
     assert(total == Tables.table(spark, sfDir, "documents").count())
   }
+
+  // ---- round-8 wave ---------------------------------------------------
+
+  test("triangle counts: 3 | sum(n_tri), and every listed vertex has degree >= 2") {
+    val out = run("q_x_triangles")
+    val s = out.agg(sum(col("n_tri"))).head().getLong(0)
+    assert(s % 3 == 0, s"sum of per-vertex counts must be 3x the triangle count, got $s")
+    val e = graft.operators.CosGraph.edges(spark, sfDir, 0.3)
+    val deg = e.select(col("a").as("vec_id"))
+      .unionAll(e.select(col("b").as("vec_id")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
+    val tooFew = out.join(deg, Seq("vec_id"), "left")
+      .filter(col("deg").isNull || col("deg") < 2).count()
+    assert(tooFew == 0, s"$tooFew triangle vertices with degree < 2")
+  }
+
+  test("psi and kl divergences are non-negative") {
+    assert(run("q_x_psi").filter(col("psi") < -1e-9).count() == 0)
+    assert(run("q_x_kl_source").filter(col("kl") < -1e-9).count() == 0)
+  }
+
+  test("pareto front: mutually non-dominated and complete") {
+    val front = run("q_x_pareto")
+      .select(col("doc_id"), col("n_chars"), col("quality"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def dominates(a: (Long, Long, Double), b: (Long, Long, Double)) =
+      a._3 >= b._3 && a._2 <= b._2 && (a._3 > b._3 || a._2 < b._2)
+    for (a <- front; b <- front if a != b)
+      assert(!dominates(a, b), s"$a dominates fellow front member $b")
+    // completeness: every non-front doc is dominated by some front doc
+    val frontIds = front.map(_._1).toSet
+    val docs = Tables.table(spark, sfDir, "documents")
+      .withColumn("quality",
+        graft.functions.TextFunctions.qualityScore(col("text")))
+      .select(col("doc_id"), col("n_chars"), col("quality"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    for (d <- docs if !frontIds(d._1))
+      assert(front.exists(f => dominates(f, d)), s"$d escaped the front unbeaten")
+  }
+
+  test("priority sample is exactly 100 positive-quality docs") {
+    val out = run("q_x_priority_sample").collect()
+    val eligible = Tables.table(spark, sfDir, "documents")
+      .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+      .filter(col("q") > 0).count()
+    assert(out.length == math.min(100L, eligible))
+    assert(out.forall(_.getDouble(2) > 0))
+  }
+
+  test("dedup cascade only coarsens the jaccard-only clustering") {
+    // cascade edges are a superset of the jaccard edges, so any two
+    // docs sharing a jaccard cluster must share a cascade cluster
+    val jac = run("q_x_dup_clusters")
+      .select(col("doc_id"), col("cluster_id").as("jc"))
+    val split = run("q_x_dedup_cascade")
+      .select(col("doc_id"), col("cluster_id").as("cc"))
+      .join(jac, Seq("doc_id"))
+      .groupBy(col("jc")).agg(countDistinct(col("cc")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(split == 0, s"$split jaccard clusters straddle cascade clusters")
+  }
+
+  test("kmv estimate tracks exact vocabulary jaccard on the fixture") {
+    import spark.implicits._
+    val sh = Tables.table(spark, sfDir, "documents")
+      .select(col("source"), explode(array_distinct(
+        graft.functions.TextFunctions.wordNgramsExpr("text", 3))).as("g"))
+      .distinct()
+    val a = sh.select(col("source").as("sa"), col("g"))
+    val b = sh.select(col("source").as("sb"), col("g"))
+    val inter = a.join(b, Seq("g")).filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("i"))
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val exact = inter
+      .join(sizes.select(col("source").as("sa"), col("n").as("na")), Seq("sa"))
+      .join(sizes.select(col("source").as("sb"), col("n").as("nb")), Seq("sb"))
+      .select(col("sa"), col("sb"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("j"))
+      .as[(String, String, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val est = run("q_x_kmv_overlap")
+      .select(col("source_a"), col("source_b"), col("j_est"))
+      .as[(String, String, Double)].collect()
+    assert(est.nonEmpty)
+    val errs = est.map { case (x, y, e) => math.abs(e - exact.getOrElse((x, y), 0.0)) }
+    val mae = errs.sum / errs.length
+    assert(mae < 0.05, s"kmv MAE $mae vs exact jaccard")
+  }
 }
