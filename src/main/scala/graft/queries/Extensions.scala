@@ -1284,6 +1284,64 @@ object Extensions {
         .orderBy(col("source"))
     }),
 
+    // Multi-touch attribution (the marketing-analytics primitive):
+    // each purchase credits the view/click touchpoints of the same
+    // user within its 1-hour lookback — last-touch (winner takes 1)
+    // and linear (1/n each) models side by side. Equi-join on
+    // user_id + range predicate (never a time cross join), one
+    // per-conversion PARTITIONED window for both rank and count.
+    // Deterministic tie-break (ts desc, event_id desc) keeps the
+    // winner engine-exact.
+    "q_x_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, d, "events")
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("user_id"),
+          col("ts").as("conv_ts"))
+      val touch = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_id").as("touch_id"),
+          col("event_type").as("touch_type"), col("ts").as("touch_ts"))
+      val w = Window.partitionBy(col("conv_id"))
+      val credited = conv.join(touch, Seq("user_id"))
+        .filter(col("touch_ts") <= col("conv_ts") &&
+          col("touch_ts") > col("conv_ts") - expr("INTERVAL 1 HOUR"))
+        .withColumn("n_touches", count(lit(1)).over(w))
+        .withColumn("rk", row_number().over(
+          w.orderBy(col("touch_ts").desc, col("touch_id").desc)))
+      val last = credited.filter(col("rk") === 1)
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).cast("double").as("credit"))
+        .withColumn("model", lit("last_touch"))
+      val linear = credited
+        .groupBy(col("touch_type"))
+        .agg(sum(lit(1.0) / col("n_touches")).as("credit"))
+        .withColumn("model", lit("linear"))
+      last.unionByName(linear)
+        .select(col("model"), col("touch_type"),
+          round(col("credit"), 6).as("credit"))
+        .orderBy(col("model"), col("touch_type"))
+    }),
+
+    // Re-aggregatable distinct-count sketches (Apache DataSketches
+    // HLL, built into Spark): per-(event_type, day) sketch PARTIALS
+    // are built once, then unioned across days — the production
+    // incremental-distinct pattern `approx_count_distinct` cannot
+    // express (its sketch is invisible; these are storable columns a
+    // daily pipeline persists, then unions over ANY date range
+    // without rescanning events). Deterministic (HLL registers are
+    // order-independent maxima) but DuckDB has no DataSketches —
+    // no-oracle; HllUnionSpec pins estimate-vs-exact error and
+    // union-vs-direct agreement.
+    "q_x_hll_union" -> ((s, d) => {
+      val ev = table(s, d, "events").withColumn("day", to_date(col("ts")))
+      val daily = ev.groupBy(col("event_type"), col("day"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      daily.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est_users"),
+          count(lit(1)).as("n_days"))
+        .orderBy(col("event_type"))
+    }),
+
     // Incremental view maintenance for JOINS (operators.
     // IncrementalJoin): the orders⋈customer revenue view maintained
     // under delta batches on BOTH sides via the classic delta rule
@@ -2742,6 +2800,29 @@ object Extensions {
                 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1))
                < floor(quality * 65536)
          ORDER BY doc_id""",
+
+    "q_x_attribution" ->
+      """WITH conv AS (SELECT event_id AS conv_id, user_id, ts AS conv_ts
+                       FROM events WHERE event_type = 'purchase'),
+         touch AS (SELECT user_id, event_id AS touch_id,
+                          event_type AS touch_type, ts AS touch_ts
+                   FROM events WHERE event_type IN ('view', 'click')),
+         j AS (SELECT conv_id, touch_id, touch_type, touch_ts,
+                 count(*) OVER (PARTITION BY conv_id) AS n_touches,
+                 row_number() OVER (PARTITION BY conv_id
+                   ORDER BY touch_ts DESC, touch_id DESC) AS rk
+               FROM conv JOIN touch USING (user_id)
+               WHERE touch_ts <= conv_ts
+                 AND touch_ts > conv_ts - INTERVAL 1 HOUR),
+         lastm AS (SELECT 'last_touch' AS model, touch_type,
+                     CAST(count(*) AS DOUBLE) AS credit
+                   FROM j WHERE rk = 1 GROUP BY touch_type),
+         linm AS (SELECT 'linear' AS model, touch_type,
+                    sum(CAST(1.0 AS DOUBLE) / n_touches) AS credit
+                  FROM j GROUP BY touch_type)
+         SELECT model, touch_type, round(credit, 6) AS credit
+         FROM (SELECT * FROM lastm UNION ALL SELECT * FROM linm)
+         ORDER BY model, touch_type""",
 
     "q_x_incr_join" ->
       """SELECT c_nationkey,

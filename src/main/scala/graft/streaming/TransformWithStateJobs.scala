@@ -202,6 +202,78 @@ object TransformWithStateJobs {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  // ---- streaming heavy hitters (Misra–Gries in managed state) ---------
+
+  case class HHIn(event_type: String, user_id: Long)
+  case class HHOut(event_type: String, terms: String, err: Long, n: Long)
+
+  /** Streaming Misra–Gries heavy hitters: the k-counter sketch of
+    * [[graft.functions.FreqItems]] held as per-key MANAGED state
+    * (MapState for the counters — point updates, no full-value
+    * rewrite — plus a (dec, n) ValueState), folded batch after batch.
+    * MG's guarantees are order-free, so the multi-batch stream obeys
+    * the same invariants as one pass over the concatenated stream:
+    * est(x) ≤ true(x) ≤ est(x) + dec, no false negatives above dec,
+    * dec ≤ n/(k+1) — StreamingHeavyHittersSpec asserts all three
+    * against exact counts. The streaming form answers "top users per
+    * event type, continuously, unbounded key space" in O(k) state per
+    * key — the thing a windowed exact top-k cannot do when distinct
+    * users outgrow state.
+    */
+  class HeavyHittersProcessor(k: Int)
+    extends StatefulProcessor[String, HHIn, HHOut] {
+    require(k > 0)
+    @transient private var counters: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var meta: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counters = getHandle.getMapState[String, Long](
+        "mg", Encoders.STRING, Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      meta = getHandle.getValueState[(Long, Long)](
+        "meta", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[HHIn],
+        timers: TimerValues): Iterator[HHOut] = {
+      var (dec, n) = Option(meta.get()).getOrElse((0L, 0L))
+      // fold on a local snapshot (≤ k entries), write back once
+      val local = scala.collection.mutable.HashMap(counters.iterator().toSeq: _*)
+      val before = local.keySet.toSet
+      rows.foreach { r =>
+        val item = r.user_id.toString
+        n += 1
+        local.get(item) match {
+          case Some(c) => local.update(item, c + 1)
+          case None if local.size < k => local.update(item, 1L)
+          case None =>
+            dec += 1
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            local.foreach { case (t, c) =>
+              if (c == 1L) dead += t else local.update(t, c - 1)
+            }
+            dead.foreach(local.remove)
+        }
+      }
+      (before -- local.keySet).foreach(counters.removeKey)
+      local.foreach { case (t, c) => counters.updateValue(t, c) }
+      meta.update((dec, n))
+      val terms = local.toSeq.sortBy { case (t, c) => (-c, t) }
+        .map { case (t, c) => s"$t=$c" }.mkString(",")
+      Iterator.single(HHOut(key, terms, dec, n))
+    }
+  }
+
+  /** Per-event-type heavy users over the events stream, k counters. */
+  def heavyHitters(spark: SparkSession, events: DataFrame, k: Int = 8): Dataset[HHOut] = {
+    import spark.implicits._
+    events.selectExpr("event_type", "user_id").as[HHIn]
+      .groupByKey(_.event_type)
+      .transformWithState(new HeavyHittersProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   // ---- MapState + ListState profile -----------------------------------
 
   case class TypedEvent(user_id: Long, ts: java.sql.Timestamp,
