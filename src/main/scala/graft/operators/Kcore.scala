@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** k-core extraction by iterative peeling (Seidman 1983; the
+  * distributed formulation of Montresor et al. 2013): repeatedly drop
+  * vertices whose degree in the SURVIVING subgraph is < k until none
+  * remain. The k-core is order-independent (a unique maximal
+  * subgraph), so the result is a pure function of the edge set at any
+  * parallelism — KcoreSpec asserts equality with a sequential
+  * reference peeler.
+  *
+  * On the near-dup graph the k-core is the "dense nucleus" audit:
+  * triangles (q_x_triangles) certify local cliquishness, connected
+  * components certify reachability, and the k-core isolates the
+  * subgraph where EVERY member has ≥ k near-neighbors — template
+  * farms and boilerplate families, the structures worth manual review
+  * before a dedup pass deletes them.
+  *
+  * Scale shape: each round is one degree aggregation + one semi-join
+  * on the surviving edge list — key-partitioned shuffles only, edge
+  * list monotonically shrinking. Round count is bounded by the
+  * degeneracy ordering depth (tiny on similarity graphs); each
+  * round's frame is lineage-truncated via [[Checkpoints]] so plans
+  * don't grow with iterations (the Components discipline).
+  */
+object Kcore {
+
+  /** Vertices of the k-core with their within-core degree.
+    * @param edges undirected (a, b), a < b, deduplicated.
+    * @return (id, core_deg) — empty if the k-core is empty.
+    */
+  def kCore(spark: SparkSession, edges: DataFrame, k: Int,
+      maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var e = Checkpoints.truncate(edges.select(col("a"), col("b")), eager = false)
+    var lastDeg: DataFrame = null
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds) {
+      val deg = e.select(col("a").as("id"))
+        .unionAll(e.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("core_deg"))
+      val degT = Checkpoints.truncate(deg, eager = false)
+      val alive = degT.filter(col("core_deg") >= k).select(col("id"))
+      val nAlive = alive.count()
+      val nVerts = degT.count()
+      lastDeg = degT
+      if (nAlive == nVerts) stable = true
+      else {
+        e = Checkpoints.truncate(
+          e.join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
+            .join(alive.select(col("id").as("b")), Seq("b"), "left_semi"),
+          eager = false)
+        round += 1
+      }
+    }
+    // after convergence every surviving vertex has core_deg >= k;
+    // if the loop emptied the graph, lastDeg's filter returns nothing
+    lastDeg.filter(col("core_deg") >= k)
+  }
+}

@@ -1034,6 +1034,21 @@ object Extensions {
         .orderBy(col("vec_id"))
     }),
 
+    // k-core of the semantic graph (operators.Kcore, k=3): the dense
+    // nucleus where EVERY member keeps ≥ 3 near-neighbors after all
+    // peripheral vertices peel away — template-farm / boilerplate
+    // detection, complementing triangles (local cliquishness) and
+    // DBSCAN (density clusters). No-oracle: iterative peeling has no
+    // recursive-CTE form (the shrinking set needs aggregation in the
+    // recursive term); KcoreSpec proves equality with a sequential
+    // reference peeler, and the result is order-independent (the
+    // k-core is a unique maximal subgraph).
+    "q_x_kcore" -> ((s, d) =>
+      graft.operators.Kcore
+        .kCore(s, graft.operators.CosGraph.edges(s, d, threshold = 0.3), k = 3)
+        .select(col("id").as("vec_id"), col("core_deg"))
+        .orderBy(col("vec_id"))),
+
     // Density clustering (graph DBSCAN, ε = cos ≥ 0.3, minPts = 4)
     // over the same semantic edge list: organic topic clumps with
     // core/border roles, low-density background left unclustered —
@@ -1410,8 +1425,13 @@ object Extensions {
     // restricted vocab, so KL ≥ 0 and finite). One corpus token pass;
     // everything after is (sources × 200)-sized.
     "q_x_kl_source" -> ((s, d) => {
+      // materialize the token stream once (lazily): it feeds the vocab
+      // aggregate AND the per-source tf aggregate — without this the
+      // corpus tokenization replays per consumer (plan audit showed 5
+      // document scans)
       val toks = table(s, d, "documents")
         .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .localCheckpoint(eager = false)
       val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
         .orderBy(col("cf").desc, col("tok")).limit(200)
       // smooth by the ACTUAL vocab size (can be < 200 on tiny
