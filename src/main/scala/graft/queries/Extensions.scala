@@ -57,6 +57,19 @@ object Extensions {
     else java.lang.Long.valueOf(DeflateKernel.size(t))
   }
 
+  /** One KMV bottom-k sketch of the word-trigram shingle vocabulary
+    * per source (shared by q_x_kmv_overlap / q_x_kmv_containment):
+    * one bounded-memory aggregate pass; duplicates collapse in the
+    * k-string buffer so no DISTINCT shuffle precedes it.
+    */
+  private def kmvSourceSketches(s: SparkSession, d: String, k: Int): DataFrame =
+    table(s, d, "documents")
+      .select(col("source"),
+        explode(TextFunctions.wordNgramsExpr("text", 3)).as("g"))
+      .select(col("source"), md5(col("g")).as("h"))
+      .groupBy(col("source"))
+      .agg(call_function("graft_kmv", col("h"), lit(k)).as("ks"))
+
   val defs: Map[String, Q] = Map(
     // ---- dedup family -------------------------------------------------
     "q_x_exact_dedup" -> ((s, d) =>
@@ -185,6 +198,32 @@ object Extensions {
     "q_x_cos_pairs" -> ((s, d) =>
       graft.operators.CosGraph.pairs(s, d, threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Label-noise audit (confident-learning-lite): for a
+    // deterministic probe sample, what fraction of each vector's 10
+    // nearest neighbors share its label — low agreement flags
+    // suspected mislabels / off-distribution points before they
+    // poison a classifier or a label-conditioned mixture. Brute-force
+    // arm for the oracle (the q_x_knn pattern: probes broadcast,
+    // per-row norms precomputed, 9dp-rounded ranks); at 100 TB the
+    // neighbor arm is ANN candidates, same downstream agreement join.
+    "q_x_label_noise" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val knn = Similarity.bruteForceKnn(
+        emb.filter(col("vec_id") % 40 === 0), emb, k = 10)
+      val labels = emb.select(col("vec_id"), col("label"))
+      knn
+        .join(labels.select(col("vec_id").as("query_id"),
+          col("label").as("q_label")), Seq("query_id"))
+        .join(labels.select(col("vec_id").as("cand_id"),
+          col("label").as("c_label")), Seq("cand_id"))
+        .groupBy(col("query_id"), col("q_label"))
+        .agg(sum(when(col("c_label") === col("q_label"), 1L).otherwise(0L))
+          .as("n_agree"))
+        .select(col("query_id").as("vec_id"), col("q_label").as("label"),
+          col("n_agree"), round(col("n_agree") / 10.0, 6).as("agree_frac"))
+        .orderBy(col("vec_id"))
+    }),
 
     // Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
     // k=60 — the fusion rule hybrid RAG stacks actually deploy):
@@ -999,12 +1038,7 @@ object Extensions {
     // oracle that reproduces the same bottom-k with a window rank.
     "q_x_kmv_overlap" -> ((s, d) => {
       val k = 256
-      val kmv = table(s, d, "documents")
-        .select(col("source"),
-          explode(TextFunctions.wordNgramsExpr("text", 3)).as("g"))
-        .select(col("source"), md5(col("g")).as("h"))
-        .groupBy(col("source"))
-        .agg(call_function("graft_kmv", col("h"), lit(k)).as("ks"))
+      val kmv = kmvSourceSketches(s, d, k)
       val a = kmv.select(col("source").as("source_a"), col("ks").as("ka"))
       val b = kmv.select(col("source").as("source_b"), col("ks").as("kb"))
       a.join(b, col("source_a") < col("source_b"))
@@ -1016,6 +1050,81 @@ object Extensions {
           round(col("k_shared").cast("double") /
             least(lit(k), size(col("merged"))), 6).as("j_est"))
         .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // Directional containment estimates from the SAME KMV sketches
+    // as q_x_kmv_overlap (Beyer et al. 2007's set-operation
+    // estimators): Ĉ(a→b) = |K∩A∩B| / |K∩A| over the union's
+    // bottom-k — "is source b a re-crawl/superset of source a" at
+    // sketch cost, the asymmetric question the Jaccard estimate
+    // can't answer. All 380 ordered pairs from the same 20 k-string
+    // summaries; deterministic, so oracle-able like the overlap.
+    "q_x_kmv_containment" -> ((s, d) => {
+      val k = 256
+      val kmv = kmvSourceSketches(s, d, k)
+      val a = kmv.select(col("source").as("source_a"), col("ks").as("ka"))
+      val b = kmv.select(col("source").as("source_b"), col("ks").as("kb"))
+      a.join(b, col("source_a") =!= col("source_b"))
+        .withColumn("merged",
+          slice(array_sort(array_union(col("ka"), col("kb"))), 1, k))
+        .withColumn("den", size(array_intersect(col("merged"), col("ka"))))
+        .withColumn("num",
+          size(array_intersect(array_intersect(col("merged"), col("ka")), col("kb"))))
+        .filter(col("den") > 0)
+        .select(col("source_a"), col("source_b"),
+          round(col("num").cast("double") / col("den"), 6).as("c_est"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // Vocabulary coverage curve: what fraction of the corpus token
+    // mass the top-k vocabulary covers, for k ∈ {10, 100, 1000} —
+    // the tokenizer-design audit ("how big a vocab buys X%
+    // coverage"). One token-frequency aggregate (lazily checkpointed,
+    // shared by all three cuts); each cut is a TakeOrdered top-k over
+    // the VOCABULARY-sized table, never the corpus. Integer mass
+    // ratios → engine-exact.
+    "q_x_vocab_coverage" -> ((s, d) => {
+      val tf = table(s, d, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false)
+      val tot = tf.agg(sum(col("c")).as("total"))
+      def cut(k: Int) = tf.orderBy(col("c").desc, col("tok")).limit(k)
+        .agg(sum(col("c")).as("mass"), count(lit(1)).as("n_used"))
+        .withColumn("k", lit(k))
+      cut(10).unionByName(cut(100)).unionByName(cut(1000))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("n_used"),
+          round(col("mass").cast("double") / col("total"), 6).as("coverage"))
+        .orderBy(col("k"))
+    }),
+
+    // Intra-class embedding diversity via the moment identity:
+    // mean pairwise cosine over a label's normalized vectors =
+    // (‖Σv̂‖² − Σ‖v̂‖²) / (n(n−1)) — ONE aggregation pass, no pair
+    // join anywhere (the O(n²) pair sum collapses algebraically).
+    // Low diversity = mode collapse / boilerplate embeddings; the
+    // curation metric a 100 TB corpus can only afford in this
+    // identity form.
+    "q_x_diversity" -> ((s, d) => {
+      val dims = table(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      val nrm = dims.groupBy(col("vec_id"), col("label"))
+        .agg(sqrt(sum(col("x") * col("x"))).as("nv"))
+        .filter(col("nv") > 0)
+      val nx = dims.join(nrm, Seq("vec_id", "label"))
+        .select(col("label"), col("pos"), (col("x") / col("nv")).as("xh"))
+        .localCheckpoint(eager = false)
+      val s2 = nx.groupBy(col("label"), col("pos")).agg(sum(col("xh")).as("sx"))
+        .groupBy(col("label")).agg(sum(col("sx") * col("sx")).as("s2"))
+      val s1 = nx.groupBy(col("label")).agg(sum(col("xh") * col("xh")).as("s1"))
+      val counts = nrm.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      counts.join(s2, Seq("label")).join(s1, Seq("label"))
+        .filter(col("n") >= 2)
+        .select(col("label"), col("n"),
+          round((col("s2") - col("s1")) / (col("n") * (col("n") - 1)), 6).as("mean_cos"))
+        .orderBy(col("label"))
     }),
 
     // Triangle census of the semantic-similarity graph
@@ -1945,6 +2054,28 @@ object Extensions {
            FROM p)
          WHERE rank <= 10 ORDER BY query_id, rank""",
 
+    "q_x_label_noise" ->
+      s"""WITH nv AS (
+           SELECT vec_id, label, embedding,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS qv, nrm AS qn
+               FROM nv WHERE vec_id % 40 = 0),
+         c AS (SELECT vec_id AS cand_id, label AS c_label, embedding AS cv, nrm AS cn FROM nv),
+         p AS (SELECT query_id, q_label, cand_id, c_label,
+                 round($knnCosSql, 9) AS cos
+               FROM q CROSS JOIN c WHERE cand_id <> query_id),
+         rk AS (SELECT query_id, q_label, c_label,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, cand_id) AS rank
+                FROM p)
+         SELECT query_id AS vec_id, q_label AS label,
+                sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS n_agree,
+                round(CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS DOUBLE) / 10.0, 6) AS agree_frac
+         FROM rk WHERE rank <= 10
+         GROUP BY query_id, q_label ORDER BY query_id""",
+
     "q_x_cos_pairs" ->
       s"""WITH nv AS (
            SELECT vec_id, embedding,
@@ -2535,6 +2666,68 @@ object Extensions {
                 round(CAST(len(list_intersect(list_intersect(merged, ka), kb)) AS DOUBLE)
                       / least(256, len(merged)), 6) AS j_est
          FROM est ORDER BY source_a, source_b""",
+
+    "q_x_kmv_containment" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT source, g
+                FROM w, UNNEST(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                    i -> array_to_string(ws[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))) END) AS t(g)),
+         h AS (SELECT source, md5(g) AS h FROM sh),
+         rk AS (SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h) AS r FROM h),
+         kmv AS (SELECT source, list_sort(array_agg(h)) AS ks
+                 FROM rk WHERE r <= 256 GROUP BY source),
+         pr AS (SELECT a.source AS source_a, b.source AS source_b,
+                       a.ks AS ka, b.ks AS kb
+                FROM kmv a JOIN kmv b ON a.source <> b.source),
+         est AS (SELECT source_a, source_b, ka, kb,
+                   list_sort(list_distinct(list_concat(ka, kb)))[1:256] AS merged
+                 FROM pr),
+         cd AS (SELECT source_a, source_b,
+                  len(list_intersect(list_intersect(merged, ka), kb)) AS num,
+                  len(list_intersect(merged, ka)) AS den
+                FROM est)
+         SELECT source_a, source_b,
+                round(CAST(num AS DOUBLE) / den, 6) AS c_est
+         FROM cd WHERE den > 0 ORDER BY source_a, source_b""",
+
+    "q_x_vocab_coverage" ->
+      """WITH tf AS (SELECT tok, count(*) AS c
+                     FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+                     GROUP BY tok),
+         tot AS (SELECT sum(c) AS total FROM tf),
+         cuts AS (
+           SELECT 10 AS k, count(*) AS n_used, sum(c) AS mass
+           FROM (SELECT c FROM tf ORDER BY c DESC, tok LIMIT 10)
+           UNION ALL
+           SELECT 100, count(*), sum(c)
+           FROM (SELECT c FROM tf ORDER BY c DESC, tok LIMIT 100)
+           UNION ALL
+           SELECT 1000, count(*), sum(c)
+           FROM (SELECT c FROM tf ORDER BY c DESC, tok LIMIT 1000))
+         SELECT k, n_used, round(CAST(mass AS DOUBLE) / total, 6) AS coverage
+         FROM cuts, tot ORDER BY k""",
+
+    "q_x_diversity" ->
+      """WITH dims AS (
+           SELECT vec_id, label, CAST(i AS INTEGER) AS pos,
+                  CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+           FROM embeddings, range(1, 65) r(i)),
+         nrm AS (SELECT vec_id, label, sqrt(sum(x * x)) AS nv
+                 FROM dims GROUP BY vec_id, label),
+         x2 AS (SELECT d.label, d.pos, d.x / n.nv AS xh
+                FROM dims d JOIN nrm n
+                  ON d.vec_id = n.vec_id AND d.label = n.label
+                WHERE n.nv > 0),
+         ps AS (SELECT label, pos, sum(xh) AS sx FROM x2 GROUP BY label, pos),
+         s2 AS (SELECT label, sum(sx * sx) AS s2 FROM ps GROUP BY label),
+         s1 AS (SELECT label, sum(xh * xh) AS s1 FROM x2 GROUP BY label),
+         c AS (SELECT label, count(*) AS n FROM nrm WHERE nv > 0 GROUP BY label)
+         SELECT c.label, c.n,
+                round((s2.s2 - s1.s1) / (c.n * (c.n - 1)), 6) AS mean_cos
+         FROM c JOIN s2 ON c.label = s2.label JOIN s1 ON c.label = s1.label
+         WHERE c.n >= 2 ORDER BY c.label""",
 
     "q_x_triangles" ->
       s"""WITH nv AS (

@@ -149,6 +149,24 @@ class NewQueryInvariantsSpec extends SparkSuite {
     assert(split == 0, s"$split jaccard clusters straddle cascade clusters")
   }
 
+  test("kmv containment estimates are probabilities; coverage is monotone in k") {
+    val c = run("q_x_kmv_containment")
+    assert(c.filter(col("c_est") < 0 || col("c_est") > 1).count() == 0)
+    val cov = run("q_x_vocab_coverage").orderBy(col("k"))
+      .select(col("coverage")).collect().map(_.getDouble(0))
+    assert(cov.sameElements(cov.sorted), "coverage must not decrease with k")
+    assert(cov.forall(v => v > 0 && v <= 1))
+  }
+
+  test("diversity mean_cos stays in its algebraic range") {
+    // (||sum v̂||^2 - n) / (n(n-1)) ∈ [-1/(n-1), 1]
+    val bad = run("q_x_diversity")
+      .filter(col("mean_cos") > 1.0 + 1e-6 ||
+        col("mean_cos") < lit(-1.0) / (col("n") - 1) - 1e-6)
+      .count()
+    assert(bad == 0)
+  }
+
   test("kmv estimate tracks exact vocabulary jaccard on the fixture") {
     import spark.implicits._
     val sh = Tables.table(spark, sfDir, "documents")
