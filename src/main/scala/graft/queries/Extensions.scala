@@ -1493,6 +1493,33 @@ object Extensions {
         .orderBy(col("c_nationkey"))
     }),
 
+    // Changepoint candidate per event_type (CUSUM, Page 1954): the
+    // day where the cumulative deviation of the daily mean from the
+    // global mean peaks — the classic level-shift detector for
+    // telemetry/ingest monitoring. Corpus-sized work is ONE daily
+    // aggregate; the CUSUM window runs over the DAY-grain table
+    // partitioned by type (never the raw stream). CUSUMs rounded 6dp
+    // before the argmax so float noise can't flip the winner, day
+    // tie-break.
+    "q_x_changepoint" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = table(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(avg(col("value")).as("m"))
+      val stats = daily.groupBy(col("event_type"))
+        .agg(avg(col("m")).as("mu"), count(lit(1)).as("n_days"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily.join(stats, Seq("event_type"))
+        .withColumn("cusum", round(sum(col("m") - col("mu")).over(w), 6))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(abs(col("cusum")).desc, col("day"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("cp_day"),
+          round(abs(col("cusum")), 6).as("max_abs_cusum"), col("n_days"))
+        .orderBy(col("event_type"))
+    }),
+
     // Distribution drift between corpus snapshots (PSI — population
     // stability index, the model-monitoring standard): per source,
     // PSI of the n_chars distribution between the old and new
@@ -3043,6 +3070,23 @@ object Extensions {
                 CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "q_x_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS m
+                        FROM events GROUP BY 1, 2),
+         st AS (SELECT event_type, avg(m) AS mu, count(*) AS n_days
+                FROM daily GROUP BY 1),
+         cu AS (SELECT d.event_type, d.day, st.n_days,
+                  round(sum(d.m - st.mu) OVER (PARTITION BY d.event_type
+                    ORDER BY d.day), 6) AS cusum
+                FROM daily d JOIN st USING (event_type)),
+         rk AS (SELECT event_type, day, n_days, cusum,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY abs(cusum) DESC, day) AS rk
+                FROM cu)
+         SELECT event_type, day AS cp_day,
+                round(abs(cusum), 6) AS max_abs_cusum, n_days
+         FROM rk WHERE rk = 1 ORDER BY event_type""",
 
     "q_x_psi" ->
       """WITH old_s AS (SELECT source, n_chars // 256 AS bucket FROM documents WHERE doc_id % 7 <> 0),

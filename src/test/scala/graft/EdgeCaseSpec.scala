@@ -53,6 +53,33 @@ class EdgeCaseSpec extends SparkSuite {
     assert(AsOf.join(spark, l0, r1, "k", "ts", "rk", "rts").isEmpty)
   }
 
+  test("graph operators on empty / degenerate edge lists return empty, not error") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(operators.Triangles.perVertex(noEdges).isEmpty)
+    assert(operators.Dbscan.cluster(spark, noEdges, minPts = 3).isEmpty)
+    assert(operators.Kcore.kCore(spark, noEdges, k = 2).isEmpty)
+    // a single edge: no triangles, no DBSCAN core at minPts 3, no 2-core
+    val one = Seq((1L, 2L)).toDF("a", "b")
+    assert(operators.Triangles.perVertex(one).isEmpty)
+    assert(operators.Dbscan.cluster(spark, one, minPts = 3).isEmpty)
+    assert(operators.Kcore.kCore(spark, one, k = 2).isEmpty)
+    // minPts = 2: every edge endpoint is core (neighborhood of 2)
+    val db = operators.Dbscan.cluster(spark, one, minPts = 2)
+      .as[(Long, String, Long)].collect().toSet
+    assert(db === Set((1L, "core", 1L), (2L, "core", 1L)))
+  }
+
+  test("kmv sketch of an empty / all-null column is an empty array") {
+    val out = Seq.empty[String].toDF("h")
+      .agg(call_function("graft_kmv", col("h"), lit(8)).as("ks"))
+      .as[Seq[String]].head()
+    assert(out.isEmpty)
+    val nulls = Seq[Option[String]](None, None).toDF("h")
+      .agg(call_function("graft_kmv", col("h"), lit(8)).as("ks"))
+      .as[Seq[String]].head()
+    assert(nulls.isEmpty)
+  }
+
   test("streaming dedupWithinWatermark drains the fixture without state errors") {
     val out = streaming.StreamingJobs.dedupWithinWatermark(
       streaming.StreamingJobs.readEvents(spark, sfDir))

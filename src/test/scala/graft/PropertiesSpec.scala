@@ -22,6 +22,37 @@ class PropertiesSpec extends SparkSuite {
   private val kvGen: Gen[List[(Int, Int)]] =
     Gen.listOfN(12, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 100)))
 
+  test("property: KMV sketch is merge-order / partition independent") {
+    // union-of-sketches == sketch-of-union for any split of the input —
+    // the mergeability q_x_kmv_overlap's scale argument rests on
+    val itemsGen = Gen.listOfN(60, Gen.choose(0, 2000).map(i => s"it$i"))
+    check(Prop.forAll(itemsGen, itemsGen) { (xs, ys) =>
+      def sk(vs: Seq[String], parts: Int) =
+        spark.createDataset(vs).repartition(parts).toDF("v")
+          .select(md5(col("v")).as("h"))
+          .agg(call_function("graft_kmv", col("h"), lit(16)).as("ks"))
+          .as[Seq[String]].head()
+      sk(xs ++ ys, 7) == sk(ys ++ xs, 2)
+    })
+  }
+
+  test("property: containmentPairs == brute force on random set corpora") {
+    val corpusGen = Gen.listOfN(8, Gen.nonEmptyListOf(Gen.choose(0, 12).map(i => s"e$i")))
+    check(Prop.forAll(corpusGen, Gen.oneOf(0.5, 0.8, 1.0)) { (docs, theta) =>
+      val sets = docs.zipWithIndex
+        .map { case (es, i) => (i.toLong, es.distinct) }.toDF("id", "s")
+      val got = graft.operators.Dedup.containmentPairs(sets, "id", "s", theta)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      val p = math.round(theta * 1000000L)
+      val rows = docs.map(_.distinct.toSet).zipWithIndex
+      val want = (for {
+        (sa, a) <- rows; (sb, b) <- rows if a != b && sa.nonEmpty
+        if sa.intersect(sb).size * 1000000L >= sa.size.toLong * p
+      } yield (a.toLong, b.toLong)).toSet
+      got == want
+    })
+  }
+
   test("property: merge(merge(t,b),b) == merge(t,b)") {
     check(Prop.forAll(kvGen, kvGen) { (t, b) =>
       val target = Upsert.dedupKeyed(t.toDF("k", "v"), Seq("k"), Seq(col("v")))
