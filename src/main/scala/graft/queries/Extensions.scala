@@ -1990,6 +1990,233 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- statistical audits (model-eval / data-quality statistics) ----
+
+    // One-vs-rest ROC-AUC per label over a deterministic score
+    // (embedding dim 1) — the eval primitive for "does this signal
+    // separate class ℓ from the rest". Computed from the SCORE-GRAIN
+    // table (group counts per rounded score), never a corpus-wide
+    // rank window: AUC = Σ_s [npos(s)·negBelow(s) + ½npos(s)nneg(s)]
+    // / (P·N), the tie-aware Mann–Whitney identity. The numerator is
+    // kept ×2 in exact integers until ONE final division, so both
+    // engines agree bit-for-bit pre-round. At 100 TB the score grain
+    // (rounded 6dp) is bounded by score range × 10⁶, not corpus size.
+    "q_x_auc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sc = table(s, d, "embeddings")
+        .select(col("label"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("sv"))
+      val gs = sc.groupBy(col("sv")).agg(count(lit(1)).as("tot"))
+      val gl = sc.groupBy(col("label"), col("sv")).agg(count(lit(1)).as("cnt"))
+      val labels = sc.select(col("label")).distinct()
+      val uni = broadcast(labels).crossJoin(gs)
+        .join(gl, Seq("label", "sv"), "left").na.fill(0L, Seq("cnt"))
+      val w = Window.partitionBy(col("label")).orderBy(col("sv"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = uni
+        .withColumn("npos", col("cnt"))
+        .withColumn("nneg", col("tot") - col("cnt"))
+        .withColumn("cumneg", coalesce(sum(col("tot") - col("cnt")).over(w), lit(0L)))
+      cum.groupBy(col("label"))
+        .agg(
+          sum(lit(2L) * col("npos") * col("cumneg") + col("npos") * col("nneg")).as("num2"),
+          sum(col("npos")).as("p"), sum(col("nneg")).as("n"))
+        .select(col("label"),
+          round(col("num2").cast("double") / (lit(2.0) * col("p") * col("n")), 6).as("auc"),
+          col("p").cast("long").as("n_pos"), col("n").cast("long").as("n_neg"))
+        .orderBy(col("label"))
+    }),
+
+    // Autocorrelation function of the daily value series per
+    // event_type at lags 1..7 — the seasonality/persistence audit
+    // (weekly cycle shows as a lag-7 peak). Corpus-sized work is ONE
+    // daily aggregate; the 7 lag columns come from one partitioned
+    // window pass over the day-grain table, unpivoted via stack (a
+    // zero-shuffle generator), and 7 corr aggregates run in one
+    // grouped pass. "Lag" = k observations back in day order (gap
+    // semantics identical in the oracle's lag()).
+    "q_x_acf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = table(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 6).as("v"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val lagged = daily.select(
+        Seq(col("event_type"), col("v")) ++
+          (1 to 7).map(k => lag(col("v"), k).over(w).as(s"l$k")): _*)
+      lagged.selectExpr("event_type", "v",
+          "stack(7, 1, l1, 2, l2, 3, l3, 4, l4, 5, l5, 6, l6, 7, l7) AS (lag_k, lv)")
+        .filter(col("lv").isNotNull)
+        .groupBy(col("event_type"), col("lag_k"))
+        .agg(round(corr(col("v"), col("lv")), 6).as("acf"),
+          count(lit(1)).as("n_pairs"))
+        .orderBy(col("event_type"), col("lag_k"))
+    }),
+
+    // Gini coefficient of document length per source — the
+    // inequality audit ("is this source a few giant pages plus
+    // stubs, or uniform?"). Rank formula G = 2·Σ i·xᵢ/(n·Σx) −
+    // (n+1)/n over ascending xᵢ: one partitioned row_number window
+    // (deterministic doc_id tie-break) + one aggregate; exact
+    // integers until the final division.
+    "q_x_gini" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+      table(s, d, "documents")
+        .select(col("source"), col("n_chars"), col("doc_id"))
+        .withColumn("i", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sx"),
+          sum(col("i") * col("n_chars")).as("sxi"))
+        .select(col("source"), col("n_docs"),
+          round(lit(2.0) * col("sxi") / (col("n_docs") * col("sx"))
+            - (col("n_docs") + lit(1.0)) / col("n_docs"), 6).as("gini"))
+        .orderBy(col("source"))
+    }),
+
+    // Benford first-digit audit over l_extendedprice — the synthetic
+    // -data / fraud smoke test (natural multiplicative data follows
+    // log10(1+1/d); fabricated columns don't). First digit via the
+    // DECIMAL(18,2) string form, NOT floor(log10): log10 of an exact
+    // power of 10 can land at 2.9999… and misbucket cross-engine.
+    // One scan, one 9-row aggregate; χ² contribution per digit.
+    "q_x_benford" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+        .select(col("l_extendedprice").cast("decimal(18,2)").as("p"))
+        .filter(col("p") >= 1)
+      val digits = li.select(substring(col("p").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum(col("n")).as("nn"))
+      digits.crossJoin(broadcast(tot))
+        .withColumn("exp_frac", log(10.0, lit(1.0) + lit(1.0) / col("digit")))
+        .select(col("digit"), col("n"),
+          round(col("n") / col("nn").cast("double"), 6).as("obs_frac"),
+          round(col("exp_frac"), 6).as("exp_frac"),
+          round(pow(col("n") - col("exp_frac") * col("nn"), 2)
+            / (col("exp_frac") * col("nn")), 6).as("chi2"))
+        .orderBy(col("digit"))
+    }),
+
+    // Two-sample Kolmogorov–Smirnov statistic per source (doc-length
+    // distribution vs the REST of the corpus) — the drift detector
+    // that needs no binning choice, complementing q_x_psi's bucketed
+    // PSI. CDFs are compared on the exact union support at the
+    // (source × distinct-length) grain; the sup|F₁−F₂| numerator is
+    // exact integers (c₁·n₂ − c₂·n₁), max'd BEFORE the one division,
+    // so the statistic is engine-exact. Corpus-sized work: two tiny
+    // aggregates; windows run on the grain table only.
+    "q_x_ks" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, d, "documents")
+      val sl = docs.groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("c"))
+      val lt = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("t"))
+      val st = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      val tot = docs.agg(count(lit(1)).as("nn"))
+      val grid = st.crossJoin(broadcast(tot)).crossJoin(broadcast(lt))
+        .join(sl, Seq("source", "n_chars"), "left").na.fill(0L, Seq("c"))
+      val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      grid
+        .withColumn("c1", sum(col("c")).over(w))
+        .withColumn("ct", sum(col("t")).over(w))
+        .withColumn("num", abs(col("c1") * (col("nn") - col("ns"))
+          - (col("ct") - col("c1")) * col("ns")))
+        .groupBy(col("source"), col("ns"), col("nn"))
+        .agg(max(col("num")).as("m"))
+        .select(col("source"),
+          round(col("m").cast("double") / (col("ns") * (col("nn") - col("ns"))), 6).as("ks"),
+          col("ns").cast("long").as("n_source"),
+          (col("nn") - col("ns")).cast("long").as("n_rest"))
+        .orderBy(col("source"))
+    }),
+
+    // Day-of-week seasonal index per event_type: mean daily value by
+    // DOW ÷ overall mean — the load-profile / weekly-cycle audit that
+    // complements q_x_acf's lag view. DOW is 0=Sunday on BOTH engines
+    // (Spark dayofweek is 1-based, DuckDB 0-based — the §7.4 dialect
+    // trap, aligned here by subtracting 1 on the Spark side). All
+    // corpus-sized work is the one daily aggregate.
+    "q_x_seasonality" -> ((s, d) => {
+      val daily = table(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 6).as("v"))
+      val byDow = daily
+        .withColumn("dow", (dayofweek(col("day")) - 1).cast("int"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(avg(col("v")).as("dow_avg"), count(lit(1)).as("n_days"))
+      val overall = daily.groupBy(col("event_type")).agg(avg(col("v")).as("all_avg"))
+      byDow.join(overall, "event_type")
+        .select(col("event_type"), col("dow"), col("n_days"),
+          round(col("dow_avg"), 6).as("dow_avg"),
+          round(col("dow_avg") / col("all_avg"), 6).as("season_idx"))
+        .orderBy(col("event_type"), col("dow"))
+    }),
+
+    // Verbatim-memorization risk audit: per doc, the fraction of its
+    // distinct word 5-grams that appear in ≥2 docs — the span-level
+    // "how much of this document is boilerplate the model will see
+    // again" signal (finer than doc-level near-dup; the n-gram
+    // analogue of q_x_span_dedup). Postings-shaped plan: one distinct
+    // -gram explode, one df aggregate over the GRAM-grain table, one
+    // join back — no doc-pair join anywhere, the only shape that
+    // survives 100 TB.
+    "q_x_memorize" -> ((s, d) => {
+      val grams = table(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextFunctions.wordNgramsExpr("text", 5))).as("g"))
+        .localCheckpoint(eager = false)
+      val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      grams.join(df, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          round(col("n_shared").cast("double") / col("n_grams"), 6).as("shared_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Weighted median of doc length per source (weight = a
+    // deterministic per-doc importance) — the robust central-tendency
+    // primitive for weighted corpora (sample weights, quality
+    // weights). Smallest x with 2·cumw ≥ totw via ONE partitioned
+    // cumulative window + an integer-exact threshold filter — no
+    // global sort, no percentile approximation.
+    "q_x_wmedian" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, d, "documents")
+        .select(col("source"), col("n_chars"), col("doc_id"),
+          (col("doc_id") % 7 + 1).as("wt"))
+      val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+      docs
+        .withColumn("cumw", sum(col("wt")).over(w))
+        .withColumn("totw", sum(col("wt")).over(Window.partitionBy(col("source"))))
+        .filter(lit(2L) * col("cumw") >= col("totw"))
+        .groupBy(col("source"))
+        .agg(min(col("n_chars")).as("wmedian"), max(col("totw")).as("total_weight"))
+        .orderBy(col("source"))
+    }),
+
+    // Calibration audit (ECE, 10 bins): deterministic pseudo-
+    // probability p from md5(doc_id), outcome drawn as u₂ < p (so the
+    // fixture IS calibrated by construction and the expected gap per
+    // bin is small) — the model-eval reliability-diagram primitive.
+    // Map-only past one 10-row aggregate; the md5 inverse-CDF idiom
+    // is the repo's reproducible-anywhere randomness standard.
+    "q_x_ece" -> ((s, d) => {
+      val denom = lit(4294967296.0) // 2^32
+      val p = (conv(substring(md5(concat(lit("cal:"), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long").cast("double") + 0.5) / denom
+      val u2 = (conv(substring(md5(concat(lit("out:"), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long").cast("double") + 0.5) / denom
+      table(s, d, "documents")
+        .select(col("doc_id"), p.as("p"), when(u2 < p, 1L).otherwise(0L).as("y"))
+        .withColumn("bin", floor(col("p") * 10).cast("int"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), round(avg(col("p")), 6).as("avg_p"),
+          round(avg(col("y")), 6).as("avg_y"))
+        .withColumn("gap", round(abs(col("avg_p") - col("avg_y")), 6))
+        .orderBy(col("bin"))
+    }),
+
     // ---- multimodal ---------------------------------------------------
     // Binary payload column → batched mapPartitions "decode" (stubbed
     // deterministically — real codecs unavailable in-sandbox; the
@@ -3286,6 +3513,151 @@ object Extensions {
                 round(sum(ln(CAST(tot AS DOUBLE) / c.c)) / count(*), 6) AS xent,
                 count(*) AS n_grams
          FROM g JOIN c USING (g) CROSS JOIN tot
-         GROUP BY doc_id ORDER BY doc_id"""
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_x_auc" ->
+      """WITH sc AS (SELECT label, round(CAST(embedding[1] AS DOUBLE), 6) AS sv FROM embeddings),
+         gs AS (SELECT sv, count(*) AS tot FROM sc GROUP BY sv),
+         gl AS (SELECT label, sv, count(*) AS cnt FROM sc GROUP BY label, sv),
+         uni AS (SELECT l.label, g.sv, g.tot, COALESCE(gl.cnt, 0) AS cnt
+                 FROM (SELECT DISTINCT label FROM sc) l CROSS JOIN gs g
+                 LEFT JOIN gl ON gl.label = l.label AND gl.sv = g.sv),
+         cum AS (SELECT label, sv, cnt AS npos, tot - cnt AS nneg,
+                   COALESCE(sum(tot - cnt) OVER (PARTITION BY label ORDER BY sv
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+                 FROM uni),
+         ag AS (SELECT label,
+                  CAST(sum(2 * npos * cumneg + npos * nneg) AS BIGINT) AS num2,
+                  CAST(sum(npos) AS BIGINT) AS p, CAST(sum(nneg) AS BIGINT) AS n
+                FROM cum GROUP BY label)
+         SELECT label, round(CAST(num2 AS DOUBLE) / (2.0 * p * n), 6) AS auc,
+                p AS n_pos, n AS n_neg
+         FROM ag ORDER BY label""",
+
+    "q_x_acf" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  round(sum(value), 6) AS v
+                FROM events GROUP BY 1, 2),
+         lg AS (SELECT event_type, v,
+                  lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+                  lag(v, 3) OVER w AS l3, lag(v, 4) OVER w AS l4,
+                  lag(v, 5) OVER w AS l5, lag(v, 6) OVER w AS l6,
+                  lag(v, 7) OVER w AS l7
+                FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         un AS (SELECT event_type, v, 1 AS lag_k, l1 AS lv FROM lg
+                UNION ALL SELECT event_type, v, 2, l2 FROM lg
+                UNION ALL SELECT event_type, v, 3, l3 FROM lg
+                UNION ALL SELECT event_type, v, 4, l4 FROM lg
+                UNION ALL SELECT event_type, v, 5, l5 FROM lg
+                UNION ALL SELECT event_type, v, 6, l6 FROM lg
+                UNION ALL SELECT event_type, v, 7, l7 FROM lg)
+         SELECT event_type, lag_k, round(corr(v, lv), 6) AS acf,
+                count(*) AS n_pairs
+         FROM un WHERE lv IS NOT NULL
+         GROUP BY event_type, lag_k ORDER BY event_type, lag_k""",
+
+    "q_x_gini" ->
+      """WITH rk AS (SELECT source, n_chars,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars, doc_id) AS i
+                FROM documents),
+         ag AS (SELECT source, count(*) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS sx,
+                  CAST(sum(i * n_chars) AS BIGINT) AS sxi
+                FROM rk GROUP BY source)
+         SELECT source, n_docs,
+                round(2.0 * sxi / (n_docs * sx) - (n_docs + 1.0) / n_docs, 6) AS gini
+         FROM ag ORDER BY source""",
+
+    "q_x_benford" ->
+      """WITH p AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS p FROM lineitem
+                WHERE CAST(l_extendedprice AS DECIMAL(18,2)) >= 1),
+         dg AS (SELECT CAST(substr(CAST(p AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+                  count(*) AS n
+                FROM p GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM dg)
+         SELECT digit, n,
+                round(n / CAST(nn AS DOUBLE), 6) AS obs_frac,
+                round(log10(1.0 + 1.0 / digit), 6) AS exp_frac,
+                round(pow(n - log10(1.0 + 1.0 / digit) * nn, 2)
+                      / (log10(1.0 + 1.0 / digit) * nn), 6) AS chi2
+         FROM dg CROSS JOIN t ORDER BY digit""",
+
+    "q_x_ks" ->
+      """WITH sl AS (SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+         lt AS (SELECT n_chars, count(*) AS t FROM documents GROUP BY 1),
+         st AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
+         tt AS (SELECT count(*) AS nn FROM documents),
+         grid AS (SELECT st.source, st.ns, tt.nn, lt.n_chars, lt.t,
+                    COALESCE(sl.c, 0) AS c
+                  FROM st CROSS JOIN tt CROSS JOIN lt
+                  LEFT JOIN sl ON sl.source = st.source AND sl.n_chars = lt.n_chars),
+         cum AS (SELECT source, ns, nn,
+                   sum(c) OVER w AS c1, sum(t) OVER w AS ct
+                 FROM grid WINDOW w AS (PARTITION BY source ORDER BY n_chars)),
+         nums AS (SELECT source, ns, nn,
+                    abs(c1 * (nn - ns) - (ct - c1) * ns) AS num
+                  FROM cum)
+         SELECT source,
+                round(CAST(max(num) AS DOUBLE) / (ns * (nn - ns)), 6) AS ks,
+                CAST(ns AS BIGINT) AS n_source,
+                CAST(nn - ns AS BIGINT) AS n_rest
+         FROM nums GROUP BY source, ns, nn ORDER BY source""",
+
+    "q_x_seasonality" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  round(sum(value), 6) AS v
+                FROM events GROUP BY 1, 2),
+         bd AS (SELECT event_type, dayofweek(day) AS dow,
+                  avg(v) AS dow_avg, count(*) AS n_days
+                FROM daily GROUP BY 1, 2),
+         ov AS (SELECT event_type, avg(v) AS all_avg FROM daily GROUP BY 1)
+         SELECT bd.event_type, CAST(bd.dow AS INTEGER) AS dow, bd.n_days,
+                round(bd.dow_avg, 6) AS dow_avg,
+                round(bd.dow_avg / ov.all_avg, 6) AS season_idx
+         FROM bd JOIN ov USING (event_type)
+         ORDER BY bd.event_type, dow""",
+
+    "q_x_memorize" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(ws) - 3),
+                  i -> array_to_string(ws[CAST(i AS INTEGER):CAST(i + 4 AS INTEGER)], ' ')))) AS g
+               FROM w),
+         df AS (SELECT g, count(*) AS df FROM g GROUP BY g)
+         SELECT t.doc_id, count(*) AS n_grams,
+                CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+                round(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 6) AS shared_frac
+         FROM g t JOIN df USING (g)
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
+
+    "q_x_wmedian" ->
+      """WITH d AS (SELECT source, n_chars, doc_id, doc_id % 7 + 1 AS wt FROM documents),
+         c AS (SELECT source, n_chars, doc_id, wt,
+                 sum(wt) OVER (PARTITION BY source
+                   ORDER BY n_chars, doc_id) AS cumw,
+                 sum(wt) OVER (PARTITION BY source) AS totw
+               FROM d)
+         SELECT source, min(n_chars) AS wmedian,
+                CAST(max(totw) AS BIGINT) AS total_weight
+         FROM c WHERE 2 * cumw >= totw
+         GROUP BY source ORDER BY source""",
+
+    "q_x_ece" ->
+      """WITH s AS (SELECT doc_id,
+                  (CAST(('0x' || substr(md5('cal:' || doc_id), 1, 8)) AS BIGINT) + 0.5)
+                    / 4294967296.0 AS p,
+                  (CAST(('0x' || substr(md5('out:' || doc_id), 1, 8)) AS BIGINT) + 0.5)
+                    / 4294967296.0 AS u2
+                FROM documents),
+         b AS (SELECT CAST(floor(p * 10) AS INTEGER) AS bin, p,
+                 CASE WHEN u2 < p THEN 1 ELSE 0 END AS y
+               FROM s),
+         ag AS (SELECT bin, count(*) AS n, round(avg(p), 6) AS avg_p,
+                  round(avg(y), 6) AS avg_y
+                FROM b GROUP BY bin)
+         SELECT bin, n, avg_p, avg_y, round(abs(avg_p - avg_y), 6) AS gap
+         FROM ag ORDER BY bin"""
   )
 }

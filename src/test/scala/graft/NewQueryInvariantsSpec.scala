@@ -193,4 +193,160 @@ class NewQueryInvariantsSpec extends SparkSuite {
     val mae = errs.sum / errs.length
     assert(mae < 0.05, s"kmv MAE $mae vs exact jaccard")
   }
+
+  test("auc is a probability and pos/neg counts partition the corpus") {
+    import spark.implicits._
+    val n = Tables.table(spark, sfDir, "embeddings").count()
+    val rows = run("q_x_auc")
+      .select(col("auc"), col("n_pos"), col("n_neg"))
+      .as[(Double, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (auc, p, ng) =>
+      assert(auc >= 0.0 && auc <= 1.0, s"auc $auc outside [0,1]")
+      assert(p + ng == n, s"pos $p + neg $ng != corpus $n")
+    }
+    // isotropic fixture: dim-1 score carries no label signal, so
+    // one-vs-rest AUC must hover near chance — a sharp sanity check
+    // that the rank identity isn't inverted or off-by-one
+    rows.foreach { case (auc, _, _) =>
+      assert(math.abs(auc - 0.5) < 0.15, s"auc $auc far from chance on isotropic labels") }
+  }
+
+  test("acf is a correlation in [-1,1] with lag-consistent pair counts") {
+    import spark.implicits._
+    val rows = run("q_x_acf")
+      .select(col("event_type"), col("lag_k"), col("acf"), col("n_pairs"))
+      .as[(String, Int, Option[Double], Long)].collect()
+    assert(rows.nonEmpty)
+    // acf is NULL (both engines) when a lag has <2 pairs or zero variance
+    rows.flatMap(_._3).foreach { a =>
+      assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"acf $a outside [-1,1]") }
+    // n_pairs strictly decreases as lag grows within a type (k rows
+    // fall off the front of the series)
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val byLag = rs.sortBy(_._2).map(_._4).toSeq
+      byLag.sliding(2).filter(_.size == 2).foreach { p =>
+        assert(p(1) == p(0) - 1,
+          s"$t: pair counts ${p(0)} -> ${p(1)} not one-step decreasing") }
+    }
+  }
+
+  test("gini is in [0,1) and zero on a constant-length source") {
+    import spark.implicits._
+    val rows = run("q_x_gini").select(col("gini")).as[Double].collect()
+    assert(rows.nonEmpty)
+    rows.foreach(g => assert(g >= -1e-9 && g < 1.0, s"gini $g outside [0,1)"))
+    // independent reference on a constant column: all-equal values
+    // must give exactly 0 via the same rank formula
+    val one = Seq.fill(50)(100).toDF("n_chars")
+      .withColumn("source", lit("s")).withColumn("doc_id", monotonically_increasing_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val g0 = one.withColumn("i", row_number().over(w))
+      .groupBy(col("source"))
+      .agg((lit(2.0) * sum(col("i") * col("n_chars")) / (count(lit(1)) * sum(col("n_chars")))
+        - (count(lit(1)) + lit(1.0)) / count(lit(1))).as("g"))
+      .select(col("g")).as[Double].head()
+    assert(math.abs(g0) < 1e-12)
+  }
+
+  test("benford observed fractions sum to 1 and expected fractions are the benford law") {
+    import spark.implicits._
+    val rows = run("q_x_benford")
+      .select(col("digit"), col("obs_frac"), col("exp_frac"))
+      .as[(Int, Double, Double)].collect()
+    assert(rows.map(_._1).sorted.sameElements(rows.map(_._1).distinct.sorted))
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4)
+    rows.foreach { case (d, _, e) =>
+      assert(d >= 1 && d <= 9)
+      assert(math.abs(e - math.log10(1.0 + 1.0 / d)) < 1e-6) }
+  }
+
+  test("ks statistic is a probability and vanishes against an identical sample") {
+    import spark.implicits._
+    val rows = run("q_x_ks").select(col("ks")).as[Double].collect()
+    assert(rows.nonEmpty)
+    rows.foreach(k => assert(k >= 0.0 && k <= 1.0, s"ks $k outside [0,1]"))
+    // two identical empirical distributions → sup|F1-F2| = 0, checked
+    // through the exact-integer numerator route the query uses
+    val xs = Seq(1, 2, 2, 3, 5, 8)
+    val both = (xs.map(("a", _)) ++ xs.map(("b", _))).toDF("src", "v")
+    val sl = both.groupBy(col("src"), col("v")).agg(count(lit(1)).as("c"))
+    val lt = both.groupBy(col("v")).agg(count(lit(1)).as("t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("v"))
+    val m = sl.join(lt, "v")
+      .withColumn("c1", sum(col("c")).over(w))
+      .withColumn("ct", sum(col("t")).over(w))
+      .withColumn("num", abs(col("c1") * lit(xs.size) - (col("ct") - col("c1")) * lit(xs.size)))
+      .agg(max(col("num"))).as[Long].head()
+    assert(m == 0L, s"identical samples produced nonzero KS numerator $m")
+  }
+
+  test("seasonality indices day-weight-average to 1 per event_type") {
+    import spark.implicits._
+    val bad = run("q_x_seasonality")
+      .groupBy(col("event_type"))
+      .agg((sum(col("season_idx") * col("n_days")) / sum(col("n_days"))).as("m"))
+      .filter(abs(col("m") - 1.0) > 1e-4).as[(String, Double)].collect()
+    assert(bad.isEmpty, s"season_idx not mean-1: ${bad.mkString(",")}")
+  }
+
+  test("memorize fractions are probabilities and planted near-dups score above the corpus") {
+    import spark.implicits._
+    val rows = run("q_x_memorize")
+      .select(col("doc_id"), col("n_grams"), col("n_shared"), col("shared_frac"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, g, sh, f) =>
+      assert(sh >= 0 && sh <= g, s"doc $id: n_shared $sh outside [0, $g]")
+      assert(f >= 0.0 && f <= 1.0) }
+    // docs that sit on a lossless near-dup edge share most 5-grams
+    // with their twin — their mean shared_frac must exceed the corpus mean
+    val dupIds = operators.DupGraph.edges(spark, sfDir, 0.8)
+      .select(explode(array(col("a"), col("b"))).as("doc_id"))
+      .distinct().as[Long].collect().toSet
+    if (dupIds.nonEmpty) {
+      val (inDup, rest) = rows.partition(r => dupIds.contains(r._1))
+      val mDup = inDup.map(_._4).sum / inDup.length
+      val mRest = rest.map(_._4).sum / rest.length
+      assert(mDup > mRest, s"near-dup docs mean $mDup not above corpus mean $mRest")
+    }
+  }
+
+  test("weighted median splits the weight mass per source") {
+    import spark.implicits._
+    val med = run("q_x_wmedian")
+      .select(col("source"), col("wmedian"), col("total_weight"))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("source"), col("n_chars"), (col("doc_id") % 7 + 1).as("wt"))
+      .as[(String, Long, Long)].collect()
+    med.foreach { case (src, (m, tot)) =>
+      val ws = docs.filter(_._1 == src)
+      assert(ws.map(_._3).sum == tot)
+      val below = ws.filter(_._2 < m).map(_._3).sum
+      val atOrBelow = ws.filter(_._2 <= m).map(_._3).sum
+      assert(2 * below < tot || (2 * below == tot && ws.exists(_._2 == m)),
+        s"$src: strict-below mass $below not below half of $tot")
+      assert(2 * atOrBelow >= tot, s"$src: at-or-below mass $atOrBelow under half of $tot")
+    }
+  }
+
+  test("ece bins partition the corpus and the by-construction-calibrated gaps stay small") {
+    import spark.implicits._
+    val rows = run("q_x_ece")
+      .select(col("bin"), col("n"), col("avg_p"), col("avg_y"), col("gap"))
+      .as[(Int, Long, Double, Double, Double)].collect()
+    assert(rows.map(_._1).forall(b => b >= 0 && b <= 9))
+    val n = Tables.table(spark, sfDir, "documents").count()
+    assert(rows.map(_._2).sum == n)
+    val ece = rows.map(r => r._5 * r._2).sum / n
+    // outcomes are drawn u2 < p, so true calibration error is 0; the
+    // observed gap is binomial noise (~1/sqrt(bin n)) — bound loosely
+    assert(ece < 0.25, s"weighted ECE $ece implausibly large for a calibrated draw")
+    rows.foreach { case (b, _, p, _, _) =>
+      assert(p >= b / 10.0 - 1e-6 && p <= (b + 1) / 10.0 + 1e-6,
+        s"bin $b has avg_p $p outside its bin") }
+  }
 }
