@@ -76,6 +76,18 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_adc", classOf[AdcLookup].getName),
       (exprs: Seq[Expression]) => AdcLookup(exprs(0), exprs(1))))
 
+    ext.injectFunction((FunctionIdentifier("graft_kmv"),
+      info("graft_kmv", classOf[KmvSketch].getName),
+      (exprs: Seq[Expression]) => KmvSketch.build(exprs)))
+
+    ext.injectFunction((FunctionIdentifier("graft_cms"),
+      info("graft_cms", classOf[CmsSketch].getName),
+      (exprs: Seq[Expression]) => CmsSketch.build(exprs)))
+
+    ext.injectFunction((FunctionIdentifier("graft_cms_query"),
+      info("graft_cms_query", classOf[CmsQuery].getName),
+      (exprs: Seq[Expression]) => CmsQuery.build(exprs)))
+
     ext.injectOptimizerRule(_ => IntersectCountRewrite)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
   }

@@ -163,6 +163,16 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         "graft_kmv", exprs => KmvSketch.build(exprs), "built-in")
     }
+    val cmsId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cms")
+    if (!registry.functionExists(cmsId)) {
+      registry.createOrReplaceTempFunction(
+        "graft_cms", exprs => CmsSketch.build(exprs), "built-in")
+    }
+    val cmsqId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cms_query")
+    if (!registry.functionExists(cmsqId)) {
+      registry.createOrReplaceTempFunction(
+        "graft_cms_query", exprs => CmsQuery.build(exprs), "built-in")
+    }
     graft.plans.IntersectCountRewrite.install(spark)
   }
 }

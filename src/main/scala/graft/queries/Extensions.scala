@@ -1990,6 +1990,43 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // Count–Min frequency sketch probe: ONE fixed-size mergeable
+    // aggregate over the corpus token stream (graft_cms: depth×width
+    // counters, linear merge), then distributed point estimates via
+    // the graft_cms_query scalar against the broadcast one-row
+    // sketch — the bounded-memory "how often does X occur" when
+    // distinct-term cardinality itself can't shuffle (point-query
+    // cousin of q_x_heavy_hitters' Misra–Gries top-k). No-oracle
+    // (Murmur3 buckets aren't SQL-expressible); CmsSpec pins
+    // never-undercount, the width error bound, and linearity.
+    "q_x_cms" -> ((s, d) => {
+      import s.implicits._
+      val toks = table(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("t"))
+      val sk = toks.agg(call_function("graft_cms", col("t"), lit(4), lit(2048)).as("sk"))
+      Seq("data", "join", "vector", "stream").toDF("token")
+        .crossJoin(broadcast(sk))
+        .select(col("token"),
+          call_function("graft_cms_query", col("sk"), col("token"), lit(4), lit(2048)).as("est"))
+        .orderBy(col("token"))
+    }),
+
+    // Community detection on the near-dup graph (deterministic
+    // synchronous label propagation): splits a connected component
+    // into DENSELY-linked template families — the structure
+    // q_x_dup_clusters' transitive closure deliberately ignores.
+    // Output is the community-size histogram. No-oracle (iterative,
+    // no recursive-CTE form); LpaSpec proves CC-refinement,
+    // determinism, and clique/bridge behavior.
+    "q_x_lpa" -> ((s, d) => {
+      val docs = table(s, d, "documents").select(col("doc_id").as("id"))
+      val edges = graft.operators.DupGraph.edges(s, d, 0.8)
+      graft.operators.Lpa.communities(s, docs, edges)
+        .groupBy(col("community")).agg(count(lit(1)).as("size"))
+        .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
+        .orderBy(col("size"))
+    }),
+
     // ---- statistical audits (model-eval / data-quality statistics) ----
 
     // One-vs-rest ROC-AUC per label over a deterministic score
@@ -2215,6 +2252,140 @@ object Extensions {
           round(avg(col("y")), 6).as("avg_y"))
         .withColumn("gap", round(abs(col("avg_p") - col("avg_y")), 6))
         .orderBy(col("bin"))
+    }),
+
+    // Retrieval-quality eval (nDCG@10): graded ranking gain of the
+    // exact kNN arm against label relevance — the metric that grades
+    // every ANN/hybrid-retrieval dial in this repo (recall@k says
+    // "found it", nDCG says "ranked it well"). Brute-force arm for
+    // the oracle (q_x_knn pattern); IDCG via a broadcast theta join
+    // against the 10-row gain table (no unpartitioned window, no
+    // driver math) — at 100 TB swap the kNN arm for ANN candidates,
+    // same downstream.
+    "q_x_ndcg" -> ((s, d) => {
+      import s.implicits._
+      val emb = table(s, d, "embeddings")
+      val knn = Similarity.bruteForceKnn(emb.filter(col("vec_id") % 30 === 0), emb, k = 10)
+      val labels = emb.select(col("vec_id"), col("label"))
+      val rel = knn
+        .join(labels.select(col("vec_id").as("query_id"), col("label").as("q_label")), "query_id")
+        .join(labels.select(col("vec_id").as("cand_id"), col("label").as("c_label")), "cand_id")
+        .withColumn("rel", when(col("q_label") === col("c_label"), 1.0).otherwise(0.0))
+      val agg = rel.groupBy(col("query_id"))
+        .agg(sum(col("rel") / log2(col("rank") + 1)).as("dcg"),
+          sum(col("rel")).cast("long").as("n_rel"))
+      val gains = (1 to 10).map(i => (i, 1.0 / (math.log(i + 1) / math.log(2))))
+        .toDF("i", "g")
+      val idcg = agg.join(broadcast(gains), col("i") <= col("n_rel"))
+        .groupBy(col("query_id")).agg(sum(col("g")).as("idcg"))
+      agg.join(idcg, Seq("query_id"), "left")
+        .select(col("query_id"), round(col("dcg"), 6).as("dcg"), col("n_rel"),
+          round(when(col("idcg") > 0, col("dcg") / col("idcg")), 6).as("ndcg"))
+        .orderBy(col("query_id"))
+    }),
+
+    // Retrieval-quality eval (reciprocal rank): rank of the FIRST
+    // relevant hit per query — the metric for known-item search,
+    // complementing nDCG's graded view. Same kNN arm; rr is an exact
+    // rational of an integer rank, so the output is engine-exact.
+    "q_x_mrr" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val knn = Similarity.bruteForceKnn(emb.filter(col("vec_id") % 30 === 0), emb, k = 10)
+      val labels = emb.select(col("vec_id"), col("label"))
+      val first = knn
+        .join(labels.select(col("vec_id").as("query_id"), col("label").as("q_label")), "query_id")
+        .join(labels.select(col("vec_id").as("cand_id"), col("label").as("c_label")), "cand_id")
+        .filter(col("q_label") === col("c_label"))
+        .groupBy(col("query_id")).agg(min(col("rank")).as("first_rel_rank"))
+      emb.filter(col("vec_id") % 30 === 0)
+        .select(col("vec_id").as("query_id"))
+        .join(first, Seq("query_id"), "left")
+        .select(col("query_id"), col("first_rel_rank"),
+          round(coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)), 6).as("rr"))
+        .orderBy(col("query_id"))
+    }),
+
+    // Robust outlier days per event_type (modified z-score, Iglewicz–
+    // Hoaglin 1993): median/MAD instead of q_anomaly's mean/σ, so a
+    // burst can't inflate its own detection threshold. Exact
+    // interpolated percentiles (Spark `percentile` == DuckDB
+    // `quantile_cont`, the q_x_winsorize equivalence); corpus-sized
+    // work is the one daily aggregate, the two percentile passes run
+    // on the day-grain table. MAD=0 → z NULL on both engines (never a
+    // division blowup).
+    "q_x_robust_z" -> ((s, d) => {
+      val daily = table(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 6).as("v"))
+      val med = daily.groupBy(col("event_type"))
+        .agg(expr("percentile(v, 0.5)").as("med"))
+      val dev = daily.join(med, "event_type").withColumn("ad", abs(col("v") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(ad, 0.5)").as("mad"))
+      dev.join(mad, "event_type")
+        .withColumn("z", when(col("mad") > 0,
+          round(lit(0.6745) * (col("v") - col("med")) / col("mad"), 6)))
+        .select(col("event_type"), col("day"), col("v"), col("z"),
+          (abs(col("z")) > 3.5).as("is_outlier"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Theil-T inequality decomposition of doc length by source: the
+    // additive T = T_within + T_between split PSI/Gini can't give —
+    // "is corpus imbalance driven by a skewed source mix or by skew
+    // INSIDE sources?" (mixture-design diagnostics). One doc-level
+    // pass joined against two tiny mean tables; everything else is
+    // source-grain.
+    "q_x_theil" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("source"), col("n_chars")).filter(col("n_chars") > 0)
+      val tot = docs.agg(count(lit(1)).as("nn"), sum(col("n_chars")).as("sx"))
+      val bySrc = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("ng"), sum(col("n_chars")).as("sxg"))
+      val mu = col("sx").cast("double") / col("nn")
+      val mug = col("sxg").cast("double") / col("ng")
+      docs.join(broadcast(bySrc), "source").crossJoin(broadcast(tot))
+        .withColumn("xr", col("n_chars") / mug)
+        .groupBy(col("source"), col("ng"), col("sxg"), col("nn"), col("sx"))
+        .agg(sum(col("xr") * log(col("xr"))).as("tsum"))
+        .select(col("source"), col("ng").as("n_docs"),
+          round(mug, 6).as("mean_len"),
+          round(col("tsum") / col("ng"), 6).as("t_within"),
+          round((col("ng") / col("nn").cast("double")) * (mug / mu) * log(mug / mu), 6)
+            .as("t_between_contrib"))
+        .orderBy(col("source"))
+    }),
+
+    // Entity-resolution blocking audit: reduction ratio (how many
+    // candidate pairs the 2-token-header blocking key leaves) vs pair
+    // completeness (what fraction of TRUE near-dup pairs, θ=0.8
+    // word-trigram Jaccard, the key co-blocks) — the two numbers that
+    // justify any blocking scheme before it runs at 100 TB. Candidate
+    // count comes from block-size aggregates (Σ m·(m−1)/2 — no pair
+    // materialization); only the truth join touches pairs, and that
+    // reuses the shared lossless DupGraph edges.
+    "q_x_blocking" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("bk"))
+      val sizes = docs.groupBy(col("bk")).agg(count(lit(1)).as("m"))
+      val cand = sizes.agg(sum(col("m") * (col("m") - 1) / 2).cast("long").as("n_cand"),
+        count(lit(1)).as("n_blocks"))
+      val nn = docs.agg(count(lit(1)).as("n_docs"))
+      val truth = graft.operators.DupGraph.pairs(s, d, 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      val cob = truth
+        .join(docs.select(col("doc_id").as("doc_a"), col("bk").as("ka")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("bk").as("kb")), "doc_b")
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("ka") === col("kb"), 1L).otherwise(0L)).as("n_coblocked"))
+      cand.crossJoin(broadcast(nn)).crossJoin(broadcast(cob))
+        .select(col("n_docs"), col("n_blocks"), col("n_cand"),
+          col("n_true"), col("n_coblocked"),
+          round(lit(1.0) - col("n_cand") / (col("n_docs") * (col("n_docs") - 1) / lit(2.0)), 6)
+            .as("reduction_ratio"),
+          round(when(col("n_true") > 0,
+            col("n_coblocked").cast("double") / col("n_true")), 6).as("pair_completeness"))
     }),
 
     // ---- multimodal ---------------------------------------------------
@@ -3658,6 +3829,126 @@ object Extensions {
                   round(avg(y), 6) AS avg_y
                 FROM b GROUP BY bin)
          SELECT bin, n, avg_p, avg_y, round(abs(avg_p - avg_y), 6) AS gap
-         FROM ag ORDER BY bin"""
+         FROM ag ORDER BY bin""",
+
+    "q_x_ndcg" ->
+      s"""WITH nv AS (
+           SELECT vec_id, label, embedding,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS qv, nrm AS qn
+               FROM nv WHERE vec_id % 30 = 0),
+         c AS (SELECT vec_id AS cand_id, label AS c_label, embedding AS cv, nrm AS cn FROM nv),
+         p AS (SELECT query_id, q_label, cand_id, c_label, round($knnCosSql, 9) AS cos
+               FROM q CROSS JOIN c WHERE cand_id <> query_id),
+         r AS (SELECT query_id, q_label, cand_id, c_label,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+               FROM p),
+         rel AS (SELECT query_id, rank,
+                   CASE WHEN q_label = c_label THEN 1.0 ELSE 0.0 END AS rel
+                 FROM r WHERE rank <= 10),
+         ag AS (SELECT query_id, sum(rel / log2(rank + 1)) AS dcg,
+                  CAST(sum(rel) AS BIGINT) AS n_rel
+                FROM rel GROUP BY query_id),
+         gg AS (SELECT unnest(range(1, 11)) AS i),
+         gt AS (SELECT i, 1.0 / log2(i + 1) AS g FROM gg),
+         id AS (SELECT a.query_id, sum(gt.g) AS idcg
+                FROM ag a JOIN gt ON gt.i <= a.n_rel GROUP BY a.query_id)
+         SELECT a.query_id, round(a.dcg, 6) AS dcg, a.n_rel,
+                round(CASE WHEN id.idcg > 0 THEN a.dcg / id.idcg END, 6) AS ndcg
+         FROM ag a LEFT JOIN id ON a.query_id = id.query_id
+         ORDER BY a.query_id""",
+
+    "q_x_mrr" ->
+      s"""WITH nv AS (
+           SELECT vec_id, label, embedding,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS qv, nrm AS qn
+               FROM nv WHERE vec_id % 30 = 0),
+         c AS (SELECT vec_id AS cand_id, label AS c_label, embedding AS cv, nrm AS cn FROM nv),
+         p AS (SELECT query_id, q_label, cand_id, c_label, round($knnCosSql, 9) AS cos
+               FROM q CROSS JOIN c WHERE cand_id <> query_id),
+         r AS (SELECT query_id, q_label, cand_id, c_label,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+               FROM p),
+         f AS (SELECT query_id, min(rank) AS first_rel_rank
+               FROM r WHERE rank <= 10 AND q_label = c_label GROUP BY query_id)
+         SELECT q.query_id, f.first_rel_rank,
+                round(COALESCE(CAST(1.0 AS DOUBLE) / f.first_rel_rank, 0.0), 6) AS rr
+         FROM q LEFT JOIN f ON q.query_id = f.query_id
+         ORDER BY q.query_id""",
+
+    "q_x_robust_z" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  round(sum(value), 6) AS v
+                FROM events GROUP BY 1, 2),
+         med AS (SELECT event_type, quantile_cont(v, 0.5) AS med
+                 FROM daily GROUP BY event_type),
+         dev AS (SELECT d.event_type, d.day, d.v, m.med, abs(d.v - m.med) AS ad
+                 FROM daily d JOIN med m USING (event_type)),
+         mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+                 FROM dev GROUP BY event_type),
+         z AS (SELECT dev.event_type, dev.day, dev.v,
+                 CASE WHEN mad.mad > 0
+                      THEN round(0.6745 * (dev.v - dev.med) / mad.mad, 6) END AS z
+               FROM dev JOIN mad USING (event_type))
+         SELECT event_type, day, v, z, abs(z) > 3.5 AS is_outlier
+         FROM z ORDER BY event_type, day""",
+
+    "q_x_theil" ->
+      """WITH d AS (SELECT source, n_chars FROM documents WHERE n_chars > 0),
+         t AS (SELECT count(*) AS nn, CAST(sum(n_chars) AS BIGINT) AS sx FROM d),
+         g AS (SELECT source, count(*) AS ng, CAST(sum(n_chars) AS BIGINT) AS sxg
+               FROM d GROUP BY source),
+         terms AS (SELECT d.source, g.ng, g.sxg, t.nn, t.sx,
+                     (d.n_chars / (CAST(g.sxg AS DOUBLE) / g.ng))
+                       * ln(d.n_chars / (CAST(g.sxg AS DOUBLE) / g.ng)) AS xr
+                   FROM d JOIN g USING (source) CROSS JOIN t)
+         SELECT source, ng AS n_docs,
+                round(CAST(sxg AS DOUBLE) / ng, 6) AS mean_len,
+                round(sum(xr) / ng, 6) AS t_within,
+                round((ng / CAST(nn AS DOUBLE))
+                      * ((CAST(sxg AS DOUBLE) / ng) / (CAST(sx AS DOUBLE) / nn))
+                      * ln((CAST(sxg AS DOUBLE) / ng) / (CAST(sx AS DOUBLE) / nn)), 6)
+                  AS t_between_contrib
+         FROM terms GROUP BY source, ng, sxg, nn, sx
+         ORDER BY source""",
+
+    "q_x_blocking" ->
+      """WITH k AS (SELECT doc_id,
+                  array_to_string(string_split(text, ' ')[1:2], ' ') AS bk
+                FROM documents),
+         sz AS (SELECT bk, count(*) AS m FROM k GROUP BY bk),
+         cand AS (SELECT CAST(sum(m * (m - 1) / 2) AS BIGINT) AS n_cand,
+                    count(*) AS n_blocks
+                  FROM sz),
+         nn AS (SELECT count(*) AS n_docs FROM k),
+         w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                      ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                        i -> array_to_string(ws[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))) END AS s
+               FROM w),
+         truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM g a JOIN g b ON a.doc_id < b.doc_id
+                   WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+                     AND len(list_intersect(a.s, b.s)) * 5
+                         >= len(list_distinct(list_concat(a.s, b.s))) * 4),
+         cob AS (SELECT count(*) AS n_true,
+                   CAST(sum(CASE WHEN ka.bk = kb.bk THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_coblocked
+                 FROM truth
+                 JOIN k ka ON ka.doc_id = truth.doc_a
+                 JOIN k kb ON kb.doc_id = truth.doc_b)
+         SELECT nn.n_docs, cand.n_blocks, cand.n_cand, cob.n_true, cob.n_coblocked,
+                round(1.0 - cand.n_cand / (nn.n_docs * (nn.n_docs - 1) / 2.0), 6)
+                  AS reduction_ratio,
+                round(CASE WHEN cob.n_true > 0
+                           THEN cob.n_coblocked / CAST(cob.n_true AS DOUBLE) END, 6)
+                  AS pair_completeness
+         FROM cand CROSS JOIN nn CROSS JOIN cob"""
   )
 }

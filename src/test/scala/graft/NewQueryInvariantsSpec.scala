@@ -349,4 +349,97 @@ class NewQueryInvariantsSpec extends SparkSuite {
       assert(p >= b / 10.0 - 1e-6 && p <= (b + 1) / 10.0 + 1e-6,
         s"bin $b has avg_p $p outside its bin") }
   }
+
+  test("ndcg is in [0,1] and agrees with mrr on which queries have any relevant hit") {
+    import spark.implicits._
+    val nd = run("q_x_ndcg")
+      .select(col("query_id"), col("n_rel"), col("ndcg"))
+      .as[(Long, Long, Option[Double])].collect()
+    assert(nd.nonEmpty)
+    nd.foreach { case (q, nr, n) =>
+      assert(nr >= 0 && nr <= 10)
+      if (nr == 0) assert(n.isEmpty, s"query $q: ndcg defined with no relevant hits")
+      else {
+        assert(n.nonEmpty)
+        assert(n.get >= 0.0 && n.get <= 1.0 + 1e-9, s"query $q: ndcg ${n.get}")
+      }
+    }
+    val mr = run("q_x_mrr")
+      .select(col("query_id"), col("rr")).as[(Long, Double)].collect().toMap
+    nd.foreach { case (q, nr, _) =>
+      assert((mr(q) > 0.0) == (nr > 0),
+        s"query $q: mrr ${mr(q)} disagrees with ndcg n_rel $nr") }
+  }
+
+  test("mrr reciprocal ranks are exactly 1/rank") {
+    import spark.implicits._
+    run("q_x_mrr")
+      .select(col("first_rel_rank"), col("rr"))
+      .as[(Option[Int], Double)].collect()
+      .foreach {
+        case (Some(r), rr) =>
+          assert(r >= 1 && r <= 10)
+          assert(math.abs(rr - 1.0 / r) < 1e-6)
+        case (None, rr) => assert(rr == 0.0)
+      }
+  }
+
+  test("robust_z: z vanishes at the median day and NULLs only on zero MAD") {
+    import spark.implicits._
+    val rows = run("q_x_robust_z")
+      .select(col("event_type"), col("z")).as[(String, Option[Double])].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val zs = rs.flatMap(_._2)
+      if (zs.nonEmpty) {
+        // the median day's deviation is 0 → some z must be ~0 for odd
+        // counts; in general the smallest |z| is tiny
+        assert(zs.map(math.abs).min < 0.7,
+          s"$t: smallest |z| ${zs.map(math.abs).min} — median not centered?")
+        // MAD-scaled scores: at least half the days lie within |z| <= 0.6745·(max ad / mad)…
+        // sharper: at least half within |z| ≤ 0.6745 is exactly the MAD definition
+        val within = zs.count(z => math.abs(z) <= 0.6745 + 1e-6)
+        assert(2 * within >= zs.length,
+          s"$t: only $within/${zs.length} days within one MAD of the median")
+      }
+    }
+  }
+
+  test("theil decomposition is additive: T_total = Σ share·T_within + T_between") {
+    import spark.implicits._
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("source"), col("n_chars")).filter(col("n_chars") > 0)
+      .as[(String, Long)].collect()
+    val n = docs.length.toDouble
+    val mu = docs.map(_._2.toDouble).sum / n
+    val tTotal = docs.map { case (_, x) => (x / mu) * math.log(x / mu) }.sum / n
+    val rows = run("q_x_theil")
+      .select(col("source"), col("n_docs"), col("mean_len"),
+        col("t_within"), col("t_between_contrib"))
+      .as[(String, Long, Double, Double, Double)].collect()
+    val recomposed = rows.map { case (_, ng, mug, tw, _) =>
+      (ng / n) * (mug / mu) * tw
+    }.sum + rows.map(_._5).sum
+    assert(math.abs(recomposed - tTotal) < 1e-3,
+      s"decomposition $recomposed != direct $tTotal")
+    // between-group Theil is a KL divergence → non-negative in total
+    assert(rows.map(_._5).sum >= -1e-9)
+    // within-group Theil of a positive variable is non-negative
+    rows.foreach { case (s, _, _, tw, _) => assert(tw >= -1e-9, s"$s: T_within $tw < 0") }
+  }
+
+  test("blocking audit counts are mutually consistent") {
+    import spark.implicits._
+    val r = run("q_x_blocking")
+      .select(col("n_docs"), col("n_blocks"), col("n_cand"), col("n_true"),
+        col("n_coblocked"), col("reduction_ratio"), col("pair_completeness"))
+      .as[(Long, Long, Long, Long, Long, Double, Option[Double])].head()
+    val (nd, nb, nc, nt, ncb, rr, pc) = r
+    assert(nb >= 1 && nb <= nd)
+    assert(nc <= nd * (nd - 1) / 2)
+    assert(ncb <= nt)
+    assert(rr >= 0.0 && rr <= 1.0)
+    pc.foreach(p => assert(p >= 0.0 && p <= 1.0))
+    if (nt > 0) assert(pc.nonEmpty)
+  }
 }
