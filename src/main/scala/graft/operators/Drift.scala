@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Population-stability-index drift between a current sample and a
+  * reference distribution — the q_x_psi formula factored out so the
+  * STREAMING monitor ([[graft.streaming.StreamingJobs.driftSink]]) and
+  * the batch query share one definition.
+  *
+  * Scale shape: each side collapses to a bucket histogram in one
+  * aggregate before anything joins — the comparison itself is
+  * bucket-grain regardless of input size. The reference histogram is
+  * computed once and reused across batches (pass `refHist`), exactly
+  * how a production monitor pins last month's profile.
+  */
+object Drift {
+
+  /** Bucket histogram of `valueCol` at `width`-sized buckets. */
+  def histogram(df: DataFrame, valueCol: Column, width: Double): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    df.select(floor(valueCol / width).cast("long").as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+  }
+
+  /** PSI of `curHist` against `refHist` (both (bucket, c)): union
+    * bucket universe, +0.5 Laplace smoothing — the exact q_x_psi
+    * convention. Returns (psi, n_cur). Empty current sample → PSI of
+    * the smoothing floor (finite, never a throw).
+    */
+  def psi(curHist: DataFrame, refHist: DataFrame): (Double, Long) = {
+    val co = refHist.select(col("bucket"), col("c").as("c_old"))
+    val cn = curHist.select(col("bucket"), col("c").as("c_new"))
+    val uni = co.select(col("bucket")).union(cn.select(col("bucket"))).distinct()
+    val joined = uni
+      .join(co, Seq("bucket"), "left")
+      .join(cn, Seq("bucket"), "left")
+      .na.fill(0L, Seq("c_old", "c_new"))
+    val row = joined
+      .agg(sum(col("c_old")).as("n_old"), sum(col("c_new")).as("n_new"),
+        count(lit(1)).as("nb"))
+      .crossJoin(joined.select(col("bucket"), col("c_old"), col("c_new")))
+      .withColumn("p", (col("c_old") + 0.5) / (col("n_old") + col("nb") * 0.5))
+      .withColumn("q", (col("c_new") + 0.5) / (col("n_new") + col("nb") * 0.5))
+      .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"),
+        max(col("n_new")).as("n_cur"))
+      .head()
+    (row.getDouble(0), row.getLong(1))
+  }
+}

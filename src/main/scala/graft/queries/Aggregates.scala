@@ -112,6 +112,47 @@ object Aggregates {
           round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"))
         .orderBy(col("l_returnflag"))),
 
+    // Deterministic per-group MODE via count + argmax window (NOT the
+    // built-in mode(), whose tie choice is engine-defined): most
+    // frequent quantity per return flag, smallest value on ties.
+    "q_agg_mode" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("c").desc, col("l_quantity"))
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("c").as("n_occurrences"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Geometric mean (exp∘avg∘ln — the multiplicative average for
+    // ratio-scale data; no built-in on either engine) per return flag.
+    "q_agg_geomean" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .filter(col("l_extendedprice") > 0)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(exp(avg(log(col("l_extendedprice")))), 6).as("geomean"))
+        .orderBy(col("l_returnflag"))),
+
+    // Bitwise aggregates (bit_or/bit_and/bit_xor): per event_type, the
+    // 16-bit presence mask of user buckets — the compact "which shards
+    // touched this" rollup; masks OR together across slices, so
+    // partials re-aggregate like any sketch column.
+    "q_agg_bits" -> ((s, d) =>
+      table(s, d, "events")
+        .select(col("event_type"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 16 AS INT))").as("m"))
+        .groupBy(col("event_type"))
+        .agg(expr("bit_or(m)").as("seen_mask"),
+          expr("bit_and(m)").as("common_mask"),
+          bit_count(expr("bit_or(m)")).as("n_buckets"))
+        .orderBy(col("event_type"))),
+
     "q_agg_rollup" -> ((s, d) =>
       table(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -251,6 +292,30 @@ object Aggregates {
                 count(*) AS n
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+
+    "q_agg_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS c
+               FROM lineitem GROUP BY 1, 2),
+         r AS (SELECT l_returnflag, l_quantity, c,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY c DESC, l_quantity) AS rk
+               FROM c)
+         SELECT l_returnflag, l_quantity AS mode_qty, c AS n_occurrences
+         FROM r WHERE rk = 1 ORDER BY l_returnflag""",
+
+    "q_agg_geomean" ->
+      """SELECT l_returnflag, count(*) AS n,
+                round(exp(avg(ln(l_extendedprice))), 6) AS geomean
+         FROM lineitem WHERE l_extendedprice > 0
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_agg_bits" ->
+      """WITH m AS (SELECT event_type,
+                  (CAST(1 AS BIGINT) << CAST(user_id % 16 AS INTEGER)) AS m
+                FROM events)
+         SELECT event_type, bit_or(m) AS seen_mask, bit_and(m) AS common_mask,
+                CAST(bit_count(bit_or(m)) AS INTEGER) AS n_buckets
+         FROM m GROUP BY event_type ORDER BY event_type""",
 
     "q_agg_having" ->
       """SELECT o_custkey, count(*) AS n,

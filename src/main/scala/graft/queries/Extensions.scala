@@ -2027,6 +2027,30 @@ object Extensions {
         .orderBy(col("size"))
     }),
 
+    // Degree assortativity of the near-dup graph (Newman 2002):
+    // Pearson correlation of endpoint degrees over the directed edge
+    // list — "do heavily-duplicated docs duplicate EACH OTHER
+    // (template farm, r→1) or fan out over singletons (hub spam,
+    // r→−1)?" Shapes dedup-keep policy. Edge-grain all the way: one
+    // degree aggregate + two joins + one mergeable corr — nothing
+    // corpus-sized after the shared DupGraph edges.
+    "q_x_assortativity" -> ((s, d) => {
+      val e = graft.operators.DupGraph.pairs(s, d, 0.8)
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val deg = und.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+      und
+        .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+        .agg(count(lit(1)).as("n_dir_edges"),
+          corr(col("du").cast("double"), col("dv").cast("double")).as("c0"))
+        // zero degree variance: Spark corr gives NaN, DuckDB NULL —
+        // normalize to NULL so the oracle hash can't diverge
+        .select(col("n_dir_edges"),
+          round(when(isnan(col("c0")), lit(null).cast("double"))
+            .otherwise(col("c0")), 6).as("assortativity"))
+    }),
+
     // ---- statistical audits (model-eval / data-quality statistics) ----
 
     // One-vs-rest ROC-AUC per label over a deterministic score
@@ -3916,6 +3940,27 @@ object Extensions {
                   AS t_between_contrib
          FROM terms GROUP BY source, ng, sxg, nn, sx
          ORDER BY source""",
+
+    "q_x_assortativity" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                      ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                        i -> array_to_string(ws[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' '))) END AS s
+               FROM w),
+         truth AS (SELECT a.doc_id AS u, b.doc_id AS v
+                   FROM g a JOIN g b ON a.doc_id < b.doc_id
+                   WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+                     AND len(list_intersect(a.s, b.s)) * 5
+                         >= len(list_distinct(list_concat(a.s, b.s))) * 4),
+         und AS (SELECT u, v FROM truth UNION ALL SELECT v, u FROM truth),
+         deg AS (SELECT u AS id, count(*) AS deg FROM und GROUP BY u)
+         SELECT count(*) AS n_dir_edges,
+                round(corr(CAST(du.deg AS DOUBLE), CAST(dv.deg AS DOUBLE)), 6)
+                  AS assortativity
+         FROM und
+         JOIN deg du ON du.id = und.u
+         JOIN deg dv ON dv.id = und.v""",
 
     "q_x_blocking" ->
       """WITH k AS (SELECT doc_id,

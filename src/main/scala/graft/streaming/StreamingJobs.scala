@@ -195,6 +195,27 @@ object StreamingJobs {
         store(batch.join(novel.select(col(idCol), col("h")), Seq(idCol)), id)
       }
 
+  /** Streaming distribution-drift monitor: per micro-batch PSI of the
+    * batch's `value` histogram against a pinned REFERENCE histogram
+    * (the q_x_psi formula via [[graft.operators.Drift]] — one shared
+    * definition for the batch query and this monitor). The reference
+    * is computed once by the caller and reused across batches, exactly
+    * how a production monitor pins last month's profile; each batch
+    * collapses to bucket grain in one aggregate before any join, so
+    * the comparison cost is bucket-count-sized regardless of batch
+    * size. `store` receives (batchId, psi, batchRows) — alert when
+    * psi crosses the conventional 0.2.
+    */
+  def driftSink(events: DataFrame, refHist: DataFrame, bucketWidth: Double)(
+      store: (Long, Double, Long) => Unit): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val (psi, n) = graft.operators.Drift.psi(
+          graft.operators.Drift.histogram(batch, col("value"), bucketWidth), refHist)
+        store(id, psi, n)
+      }
+
   /** Last-writer-wins upsert sink (U2 streaming form;
     * weather-etl.py:152-163): each micro-batch merges into `target`
     * under `mergeAndStore`, which the caller implements over its store

@@ -327,4 +327,63 @@ object TransformWithStateJobs {
       .transformWithState(new ProfileProcessor(keep),
         TimeMode.None(), OutputMode.Update())
   }
+
+  // ---- streaming Count–Min maintenance --------------------------------
+
+  case class CmsIn(event_type: String, item: String)
+  case class CmsSnapshot(event_type: String, n: Long, sketch: Seq[Long])
+
+  /** Per-key Count–Min sketch maintained incrementally across micro-
+    * batches — the streaming form of the batch `graft_cms` aggregate,
+    * sharing [[graft.functions.CountMin.bucket]] so the state sketch
+    * after N batches is BIT-IDENTICAL to a one-shot batch sketch over
+    * the same rows (the sketch is linear; CmsStreamSpec asserts exact
+    * equality at 1 and 3 batch granularities). State is depth×width
+    * longs per key — fixed regardless of item cardinality, the whole
+    * point: a streaming exact per-item count would grow state with
+    * distinct items; this never does.
+    */
+  class CmsProcessor(depth: Int, width: Int)
+    extends StatefulProcessor[String, CmsIn, CmsSnapshot] {
+    @transient private var sketch: org.apache.spark.sql.streaming.ValueState[Array[Long]] = _
+    @transient private var total: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sketch = getHandle.getValueState[Array[Long]](
+        "cms", Encoders.javaSerialization[Array[Long]],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      total = getHandle.getValueState[Long](
+        "n", Encoders.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[CmsIn],
+        timers: TimerValues): Iterator[CmsSnapshot] = {
+      val sk = Option(sketch.get()).getOrElse(new Array[Long](depth * width))
+      var n = Option(total.get()).getOrElse(0L)
+      rows.foreach { r =>
+        if (r.item != null) {
+          var i = 0
+          while (i < depth) {
+            sk(i * width + graft.functions.CountMin.bucket(r.item, i, width)) += 1L
+            i += 1
+          }
+          n += 1
+        }
+      }
+      sketch.update(sk)
+      total.update(n)
+      Iterator.single(CmsSnapshot(key, n, sk.toSeq))
+    }
+  }
+
+  /** Per-event-type token sketch over the events stream (items =
+    * user ids — "how often has user X hit type T", bounded state). */
+  def cmsByType(spark: SparkSession, events: DataFrame,
+      depth: Int = 4, width: Int = 256): Dataset[CmsSnapshot] = {
+    import spark.implicits._
+    events.selectExpr("event_type", "CAST(user_id AS STRING) AS item").as[CmsIn]
+      .groupByKey(_.event_type)
+      .transformWithState(new CmsProcessor(depth, width),
+        TimeMode.None(), OutputMode.Update())
+  }
 }
