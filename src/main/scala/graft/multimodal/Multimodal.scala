@@ -84,4 +84,39 @@ object Multimodal {
       }
     }
   }
+
+  /** Per-payload "waveform" statistics. */
+  case class WaveStats(doc_id: Long, n_samples: Int, rms: Double,
+      zero_crossings: Long, clip_frac: Double)
+
+  /** Audio-shaped feature extraction: the payload bytes are treated as
+    * a centered i8 sample stream (sample = byte − 64) and reduced to
+    * RMS energy, strict zero-crossing count, and clipping fraction
+    * (|s| ≥ 48) — the real DSP reductions a PCM decode feeds, run
+    * partition-local over the typed Dataset with integer arithmetic
+    * until the two final divisions (so the stub is exactly
+    * reproducible — and oracle-checkable — from the source text).
+    */
+  def waveformStats(spark: SparkSession, media: DataFrame): Dataset[WaveStats] = {
+    import spark.implicits._
+    media.as[MediaRecord].map { r =>
+      val n = r.payload.length
+      var sumSq = 0L
+      var zc = 0L
+      var clip = 0L
+      var prev = 0
+      var i = 0
+      while (i < n) {
+        val s = (r.payload(i) & 0xff) - 64
+        sumSq += s.toLong * s
+        if (i > 0 && s * prev < 0) zc += 1
+        if (math.abs(s) >= 48) clip += 1
+        prev = s
+        i += 1
+      }
+      val rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n)
+      val cf = if (n == 0) 0.0 else clip.toDouble / n
+      WaveStats(r.doc_id, n, rms, zc, cf)
+    }
+  }
 }

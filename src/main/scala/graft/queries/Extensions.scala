@@ -2420,6 +2420,53 @@ object Extensions {
       val media = Multimodal.attachBinary(table(s, d, "documents"))
       Multimodal.decodeFeatures(s, media).toDF()
         .orderBy(col("doc_id"))
+    }),
+
+    // The typed-mapPartitions media decode, ORACLE-CHECKED end to end:
+    // the fixture payloads are ASCII text bytes, so every stub output
+    // (byte length, derived width/height, sha256) is reproducible in
+    // SQL — the decode plumbing (encoders, batch shape, partition-
+    // local execution) gets the same rows+schema+hash gate as any
+    // relational operator, not just a spec. A real codec swaps into
+    // the same batch loop.
+    "q_x_media_features" -> ((s, d) => {
+      val media = Multimodal.attachBinary(table(s, d, "documents"))
+      Multimodal.decodeFeatures(s, media).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          col("checksum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Audio-shaped reduction over the binary payload (RMS energy,
+    // zero crossings, clipping fraction on the centered i8 stream) —
+    // integer arithmetic until two final divisions, so the DSP loop
+    // is engine-exact against the character-code oracle.
+    "q_x_waveform" -> ((s, d) => {
+      val media = Multimodal.attachBinary(table(s, d, "documents"))
+      Multimodal.waveformStats(s, media).toDF()
+        .select(col("doc_id"), col("n_samples"),
+          round(col("rms"), 6).as("rms"), col("zero_crossings"),
+          round(col("clip_frac"), 6).as("clip_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cross-document FRAME dedup: video-shaped near-dup detection —
+    // doc pairs sharing ≥ 3 identical 16-byte frames, via the
+    // postings shape (frame-hash grain self-join, never doc pairs
+    // first). Catches exact and prefix-identical payloads; at 100 TB
+    // the frame-hash table IS the content-addressed frame store.
+    "q_x_frame_dedup" -> ((s, d) => {
+      val media = Multimodal.attachBinary(table(s, d, "documents"))
+      val frames = Multimodal.sampleFrames(s, media, stride = 1).toDF()
+        .select(col("doc_id"), md5(col("frame_bytes")).as("h")).distinct()
+        .localCheckpoint(eager = false)
+      frames.select(col("doc_id").as("doc_a"), col("h"))
+        .join(frames.select(col("doc_id").as("doc_b"), col("h")), "h")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared_frames"))
+        .filter(col("n_shared_frames") >= 3)
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
 
@@ -3994,6 +4041,45 @@ object Extensions {
                 round(CASE WHEN cob.n_true > 0
                            THEN cob.n_coblocked / CAST(cob.n_true AS DOUBLE) END, 6)
                   AS pair_completeness
-         FROM cand CROSS JOIN nn CROSS JOIN cob"""
+         FROM cand CROSS JOIN nn CROSS JOIN cob""",
+
+    "q_x_media_features" ->
+      """SELECT doc_id,
+                CAST(length(text) AS INTEGER) AS n_bytes,
+                CAST(length(text) % 64 + 16 AS INTEGER) AS width,
+                CAST(CASE WHEN length(text) = 0 THEN 1
+                          ELSE ascii(substr(text, 1, 1)) % 32 + 1 END AS INTEGER) AS height,
+                sha256(text) AS checksum
+         FROM documents ORDER BY doc_id""",
+
+    "q_x_waveform" ->
+      """WITH ch AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+                FROM documents),
+         s AS (SELECT doc_id, i,
+                 ascii(substr(text, CAST(i AS INTEGER), 1)) - 64 AS s
+               FROM ch),
+         lagd AS (SELECT doc_id, s,
+                    lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                  FROM s)
+         SELECT doc_id,
+                CAST(count(*) AS INTEGER) AS n_samples,
+                round(sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)), 6) AS rms,
+                CAST(sum(CASE WHEN prev IS NOT NULL AND s * prev < 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+                round(sum(CASE WHEN abs(s) >= 48 THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 6) AS clip_frac
+         FROM lagd GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_x_frame_dedup" ->
+      """WITH f AS (SELECT DISTINCT doc_id,
+                  md5(substr(text, CAST((j - 1) * 16 + 1 AS INTEGER), 16)) AS h
+                FROM (SELECT doc_id, text,
+                        unnest(range(1, CAST(ceil(length(text) / 16.0) AS BIGINT) + 1)) AS j
+                      FROM documents WHERE length(text) > 0))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                count(*) AS n_shared_frames
+         FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3
+         ORDER BY doc_a, doc_b"""
   )
 }

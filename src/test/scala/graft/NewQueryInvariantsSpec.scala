@@ -442,4 +442,67 @@ class NewQueryInvariantsSpec extends SparkSuite {
     pc.foreach(p => assert(p >= 0.0 && p <= 1.0))
     if (nt > 0) assert(pc.nonEmpty)
   }
+
+  test("media_features checksum equals sha2 of the source text (stub is faithful)") {
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("want"),
+        length(col("text")).as("len"))
+    val bad = run("q_x_media_features")
+      .join(docs, "doc_id")
+      .filter(col("checksum") =!= col("want") || col("n_bytes") =!= col("len"))
+      .count()
+    assert(bad == 0, s"$bad docs where the mapPartitions decode disagrees with SQL")
+  }
+
+  test("waveform stats respect their structural bounds and a hand-computed case") {
+    import spark.implicits._
+    val rows = run("q_x_waveform")
+      .select(col("n_samples"), col("rms"), col("zero_crossings"), col("clip_frac"))
+      .as[(Int, Double, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, rms, zc, cf) =>
+      assert(rms >= 0.0 && rms <= 64.0, s"rms $rms outside byte range")
+      assert(zc >= 0 && zc < n, s"$zc crossings for $n samples")
+      assert(cf >= 0.0 && cf <= 1.0)
+    }
+    // independent check: "a@a" → samples (33, 0, 33) centered at 64
+    // gives s = (33-64, 0, 33-64)?? no: bytes 'a'=97→33, '@'=64→0,
+    // 'a'→33; crossings: 33*0 and 0*33 are not < 0 → 0 crossings
+    val one = Multimodal_check("a@a")
+    assert(one == ((3, math.sqrt((33L * 33 * 2).toDouble / 3), 0L, 0.0)),
+      s"hand case got $one")
+  }
+
+  private def Multimodal_check(text: String): (Int, Double, Long, Double) = {
+    import spark.implicits._
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val media = graft.multimodal.Multimodal.attachBinary(
+      df.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text"))))
+    val r = graft.multimodal.Multimodal.waveformStats(spark, media).collect().head
+    (r.n_samples, r.rms, r.zero_crossings, r.clip_frac)
+  }
+
+  test("frame_dedup covers every exact-duplicate pair at full frame overlap") {
+    import spark.implicits._
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"), length(col("text")).as("len"))
+    val exactPairs = docs.as("a").join(docs.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        ceil(col("a.len") / 16.0).cast("long").as("n_frames_total"))
+      .as[(Long, Long, Long)].collect()
+    val got = run("q_x_frame_dedup")
+      .select(col("doc_a"), col("doc_b"), col("n_shared_frames"))
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    exactPairs.foreach { case (a, b, total) =>
+      val shared = got.getOrElse((a, b), 0L)
+      // identical payloads share every DISTINCT frame; repeats inside
+      // the doc collapse, so shared ≤ total but must be ≥ 3 and equal
+      // for both docs
+      assert(shared >= 3, s"exact dup ($a,$b) missing from frame dedup")
+      assert(shared <= total)
+    }
+  }
 }
