@@ -2051,6 +2051,87 @@ object Extensions {
             .otherwise(col("c0")), 6).as("assortativity"))
     }),
 
+    // Temporal train/test split with an embargo gap (the financial-ML
+    // leakage control): train = events before the cut, test = after
+    // cut + embargo, rows inside the embargo quarantined; reports the
+    // split sizes AND the cross-boundary leakage surface (users
+    // appearing on both sides — the entities whose state could carry
+    // information across the cut). One scan + tiny aggregates; the
+    // cut is a fixed quantile of the time range computed from min/max
+    // only (no percentile over the corpus).
+    "q_x_temporal_split" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      // µs-exact boundaries (a seconds cast would floor differently
+      // from DuckDB's fractional epoch())
+      val mm = ev.agg(min(unix_micros(col("ts"))).as("t0"),
+        max(unix_micros(col("ts"))).as("t1"))
+      val tagged = ev.select(col("user_id"), unix_micros(col("ts")).as("t"))
+        .crossJoin(broadcast(mm))
+        .withColumn("cut", expr("t0 + ((t1 - t0) * 7) div 10")) // div: Spark `/` on longs is double division
+        .withColumn("emb", expr("(t1 - t0) div 20"))
+        .withColumn("part",
+          when(col("t") < col("cut"), "train")
+            .when(col("t") >= col("cut") + col("emb"), "test")
+            .otherwise("embargo"))
+      val sizes = tagged.groupBy(col("part"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"))
+      val leak = tagged.filter(col("part") === "train")
+        .select(col("user_id")).distinct()
+        .join(tagged.filter(col("part") === "test")
+          .select(col("user_id")).distinct(), "user_id")
+        .agg(count(lit(1)).as("n"))
+      sizes.crossJoin(broadcast(leak.select(col("n").as("n_spanning_users"))))
+        .orderBy(col("part"))
+    }),
+
+    // Mutual information between source and length-quartile bucket —
+    // the column-dependence audit for feature selection ("does source
+    // predict doc length at all?"); the categorical complement of
+    // q_x_corr. Exact integer contingency counts until the final
+    // log-sum; buckets from fixed 256-char widths (no percentile
+    // pass).
+    "q_x_mi" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("source"), expr("n_chars div 256").as("b"))
+      val joint = docs.groupBy(col("source"), col("b")).agg(count(lit(1)).as("nxy"))
+      val ms = docs.groupBy(col("source")).agg(count(lit(1)).as("nx"))
+      val mb = docs.groupBy(col("b")).agg(count(lit(1)).as("ny"))
+      val tot = docs.agg(count(lit(1)).as("nn"))
+      joint.join(ms, "source").join(mb, "b").crossJoin(broadcast(tot))
+        .agg(round(sum((col("nxy") / col("nn").cast("double"))
+          * log((col("nxy") * col("nn")).cast("double")
+            / (col("nx") * col("ny")))), 6).as("mi_nats"),
+          count(lit(1)).as("n_cells"))
+    }),
+
+    // Chi-square independence test source × lang with Cramér's V —
+    // the classic contingency audit (is language composition uniform
+    // across sources?). Expected counts from the margins; exact
+    // integers until the per-cell ratio; dof and V reported so the
+    // statistic is interpretable without a table lookup.
+    "q_x_chisq" -> ((s, d) => {
+      val docs = table(s, d, "documents").select(col("source"), col("lang"))
+      val joint = docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+      val ms = docs.groupBy(col("source")).agg(count(lit(1)).as("nx"))
+      val ml = docs.groupBy(col("lang")).agg(count(lit(1)).as("ny"))
+      val tot = docs.agg(count(lit(1)).as("nn"))
+      // the full grid (zero cells included — they carry expected mass)
+      val grid = ms.crossJoin(broadcast(ml))
+        .join(joint, Seq("source", "lang"), "left").na.fill(0L, Seq("o"))
+        .crossJoin(broadcast(tot))
+        .withColumn("e", (col("nx") * col("ny")).cast("double") / col("nn"))
+      grid
+        .agg(round(sum(pow(col("o") - col("e"), 2) / col("e")), 6).as("chi2"),
+          countDistinct(col("source")).as("r"),
+          countDistinct(col("lang")).as("c"),
+          max(col("nn")).as("nn"))
+        .select(col("chi2"),
+          ((col("r") - 1) * (col("c") - 1)).as("dof"),
+          round(sqrt(col("chi2") / (col("nn")
+            * least(col("r") - 1, col("c") - 1))), 6).as("cramers_v"))
+    }),
+
     // ---- statistical audits (model-eval / data-quality statistics) ----
 
     // One-vs-rest ROC-AUC per label over a deterministic score
@@ -4042,6 +4123,54 @@ object Extensions {
                            THEN cob.n_coblocked / CAST(cob.n_true AS DOUBLE) END, 6)
                   AS pair_completeness
          FROM cand CROSS JOIN nn CROSS JOIN cob""",
+
+    "q_x_temporal_split" ->
+      """WITH mm AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events),
+         tagged AS (SELECT user_id,
+                      CASE WHEN epoch_us(ts) < t0 + ((t1 - t0) * 7) // 10 THEN 'train'
+                           WHEN epoch_us(ts) >= t0 + ((t1 - t0) * 7) // 10
+                                + (t1 - t0) // 20 THEN 'test'
+                           ELSE 'embargo' END AS part
+                    FROM events CROSS JOIN mm),
+         sizes AS (SELECT part, count(*) AS n_rows,
+                     count(DISTINCT user_id) AS n_users
+                   FROM tagged GROUP BY part),
+         leak AS (SELECT count(*) AS n_spanning_users FROM
+                    (SELECT DISTINCT user_id FROM tagged WHERE part = 'train') tr
+                    JOIN (SELECT DISTINCT user_id FROM tagged WHERE part = 'test') te
+                    USING (user_id))
+         SELECT part, n_rows, n_users, n_spanning_users
+         FROM sizes CROSS JOIN leak ORDER BY part""",
+
+    "q_x_mi" ->
+      """WITH d AS (SELECT source, n_chars // 256 AS b FROM documents),
+         j AS (SELECT source, b, count(*) AS nxy FROM d GROUP BY 1, 2),
+         ms AS (SELECT source, count(*) AS nx FROM d GROUP BY 1),
+         mb AS (SELECT b, count(*) AS ny FROM d GROUP BY 1),
+         t AS (SELECT count(*) AS nn FROM d)
+         SELECT round(sum((nxy / CAST(nn AS DOUBLE))
+                  * ln(CAST(nxy * nn AS DOUBLE) / (nx * ny))), 6) AS mi_nats,
+                count(*) AS n_cells
+         FROM j JOIN ms USING (source) JOIN mb USING (b) CROSS JOIN t""",
+
+    "q_x_chisq" ->
+      """WITH d AS (SELECT source, lang FROM documents),
+         j AS (SELECT source, lang, count(*) AS o FROM d GROUP BY 1, 2),
+         ms AS (SELECT source, count(*) AS nx FROM d GROUP BY 1),
+         ml AS (SELECT lang, count(*) AS ny FROM d GROUP BY 1),
+         t AS (SELECT count(*) AS nn FROM d),
+         grid AS (SELECT ms.source, ml.lang, ms.nx, ml.ny, t.nn,
+                    COALESCE(j.o, 0) AS o,
+                    CAST(ms.nx * ml.ny AS DOUBLE) / t.nn AS e
+                  FROM ms CROSS JOIN ml CROSS JOIN t
+                  LEFT JOIN j ON j.source = ms.source AND j.lang = ml.lang),
+         ag AS (SELECT round(sum(pow(o - e, 2) / e), 6) AS chi2,
+                  count(DISTINCT source) AS r, count(DISTINCT lang) AS c,
+                  max(nn) AS nn
+                FROM grid)
+         SELECT chi2, CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+                round(sqrt(chi2 / (nn * least(r - 1, c - 1))), 6) AS cramers_v
+         FROM ag""",
 
     "q_x_media_features" ->
       """SELECT doc_id,

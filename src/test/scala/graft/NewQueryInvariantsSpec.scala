@@ -443,6 +443,47 @@ class NewQueryInvariantsSpec extends SparkSuite {
     if (nt > 0) assert(pc.nonEmpty)
   }
 
+  test("temporal split partitions the stream; embargo separates the sides in time") {
+    import spark.implicits._
+    val rows = run("q_x_temporal_split")
+      .select(col("part"), col("n_rows"), col("n_spanning_users"))
+      .as[(String, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq == rows.map(_._1).distinct.sorted.toSeq)
+    val n = Tables.events(spark, sfDir).count()
+    assert(rows.map(_._2).sum == n, "parts must partition every event")
+    assert(rows.map(_._1).toSet.subsetOf(Set("train", "test", "embargo")))
+    val m = rows.map(r => r._1 -> r._2).toMap
+    assert(m.getOrElse("train", 0L) > m.getOrElse("embargo", 0L),
+      "70% train must dwarf the 5% embargo")
+    assert(rows.map(_._3).distinct.size == 1, "spanning-user count is global")
+  }
+
+  test("mutual information is non-negative and bounded by the source entropy") {
+    import spark.implicits._
+    val (mi, cells) = run("q_x_mi")
+      .select(col("mi_nats"), col("n_cells")).as[(Double, Long)].head()
+    assert(mi >= -1e-6, s"MI $mi negative")
+    assert(cells >= 1)
+    val hx = {
+      val cnts = Tables.table(spark, sfDir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("c")).as[(String, Long)]
+        .collect().map(_._2.toDouble)
+      val n = cnts.sum
+      -cnts.map(c => (c / n) * math.log(c / n)).sum
+    }
+    assert(mi <= hx + 1e-6, s"MI $mi exceeds H(source) $hx")
+  }
+
+  test("chi-square statistic and Cramér's V are in range") {
+    import spark.implicits._
+    val (chi2, dof, v) = run("q_x_chisq")
+      .select(col("chi2"), col("dof"), col("cramers_v"))
+      .as[(Double, Long, Double)].head()
+    assert(chi2 >= 0.0)
+    assert(dof >= 1, s"degenerate contingency table (dof $dof)")
+    assert(v >= 0.0 && v <= 1.0 + 1e-9, s"Cramér's V $v outside [0,1]")
+  }
+
   test("media_features checksum equals sha2 of the source text (stub is faithful)") {
     val docs = Tables.table(spark, sfDir, "documents")
       .select(col("doc_id"), sha2(col("text"), 256).as("want"),
