@@ -2132,6 +2132,100 @@ object Extensions {
             * least(col("r") - 1, col("c") - 1))), 6).as("cramers_v"))
     }),
 
+    // Kaplan–Meier survival curve of user lifetime (first → last
+    // event, in days), right-censored for users still active in the
+    // final 7 days of the corpus window — the churn-analytics
+    // standard that naive "average lifetime" gets wrong. Corpus work
+    // is ONE per-user aggregate; the KM product runs at duration
+    // grain in log domain (exp∘cumsum∘ln, a partitioned... no — a
+    // DURATION-grain window keyed by the constant cohort — so the
+    // d=n final step is guarded: its factor would be ln(0)). S(t)=0
+    // exactly once the at-risk set dies out.
+    "q_x_survival" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, d, "events")
+      val win = ev.agg(max(unix_micros(col("ts"))).as("t_end"))
+      val users = ev.groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("t0"), max(unix_micros(col("ts"))).as("t1"))
+        .crossJoin(broadcast(win))
+        .select(col("user_id"),
+          expr("(t1 - t0) div 86400000000").as("dur"),
+          (col("t1") >= col("t_end") - lit(7L * 86400000000L)).as("censored"))
+      val byDur = users.groupBy(col("dur"))
+        .agg(count(lit(1)).as("n_ending"),
+          sum(when(col("censored"), 0L).otherwise(1L)).as("d"),
+          sum(when(col("censored"), 1L).otherwise(0L)).as("c"))
+      // n_at_risk(t) = users with dur >= t: total - cumulative endings before t
+      val tot = users.agg(count(lit(1)).as("nn"))
+      val w = Window.partitionBy(lit(1)).orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wc = Window.partitionBy(lit(1)).orderBy(col("dur"))
+      byDur.crossJoin(broadcast(tot))
+        .withColumn("n_risk", col("nn") - coalesce(sum(col("n_ending")).over(w), lit(0L)))
+        .withColumn("lnf", when(col("d") < col("n_risk"),
+          log(lit(1.0) - col("d").cast("double") / col("n_risk"))).otherwise(lit(0.0)))
+        .withColumn("dead", sum(when(col("d") >= col("n_risk"), 1L).otherwise(0L)).over(wc))
+        .select(col("dur").as("dur_days"), col("n_risk").as("n_at_risk"),
+          col("d").as("n_churned"), col("c").as("n_censored"),
+          round(when(col("dead") > 0, lit(0.0))
+            .otherwise(exp(sum(col("lnf")).over(wc))), 6).as("survival"))
+        .orderBy(col("dur_days"))
+    }),
+
+    // Two-proportion A/B test on a deterministic md5 user split:
+    // purchase-conversion rate per arm + the pooled z statistic — the
+    // product-analytics experiment readout. Exact integer counts
+    // until the three final ratios; the md5 split is the repo's
+    // reproducible-anywhere assignment (no RNG, re-runnable on any
+    // cluster).
+    "q_x_ab_test" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      // conversion = a high-value purchase, so rates sit strictly
+      // inside (0,1) and the z denominator is live; the degenerate
+      // all-or-nothing case still yields NULL z (guard below), never
+      // an ANSI divide-by-zero abort
+      val arms = ev.select(col("user_id"), col("event_type"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 80, 1L)
+          .otherwise(0L)).as("conv"))
+        .withColumn("arm",
+          when(conv(substring(md5(concat(lit("ab:"), col("user_id").cast("string"))), 1, 8),
+            16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+      val agg = arms.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
+      val a = agg.filter(col("arm") === "A")
+        .select(col("n").as("n_a"), col("x").as("x_a"))
+      val b = agg.filter(col("arm") === "B")
+        .select(col("n").as("n_b"), col("x").as("x_b"))
+      a.crossJoin(broadcast(b))
+        .withColumn("p_a", col("x_a").cast("double") / col("n_a"))
+        .withColumn("p_b", col("x_b").cast("double") / col("n_b"))
+        .withColumn("p", (col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b")))
+        .select(col("n_a"), col("n_b"), col("x_a"), col("x_b"),
+          round(col("p_a"), 6).as("rate_a"), round(col("p_b"), 6).as("rate_b"),
+          round(when(col("p") > 0 && col("p") < 1, (col("p_a") - col("p_b"))
+            / sqrt(col("p") * (lit(1.0) - col("p"))
+              * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))), 6).as("z"))
+    }),
+
+    // Zipf tail exponent of the term-frequency distribution
+    // (continuous MLE α = 1 + n/Σ ln(f/xmin) over f ≥ xmin — Clauset
+    // et al. 2009's estimator in its closed form): the one-number
+    // "is this corpus natural-language-shaped" check (natural text
+    // sits near α≈2; templated/synthetic corpora drift). Corpus work
+    // is one token count; the fit runs on the VOCABULARY-grain tail.
+    "q_x_zipf" -> ((s, d) => {
+      val xmin = 5.0
+      val tf = table(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("f"))
+        .filter(col("f") >= xmin)
+      tf.agg(count(lit(1)).as("n_tail_terms"),
+          sum(log(col("f") / lit(xmin))).as("lnsum"))
+        .select(col("n_tail_terms"),
+          round(lit(1.0) + col("n_tail_terms") / col("lnsum"), 6).as("alpha"))
+    }),
+
     // ---- statistical audits (model-eval / data-quality statistics) ----
 
     // One-vs-rest ROC-AUC per label over a deterministic score
@@ -4123,6 +4217,65 @@ object Extensions {
                            THEN cob.n_coblocked / CAST(cob.n_true AS DOUBLE) END, 6)
                   AS pair_completeness
          FROM cand CROSS JOIN nn CROSS JOIN cob""",
+
+    "q_x_survival" ->
+      """WITH win AS (SELECT max(epoch_us(ts)) AS t_end FROM events),
+         u AS (SELECT user_id, min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+               FROM events GROUP BY 1),
+         uu AS (SELECT user_id, (t1 - t0) // 86400000000 AS dur,
+                  (t1 >= t_end - 7 * 86400000000) AS censored
+                FROM u CROSS JOIN win),
+         bd AS (SELECT dur, count(*) AS n_ending,
+                  CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d,
+                  CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS c
+                FROM uu GROUP BY dur),
+         t AS (SELECT count(*) AS nn FROM uu),
+         r AS (SELECT bd.dur, bd.d, bd.c,
+                 t.nn - COALESCE(sum(bd.n_ending) OVER (ORDER BY bd.dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+               FROM bd CROSS JOIN t),
+         s AS (SELECT dur, n_risk, d, c,
+                 CASE WHEN d < n_risk THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                      ELSE 0.0 END AS lnf,
+                 CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS z
+               FROM r)
+         SELECT dur AS dur_days, CAST(n_risk AS BIGINT) AS n_at_risk,
+                d AS n_churned, c AS n_censored,
+                round(CASE WHEN sum(z) OVER wc > 0 THEN 0.0
+                           ELSE exp(sum(lnf) OVER wc) END, 6) AS survival
+         FROM s WINDOW wc AS (ORDER BY dur)
+         ORDER BY dur_days""",
+
+    "q_x_ab_test" ->
+      """WITH u AS (SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' AND value > 80
+                           THEN 1 ELSE 0 END) AS conv
+                FROM events GROUP BY 1),
+         arms AS (SELECT CASE WHEN CAST(('0x' || substr(md5('ab:' || user_id), 1, 8))
+                                AS BIGINT) % 2 = 0
+                              THEN 'A' ELSE 'B' END AS arm, conv
+                  FROM u),
+         ag AS (SELECT arm, count(*) AS n, CAST(sum(conv) AS BIGINT) AS x
+                FROM arms GROUP BY arm),
+         a AS (SELECT n AS n_a, x AS x_a FROM ag WHERE arm = 'A'),
+         b AS (SELECT n AS n_b, x AS x_b FROM ag WHERE arm = 'B'),
+         j AS (SELECT n_a, n_b, x_a, x_b,
+                 CAST(x_a AS DOUBLE) / n_a AS p_a,
+                 CAST(x_b AS DOUBLE) / n_b AS p_b,
+                 CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS p
+               FROM a CROSS JOIN b)
+         SELECT n_a, n_b, x_a, x_b,
+                round(p_a, 6) AS rate_a, round(p_b, 6) AS rate_b,
+                round(CASE WHEN p > 0 AND p < 1 THEN (p_a - p_b) / sqrt(p * (1 - p)
+                  * (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)) END, 6) AS z
+         FROM j""",
+
+    "q_x_zipf" ->
+      """WITH tf AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+         c AS (SELECT t, count(*) AS f FROM tf GROUP BY t HAVING count(*) >= 5)
+         SELECT count(*) AS n_tail_terms,
+                round(1.0 + count(*) / sum(ln(f / 5.0)), 6) AS alpha
+         FROM c""",
 
     "q_x_temporal_split" ->
       """WITH mm AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events),

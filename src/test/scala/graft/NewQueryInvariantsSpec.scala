@@ -484,6 +484,45 @@ class NewQueryInvariantsSpec extends SparkSuite {
     assert(v >= 0.0 && v <= 1.0 + 1e-9, s"Cramér's V $v outside [0,1]")
   }
 
+  test("survival curve is a proper KM estimate: monotone, risk-set-consistent, mass-conserving") {
+    import spark.implicits._
+    val rows = run("q_x_survival")
+      .select(col("dur_days"), col("n_at_risk"), col("n_churned"),
+        col("n_censored"), col("survival"))
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    val nUsers = Tables.events(spark, sfDir).select(col("user_id")).distinct().count()
+    assert(rows.map(r => r._3 + r._4).sum == nUsers, "every user ends exactly once")
+    assert(rows.head._2 == nUsers, "everyone is at risk at the first duration")
+    rows.foreach { case (_, risk, d, c, s) =>
+      assert(d + c <= risk); assert(s >= 0.0 && s <= 1.0) }
+    rows.sliding(2).filter(_.length == 2).foreach { p =>
+      assert(p(1)._5 <= p(0)._5 + 1e-9, "survival must be non-increasing")
+      assert(p(1)._2 == p(0)._2 - p(0)._3 - p(0)._4,
+        "risk set must shrink by exactly the endings") }
+  }
+
+  test("ab test arms partition the users and z matches the rate difference sign") {
+    import spark.implicits._
+    val r = run("q_x_ab_test")
+      .select(col("n_a"), col("n_b"), col("x_a"), col("x_b"),
+        col("rate_a"), col("rate_b"), col("z"))
+      .as[(Long, Long, Long, Long, Double, Double, Option[Double])].head()
+    val nUsers = Tables.events(spark, sfDir).select(col("user_id")).distinct().count()
+    assert(r._1 + r._2 == nUsers)
+    assert(r._3 <= r._1 && r._4 <= r._2)
+    assert(r._5 >= 0 && r._5 <= 1 && r._6 >= 0 && r._6 <= 1)
+    r._7.foreach(z => assert(z.sign == (r._5 - r._6).sign || math.abs(z) < 1e-9))
+  }
+
+  test("zipf tail exponent is finite and greater than 1") {
+    import spark.implicits._
+    val (n, alpha) = run("q_x_zipf")
+      .select(col("n_tail_terms"), col("alpha")).as[(Long, Double)].head()
+    assert(n > 0, "fixture vocabulary must have a tail at xmin=5")
+    assert(alpha > 1.0 && alpha < 100.0, s"implausible MLE alpha $alpha")
+  }
+
   test("media_features checksum equals sha2 of the source text (stub is faithful)") {
     val docs = Tables.table(spark, sfDir, "documents")
       .select(col("doc_id"), sha2(col("text"), 256).as("want"),
