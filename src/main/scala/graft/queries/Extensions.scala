@@ -2208,6 +2208,25 @@ object Extensions {
               * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))), 6).as("z"))
     }),
 
+    // Effective sample size of an importance-weighted corpus (Kish
+    // 1965: ESS = (Σw)²/Σw²) per source, weights = doc length — the
+    // mixture-design diagnostic that says how much a weighting scheme
+    // REALLY shrinks a source ("1M docs at skewed weights may be
+    // worth 80k"). Exact integer sums until one final division; one
+    // aggregate pass, source-grain output.
+    "q_x_ess" -> ((s, d) => {
+      table(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sw"),
+          sum(col("n_chars") * col("n_chars")).as("sw2"))
+        .select(col("source"), col("n_docs"),
+          round((col("sw") * col("sw")).cast("double") / col("sw2"), 6).as("ess"),
+          round((col("sw") * col("sw")).cast("double") / col("sw2")
+            / col("n_docs"), 6).as("ess_frac"))
+        .orderBy(col("source"))
+    }),
+
     // Zipf tail exponent of the term-frequency distribution
     // (continuous MLE α = 1 + n/Σ ln(f/xmin) over f ≥ xmin — Clauset
     // et al. 2009's estimator in its closed form): the one-number
@@ -4269,6 +4288,16 @@ object Extensions {
                 round(CASE WHEN p > 0 AND p < 1 THEN (p_a - p_b) / sqrt(p * (1 - p)
                   * (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)) END, 6) AS z
          FROM j""",
+
+    "q_x_ess" ->
+      """WITH a AS (SELECT source, count(*) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS sw,
+                  CAST(sum(n_chars * n_chars) AS BIGINT) AS sw2
+                FROM documents GROUP BY source)
+         SELECT source, n_docs,
+                round(CAST(sw * sw AS DOUBLE) / sw2, 6) AS ess,
+                round(CAST(sw * sw AS DOUBLE) / sw2 / n_docs, 6) AS ess_frac
+         FROM a ORDER BY source""",
 
     "q_x_zipf" ->
       """WITH tf AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),

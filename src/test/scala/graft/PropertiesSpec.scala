@@ -124,4 +124,56 @@ class PropertiesSpec extends SparkSuite {
       got == want
     })
   }
+
+  test("property: CMS never undercounts and is linear under any split") {
+    graft.functions.GraftFunctions.register(spark)
+    val depth = 3
+    val width = 32 // deliberately tiny: force collisions
+    def sketch(vs: Seq[String], parts: Int): Seq[Long] =
+      spark.createDataset(vs).repartition(parts).toDF("t")
+        .agg(call_function("graft_cms", col("t"), lit(depth), lit(width)).as("sk"))
+        .as[Seq[Long]].head()
+    val itemsGen = Gen.listOfN(50, Gen.choose(0, 20).map(i => s"w$i"))
+    check(Prop.forAll(itemsGen, itemsGen) { (xs, ys) =>
+      val whole = sketch(xs ++ ys, 5)
+      val linear = sketch(xs, 3).zip(sketch(ys, 2)).map { case (a, b) => a + b }
+      val exact = (xs ++ ys).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val noUndercount = exact.forall { case (t, c) =>
+        (0 until depth).map(i =>
+          whole(i * width + graft.functions.CountMin.bucket(t, i, width))).min >= c
+      }
+      whole == linear && noUndercount
+    })
+  }
+
+  test("property: LPA communities refine connected components on random graphs") {
+    val edgeGen = Gen.listOfN(12, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+      .map(_.filter(e => e._1 != e._2))
+    check(Prop.forAll(edgeGen) { es =>
+      val nodes = (0L to 9L).toDF("id")
+      val edges = if (es.isEmpty) Seq((0L, 1L)).toDF("a", "b") else es.toDF("a", "b")
+      val eset = if (es.isEmpty) Seq((0L, 1L)) else es
+      // local union-find reference for CC
+      val parent = scala.collection.mutable.Map((0L to 9L).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      eset.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val com = graft.operators.Lpa.communities(spark, nodes, edges, rounds = 4)
+        .as[(Long, Long)].collect().toMap
+      // every pair sharing an LPA community shares a component
+      (0L to 9L).combinations(2).forall { case Seq(a, b) =>
+        com(a) != com(b) || find(a) == find(b) }
+    })
+  }
+
+  test("property: PSI is zero on itself and non-negative against any histogram") {
+    def hist(counts: Seq[(Long, Long)]) =
+      counts.toDF("bucket", "c")
+    val hGen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 8L), Gen.choose(1L, 30L)))
+      .map(_.groupBy(_._1).map { case (b, xs) => (b, xs.map(_._2).sum) }.toSeq)
+    check(Prop.forAll(hGen, hGen) { (h1, h2) =>
+      val (self, _) = graft.operators.Drift.psi(hist(h1), hist(h1))
+      val (cross, _) = graft.operators.Drift.psi(hist(h1), hist(h2))
+      math.abs(self) < 1e-12 && cross >= -1e-12
+    })
+  }
 }
