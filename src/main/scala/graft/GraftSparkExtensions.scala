@@ -88,6 +88,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_cms_query", classOf[CmsQuery].getName),
       (exprs: Seq[Expression]) => CmsQuery.build(exprs)))
 
+    ext.injectFunction((FunctionIdentifier("graft_explode_ngrams"),
+      info("graft_explode_ngrams", classOf[WordNgramGenerator].getName),
+      (exprs: Seq[Expression]) => WordNgramGenerator.build(exprs)))
+
     ext.injectOptimizerRule(_ => IntersectCountRewrite)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
   }

@@ -173,6 +173,11 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         "graft_cms_query", exprs => CmsQuery.build(exprs), "built-in")
     }
+    val engId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_explode_ngrams")
+    if (!registry.functionExists(engId)) {
+      registry.createOrReplaceTempFunction(
+        "graft_explode_ngrams", exprs => WordNgramGenerator.build(exprs), "built-in")
+    }
     graft.plans.IntersectCountRewrite.install(spark)
   }
 }

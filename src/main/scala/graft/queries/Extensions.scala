@@ -1990,6 +1990,19 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // The same n-gram stream as q_x_ngrams, produced by the custom
+    // Catalyst GENERATOR (graft_explode_ngrams — the §2.9 UDTF
+    // surface): grams stream one row at a time from inside
+    // GenerateExec instead of materializing the whole per-doc array
+    // before the unnest — peak per-row memory is one gram, the shape
+    // that survives the long-document tail at 100 TB. Row-for-row
+    // interchangeable with the array form (spec-asserted), same
+    // oracle.
+    "q_x_ngrams_gen" -> ((s, d) =>
+      table(s, d, "documents").filter(col("doc_id") % 50 === 0)
+        .selectExpr("doc_id", "graft_explode_ngrams(text, 3)")
+        .orderBy(col("doc_id"), col("pos"))),
+
     // Count–Min frequency sketch probe: ONE fixed-size mergeable
     // aggregate over the corpus token stream (graft_cms: depth×width
     // counters, linear merge), then distributed point estimates via
@@ -3072,6 +3085,14 @@ object Extensions {
          FROM r ORDER BY doc_id""",
 
     "q_x_ngrams" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents WHERE doc_id % 50 = 0),
+         u AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM w)
+         SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                array_to_string(ws[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS gram
+         FROM u ORDER BY doc_id, pos""",
+
+    "q_x_ngrams_gen" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
                     FROM documents WHERE doc_id % 50 = 0),
          u AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM w)
