@@ -2003,6 +2003,48 @@ object Extensions {
         .selectExpr("doc_id", "graft_explode_ngrams(text, 3)")
         .orderBy(col("doc_id"), col("pos"))),
 
+    // Bloom-filter membership audit (built-in bloom_filter_agg /
+    // might_contain — the runtime-filter primitive BloomPrune wields
+    // inside joins, surfaced first-class): build the filter over the
+    // member snapshot's content hashes, probe EVERY doc, report
+    // maybe-rates per true-membership stratum. Bloom bits are an OR
+    // of per-item bits — order/partitioning independent, so counts
+    // are deterministic. No-oracle (Spark's bloom hashing isn't
+    // SQL-reproducible); the spec pins the two contracts that matter:
+    // zero false negatives, bounded false-positive rate.
+    "q_x_bloom" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      val memberH = docs.filter(col("doc_id") % 3 =!= 0).select(col("h")).distinct()
+      // distributed treeAggregate build (the BloomPrune mechanism);
+      // the finished filter is KB-sized — driver/broadcast cost
+      // bounded by bits, not corpus (the Pca-covariance justification).
+      // Zero-row build yields a null-bit filter that NPEs on probe
+      // (the BloomPrune guard) — an empty member set means "nothing
+      // is maybe".
+      val bloomOpt =
+        try {
+          val b = memberH.stat.bloomFilter("h", 1000L, 0.03)
+          b.mightContainString("")
+          Some(b)
+        } catch { case _: NullPointerException => None }
+      val maybe = bloomOpt match {
+        case Some(bloom) =>
+          val bc = s.sparkContext.broadcast(bloom)
+          udf((h: String) => h != null && bc.value.mightContainString(h))
+        case None => udf((_: String) => false)
+      }
+      docs
+        .join(memberH.withColumn("m", lit(1)), Seq("h"), "left")
+        .select(col("m").isNotNull.as("is_member"), maybe(col("h")).as("maybe"))
+        .groupBy(col("is_member"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"))
+        .select(col("is_member"), col("n"), col("n_maybe"),
+          round(col("n_maybe").cast("double") / col("n"), 6).as("maybe_rate"))
+        .orderBy(col("is_member"))
+    }),
+
     // Count–Min frequency sketch probe: ONE fixed-size mergeable
     // aggregate over the corpus token stream (graft_cms: depth×width
     // counters, linear merge), then distributed point estimates via
@@ -2158,31 +2200,41 @@ object Extensions {
       import org.apache.spark.sql.expressions.Window
       val ev = table(s, d, "events")
       val win = ev.agg(max(unix_micros(col("ts"))).as("t_end"))
+      // cohort = the user's FIRST event type (acquisition channel) —
+      // an analytics-real segmentation AND the windows' partition key
+      // (a literal key would constant-fold into an unpartitioned
+      // window; PlanShapeSpec caught exactly that)
+      val firstType = ev
+        .withColumn("rk", row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type").as("cohort"))
       val users = ev.groupBy(col("user_id"))
         .agg(min(unix_micros(col("ts"))).as("t0"), max(unix_micros(col("ts"))).as("t1"))
+        .join(firstType, "user_id")
         .crossJoin(broadcast(win))
-        .select(col("user_id"),
+        .select(col("user_id"), col("cohort"),
           expr("(t1 - t0) div 86400000000").as("dur"),
           (col("t1") >= col("t_end") - lit(7L * 86400000000L)).as("censored"))
-      val byDur = users.groupBy(col("dur"))
+      val byDur = users.groupBy(col("cohort"), col("dur"))
         .agg(count(lit(1)).as("n_ending"),
           sum(when(col("censored"), 0L).otherwise(1L)).as("d"),
           sum(when(col("censored"), 1L).otherwise(0L)).as("c"))
-      // n_at_risk(t) = users with dur >= t: total - cumulative endings before t
-      val tot = users.agg(count(lit(1)).as("nn"))
-      val w = Window.partitionBy(lit(1)).orderBy(col("dur"))
+      // n_at_risk(t) = cohort users with dur >= t
+      val tot = users.groupBy(col("cohort")).agg(count(lit(1)).as("nn"))
+      val w = Window.partitionBy(col("cohort")).orderBy(col("dur"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val wc = Window.partitionBy(lit(1)).orderBy(col("dur"))
-      byDur.crossJoin(broadcast(tot))
+      val wc = Window.partitionBy(col("cohort")).orderBy(col("dur"))
+      byDur.join(broadcast(tot), "cohort")
         .withColumn("n_risk", col("nn") - coalesce(sum(col("n_ending")).over(w), lit(0L)))
         .withColumn("lnf", when(col("d") < col("n_risk"),
           log(lit(1.0) - col("d").cast("double") / col("n_risk"))).otherwise(lit(0.0)))
         .withColumn("dead", sum(when(col("d") >= col("n_risk"), 1L).otherwise(0L)).over(wc))
-        .select(col("dur").as("dur_days"), col("n_risk").as("n_at_risk"),
+        .select(col("cohort"), col("dur").as("dur_days"), col("n_risk").as("n_at_risk"),
           col("d").as("n_churned"), col("c").as("n_censored"),
           round(when(col("dead") > 0, lit(0.0))
             .otherwise(exp(sum(col("lnf")).over(wc))), 6).as("survival"))
-        .orderBy(col("dur_days"))
+        .orderBy(col("cohort"), col("dur_days"))
     }),
 
     // Two-proportion A/B test on a deterministic md5 user split:
@@ -4260,31 +4312,37 @@ object Extensions {
 
     "q_x_survival" ->
       """WITH win AS (SELECT max(epoch_us(ts)) AS t_end FROM events),
+         ft AS (SELECT user_id, event_type AS cohort FROM (
+                  SELECT user_id, event_type,
+                    row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS rk
+                  FROM events) WHERE rk = 1),
          u AS (SELECT user_id, min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
                FROM events GROUP BY 1),
-         uu AS (SELECT user_id, (t1 - t0) // 86400000000 AS dur,
+         uu AS (SELECT u.user_id, ft.cohort, (t1 - t0) // 86400000000 AS dur,
                   (t1 >= t_end - 7 * 86400000000) AS censored
-                FROM u CROSS JOIN win),
-         bd AS (SELECT dur, count(*) AS n_ending,
+                FROM u JOIN ft USING (user_id) CROSS JOIN win),
+         bd AS (SELECT cohort, dur, count(*) AS n_ending,
                   CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d,
                   CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS c
-                FROM uu GROUP BY dur),
-         t AS (SELECT count(*) AS nn FROM uu),
-         r AS (SELECT bd.dur, bd.d, bd.c,
-                 t.nn - COALESCE(sum(bd.n_ending) OVER (ORDER BY bd.dur
+                FROM uu GROUP BY 1, 2),
+         t AS (SELECT cohort, count(*) AS nn FROM uu GROUP BY cohort),
+         r AS (SELECT bd.cohort, bd.dur, bd.d, bd.c,
+                 t.nn - COALESCE(sum(bd.n_ending) OVER (PARTITION BY bd.cohort
+                   ORDER BY bd.dur
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
-               FROM bd CROSS JOIN t),
-         s AS (SELECT dur, n_risk, d, c,
+               FROM bd JOIN t USING (cohort)),
+         s AS (SELECT cohort, dur, n_risk, d, c,
                  CASE WHEN d < n_risk THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
                       ELSE 0.0 END AS lnf,
                  CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS z
                FROM r)
-         SELECT dur AS dur_days, CAST(n_risk AS BIGINT) AS n_at_risk,
+         SELECT cohort, dur AS dur_days, CAST(n_risk AS BIGINT) AS n_at_risk,
                 d AS n_churned, c AS n_censored,
                 round(CASE WHEN sum(z) OVER wc > 0 THEN 0.0
                            ELSE exp(sum(lnf) OVER wc) END, 6) AS survival
-         FROM s WINDOW wc AS (ORDER BY dur)
-         ORDER BY dur_days""",
+         FROM s WINDOW wc AS (PARTITION BY cohort ORDER BY dur)
+         ORDER BY cohort, dur_days""",
 
     "q_x_ab_test" ->
       """WITH u AS (SELECT user_id,

@@ -486,20 +486,24 @@ class NewQueryInvariantsSpec extends SparkSuite {
 
   test("survival curve is a proper KM estimate: monotone, risk-set-consistent, mass-conserving") {
     import spark.implicits._
-    val rows = run("q_x_survival")
-      .select(col("dur_days"), col("n_at_risk"), col("n_churned"),
+    val all = run("q_x_survival")
+      .select(col("cohort"), col("dur_days"), col("n_at_risk"), col("n_churned"),
         col("n_censored"), col("survival"))
-      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
-    assert(rows.nonEmpty)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(all.nonEmpty)
     val nUsers = Tables.events(spark, sfDir).select(col("user_id")).distinct().count()
-    assert(rows.map(r => r._3 + r._4).sum == nUsers, "every user ends exactly once")
-    assert(rows.head._2 == nUsers, "everyone is at risk at the first duration")
-    rows.foreach { case (_, risk, d, c, s) =>
-      assert(d + c <= risk); assert(s >= 0.0 && s <= 1.0) }
-    rows.sliding(2).filter(_.length == 2).foreach { p =>
-      assert(p(1)._5 <= p(0)._5 + 1e-9, "survival must be non-increasing")
-      assert(p(1)._2 == p(0)._2 - p(0)._3 - p(0)._4,
-        "risk set must shrink by exactly the endings") }
+    assert(all.map(r => r._4 + r._5).sum == nUsers, "every user ends exactly once")
+    all.groupBy(_._1).foreach { case (cohort, rs) =>
+      val rows = rs.sortBy(_._2)
+      assert(rows.head._3 == rows.map(r => r._4 + r._5).sum,
+        s"$cohort: whole cohort at risk at the first duration")
+      rows.foreach { case (_, _, risk, d, c, s) =>
+        assert(d + c <= risk); assert(s >= 0.0 && s <= 1.0) }
+      rows.sliding(2).filter(_.length == 2).foreach { p =>
+        assert(p(1)._6 <= p(0)._6 + 1e-9, s"$cohort: survival must be non-increasing")
+        assert(p(1)._3 == p(0)._3 - p(0)._4 - p(0)._5,
+          s"$cohort: risk set must shrink by exactly the endings") }
+    }
   }
 
   test("ab test arms partition the users and z matches the rate difference sign") {
@@ -521,6 +525,19 @@ class NewQueryInvariantsSpec extends SparkSuite {
       .select(col("n_tail_terms"), col("alpha")).as[(Long, Double)].head()
     assert(n > 0, "fixture vocabulary must have a tail at xmin=5")
     assert(alpha > 1.0 && alpha < 100.0, s"implausible MLE alpha $alpha")
+  }
+
+  test("bloom membership: zero false negatives, bounded false-positive rate") {
+    import spark.implicits._
+    val rows = run("q_x_bloom")
+      .select(col("is_member"), col("n"), col("n_maybe"))
+      .as[(Boolean, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val (nm, mm) = rows(true)
+    assert(mm == nm, s"false negatives: only $mm/$nm members flagged maybe")
+    rows.get(false).foreach { case (n, maybe) =>
+      // 8000 bits / ~members items → FPR well under 10%
+      assert(maybe.toDouble / n < 0.10, s"implausible FPR ${maybe.toDouble / n}")
+    }
   }
 
   test("media_features checksum equals sha2 of the source text (stub is faithful)") {
