@@ -92,6 +92,18 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_explode_ngrams", classOf[WordNgramGenerator].getName),
       (exprs: Seq[Expression]) => WordNgramGenerator.build(exprs)))
 
+    ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg",
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2), 0, 0)))
+
+    ext.injectFunction((FunctionIdentifier("graft_might_contain"),
+      info("graft_might_contain",
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1))))
+
     ext.injectOptimizerRule(_ => IntersectCountRewrite)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
   }

@@ -178,6 +178,23 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         "graft_explode_ngrams", exprs => WordNgramGenerator.build(exprs), "built-in")
     }
+    // Spark's internal runtime-filter bloom expressions, surfaced by
+    // name: a LAZY aggregate build (no construction-time job, unlike
+    // df.stat.bloomFilter's treeAggregate) + the paired probe.
+    val bfaId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_agg")
+    if (!registry.functionExists(bfaId)) {
+      registry.createOrReplaceTempFunction(
+        "graft_bloom_agg",
+        exprs => org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2), 0, 0), "built-in")
+    }
+    val bfmId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_might_contain")
+    if (!registry.functionExists(bfmId)) {
+      registry.createOrReplaceTempFunction(
+        "graft_might_contain",
+        exprs => org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+    }
     graft.plans.IntersectCountRewrite.install(spark)
   }
 }

@@ -29,10 +29,16 @@ object CountMin {
 
 final class CmsState(val counts: Array[Long])
 
-/** `graft_cms(item, depth, width)` → flat `array<long>` of depth×width
-  * counters — the mergeable frequency sketch for "how often does X
-  * occur" over streams/corpora whose DISTINCT cardinality itself can't
-  * shuffle (the point-query cousin of graft_freq_items' top-k).
+/** `graft_cms(item, depth, width)` → `array<long>` of
+  * [depth, width] ++ depth×width counters — the mergeable frequency
+  * sketch for "how often does X occur" over streams/corpora whose
+  * DISTINCT cardinality itself can't shuffle (the point-query cousin
+  * of graft_freq_items' top-k). The 2-slot geometry HEADER makes a
+  * sketch self-describing: a probe declaring a product-compatible but
+  * WRONG (depth, width) — e.g. (2, 4096) against a (4, 2048) build —
+  * would otherwise read unrelated counters and could silently
+  * UNDER-count, breaking the one contract CMS exists to keep
+  * (review finding; CmsSpec pins the mismatch → NULL behavior).
   *
   * Scale contract: the buffer is depth·width longs regardless of input
   * size; partial aggregation ships one fixed-size summary per
@@ -87,9 +93,11 @@ case class CmsSketch(
   }
 
   override def eval(buf: CmsState): Any = {
-    val out = new Array[Any](buf.counts.length)
+    val out = new Array[Any](2 + buf.counts.length)
+    out(0) = depth.toLong
+    out(1) = width.toLong
     var i = 0
-    while (i < out.length) { out(i) = buf.counts(i); i += 1 }
+    while (i < buf.counts.length) { out(2 + i) = buf.counts(i); i += 1 }
     new GenericArrayData(out)
   }
 
@@ -142,7 +150,8 @@ object CmsSketch {
   */
 case class CmsQuery(sketch: Expression, item: Expression, depth: Int, width: Int)
   extends Expression with CodegenFallback {
-  require(depth > 0 && width > 0, "graft_cms_query: bad geometry")
+  require(depth > 0 && depth <= CountMin.maxDepth && width > 0,
+    s"graft_cms_query: depth must be in [1, ${CountMin.maxDepth}], width positive")
 
   override def children: Seq[Expression] = Seq(sketch, item)
   override def checkInputDataTypes(): TypeCheckResult =
@@ -160,13 +169,18 @@ case class CmsQuery(sketch: Expression, item: Expression, depth: Int, width: Int
     if (sk == null || it == null) null
     else {
       val arr = sk.asInstanceOf[ArrayData]
-      if (arr.numElements() != depth * width) null // geometry mismatch: degrade, don't abort
+      // self-describing header: declared geometry must MATCH the
+      // build geometry exactly (a product-compatible mismatch would
+      // probe wrong buckets and could undercount) — degrade to NULL,
+      // never abort, never lie
+      if (arr.numElements() != 2 + depth * width ||
+        arr.getLong(0) != depth.toLong || arr.getLong(1) != width.toLong) null
       else {
         val s = it.asInstanceOf[UTF8String].toString
         var best = Long.MaxValue
         var i = 0
         while (i < depth) {
-          val c = arr.getLong(i * width + CountMin.bucket(s, i, width))
+          val c = arr.getLong(2 + i * width + CountMin.bucket(s, i, width))
           if (c < best) best = c
           i += 1
         }

@@ -4,9 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Population-stability-index drift between a current sample and a
-  * reference distribution — the q_x_psi formula factored out so the
-  * STREAMING monitor ([[graft.streaming.StreamingJobs.driftSink]]) and
-  * the batch query share one definition.
+  * reference distribution — the same union-bucket +0.5-Laplace
+  * convention as q_x_psi (which keeps its own per-source grouped
+  * form; this is the global scalar the STREAMING monitor
+  * ([[graft.streaming.StreamingJobs.driftSink]]) evaluates per
+  * micro-batch — StreamingSketchDriftSpec pins the two to the same
+  * behavior on identical inputs).
   *
   * Scale shape: each side collapses to a bucket histogram in one
   * aggregate before anything joins — the comparison itself is
@@ -33,19 +36,29 @@ object Drift {
     val co = refHist.select(col("bucket"), col("c").as("c_old"))
     val cn = curHist.select(col("bucket"), col("c").as("c_new"))
     val uni = co.select(col("bucket")).union(cn.select(col("bucket"))).distinct()
+    // persist the joined grain ONCE: both the totals pass and the
+    // per-bucket pass read it, and on the streaming hot path an
+    // unpersisted lineage would recompute BOTH input histograms twice
+    // per micro-batch (review finding)
     val joined = uni
       .join(co, Seq("bucket"), "left")
       .join(cn, Seq("bucket"), "left")
       .na.fill(0L, Seq("c_old", "c_new"))
-    val row = joined
-      .agg(sum(col("c_old")).as("n_old"), sum(col("c_new")).as("n_new"),
-        count(lit(1)).as("nb"))
-      .crossJoin(joined.select(col("bucket"), col("c_old"), col("c_new")))
-      .withColumn("p", (col("c_old") + 0.5) / (col("n_old") + col("nb") * 0.5))
-      .withColumn("q", (col("c_new") + 0.5) / (col("n_new") + col("nb") * 0.5))
-      .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"),
-        max(col("n_new")).as("n_cur"))
-      .head()
-    (row.getDouble(0), row.getLong(1))
+      .persist()
+    try {
+      val row = joined
+        .agg(sum(col("c_old")).as("n_old"), sum(col("c_new")).as("n_new"),
+          count(lit(1)).as("nb"))
+        .crossJoin(joined.select(col("bucket"), col("c_old"), col("c_new")))
+        .withColumn("p", (col("c_old") + 0.5) / (col("n_old") + col("nb") * 0.5))
+        .withColumn("q", (col("c_new") + 0.5) / (col("n_new") + col("nb") * 0.5))
+        .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"),
+          max(col("n_new")).as("n_cur"))
+        .head()
+      // both histograms empty (e.g. all-NULL value columns): no
+      // buckets anywhere → zero drift by definition, never a throw
+      if (row.isNullAt(0)) (0.0, 0L)
+      else (row.getDouble(0), row.getLong(1))
+    } finally { joined.unpersist(); () }
   }
 }

@@ -2003,46 +2003,41 @@ object Extensions {
         .selectExpr("doc_id", "graft_explode_ngrams(text, 3)")
         .orderBy(col("doc_id"), col("pos"))),
 
-    // Bloom-filter membership audit (built-in bloom_filter_agg /
-    // might_contain — the runtime-filter primitive BloomPrune wields
-    // inside joins, surfaced first-class): build the filter over the
-    // member snapshot's content hashes, probe EVERY doc, report
-    // maybe-rates per true-membership stratum. Bloom bits are an OR
-    // of per-item bits — order/partitioning independent, so counts
-    // are deterministic. No-oracle (Spark's bloom hashing isn't
-    // SQL-reproducible); the spec pins the two contracts that matter:
-    // zero false negatives, bounded false-positive rate.
+    // Bloom-filter membership audit (Spark's runtime-filter bloom
+    // expressions — the primitive BloomPrune wields inside joins —
+    // surfaced by name as graft_bloom_agg / graft_might_contain):
+    // build the filter over the member snapshot's content hashes as a
+    // LAZY aggregate in the plan (df.stat.bloomFilter would run a
+    // treeAggregate at CONSTRUCTION time — the one eager builder on
+    // the board, review finding), broadcast the one-row result, probe
+    // EVERY doc, report maybe-rates per true-membership stratum.
+    // Bloom bits are an OR of per-item bits — order/partitioning
+    // independent, so counts are deterministic; an empty member set
+    // yields a NULL filter → might_contain NULL → false. No-oracle
+    // (Spark's bloom hashing isn't SQL-reproducible); the spec pins
+    // the two contracts that matter: zero false negatives, bounded
+    // false-positive rate.
     "q_x_bloom" -> ((s, d) => {
-      val docs = table(s, d, "documents")
+      // might_contain requires the filter side to be a constant or a
+      // SCALAR SUBQUERY (its analysis rule — so the bloom is built
+      // once, not per row); SQL is the natural surface for that shape
+      table(s, d, "documents")
         .select(col("doc_id"), sha2(col("text"), 256).as("h"))
-      val memberH = docs.filter(col("doc_id") % 3 =!= 0).select(col("h")).distinct()
-      // distributed treeAggregate build (the BloomPrune mechanism);
-      // the finished filter is KB-sized — driver/broadcast cost
-      // bounded by bits, not corpus (the Pca-covariance justification).
-      // Zero-row build yields a null-bit filter that NPEs on probe
-      // (the BloomPrune guard) — an empty member set means "nothing
-      // is maybe".
-      val bloomOpt =
-        try {
-          val b = memberH.stat.bloomFilter("h", 1000L, 0.03)
-          b.mightContainString("")
-          Some(b)
-        } catch { case _: NullPointerException => None }
-      val maybe = bloomOpt match {
-        case Some(bloom) =>
-          val bc = s.sparkContext.broadcast(bloom)
-          udf((h: String) => h != null && bc.value.mightContainString(h))
-        case None => udf((_: String) => false)
-      }
-      docs
-        .join(memberH.withColumn("m", lit(1)), Seq("h"), "left")
-        .select(col("m").isNotNull.as("is_member"), maybe(col("h")).as("maybe"))
-        .groupBy(col("is_member"))
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"))
-        .select(col("is_member"), col("n"), col("n_maybe"),
-          round(col("n_maybe").cast("double") / col("n"), 6).as("maybe_rate"))
-        .orderBy(col("is_member"))
+        .createOrReplaceTempView("g_bloom_docs")
+      s.sql("""
+        WITH member AS (SELECT DISTINCT h FROM g_bloom_docs WHERE doc_id % 3 != 0),
+        probes AS (SELECT d.h, m.h IS NOT NULL AS is_member
+                   FROM g_bloom_docs d LEFT JOIN member m ON d.h = m.h),
+        flags AS (SELECT is_member,
+                    COALESCE(graft_might_contain(
+                      (SELECT graft_bloom_agg(xxhash64(h), 1000L, 8192L) FROM member),
+                      xxhash64(h)), false) AS maybe
+                  FROM probes)
+        SELECT is_member, count(*) AS n,
+               sum(CASE WHEN maybe THEN 1L ELSE 0L END) AS n_maybe,
+               round(sum(CASE WHEN maybe THEN 1L ELSE 0L END)
+                     / CAST(count(*) AS DOUBLE), 6) AS maybe_rate
+        FROM flags GROUP BY is_member ORDER BY is_member""")
     }),
 
     // Count–Min frequency sketch probe: ONE fixed-size mergeable
@@ -2703,6 +2698,10 @@ object Extensions {
     "q_x_waveform" -> ((s, d) => {
       val media = Multimodal.attachBinary(table(s, d, "documents"))
       Multimodal.waveformStats(s, media).toDF()
+        // zero-length payloads have no samples: the oracle's unnest
+        // generates no rows for them, so drop them here too (the
+        // operator itself stays total — waveformStats emits n=0)
+        .filter(col("n_samples") > 0)
         .select(col("doc_id"), col("n_samples"),
           round(col("rms"), 6).as("rms"), col("zero_crossings"),
           round(col("clip_frac"), 6).as("clip_frac"))

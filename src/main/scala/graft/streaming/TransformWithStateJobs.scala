@@ -345,6 +345,8 @@ object TransformWithStateJobs {
     */
   class CmsProcessor(depth: Int, width: Int)
     extends StatefulProcessor[String, CmsIn, CmsSnapshot] {
+    require(depth > 0 && depth <= graft.functions.CountMin.maxDepth && width > 0,
+      s"CmsProcessor: depth must be in [1, ${graft.functions.CountMin.maxDepth}], width positive")
     @transient private var sketch: org.apache.spark.sql.streaming.ValueState[Array[Long]] = _
     @transient private var total: org.apache.spark.sql.streaming.ValueState[Long] = _
 
@@ -361,18 +363,25 @@ object TransformWithStateJobs {
       val sk = Option(sketch.get()).getOrElse(new Array[Long](depth * width))
       var n = Option(total.get()).getOrElse(0L)
       rows.foreach { r =>
+        // n counts every ROW processed for the key (the same meaning
+        // as the batch side's count(*)); null items still advance it,
+        // they just can't be hashed into the sketch
+        n += 1
         if (r.item != null) {
           var i = 0
           while (i < depth) {
             sk(i * width + graft.functions.CountMin.bucket(r.item, i, width)) += 1L
             i += 1
           }
-          n += 1
         }
       }
       sketch.update(sk)
       total.update(n)
-      Iterator.single(CmsSnapshot(key, n, sk.toSeq))
+      // emit with the same [depth, width] geometry header as the batch
+      // graft_cms aggregate, so snapshots and batch sketches compare
+      // and probe identically
+      Iterator.single(CmsSnapshot(key, n,
+        Seq(depth.toLong, width.toLong) ++ sk.toSeq))
     }
   }
 

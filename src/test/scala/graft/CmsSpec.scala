@@ -16,10 +16,15 @@ class CmsSpec extends SparkSuite {
   private def tokens = Tables.table(spark, sfDir, "documents")
     .select(explode(split(col("text"), " ")).as("t"))
 
+  /** Raw counters (geometry header stripped and validated). */
   private def sketchOf(df: org.apache.spark.sql.DataFrame): Array[Long] = {
     graft.functions.GraftFunctions.register(spark)
-    df.agg(call_function("graft_cms", col("t"), lit(depth), lit(width)).as("sk"))
+    val full = df.agg(call_function("graft_cms", col("t"), lit(depth), lit(width)).as("sk"))
       .as[Seq[Long]].head().toArray
+    assert(full.length == 2 + depth * width)
+    assert(full(0) == depth.toLong && full(1) == width.toLong,
+      "sketch header must carry the build geometry")
+    full.drop(2)
   }
 
   private def estimate(sk: Array[Long], item: String): Long =
@@ -73,5 +78,13 @@ class CmsSpec extends SparkSuite {
       .select(call_function("graft_cms_query", col("sk"), col("token"), lit(2), lit(99)).as("est"))
       .select(col("est").isNull).as[Boolean].head()
     assert(bad, "geometry mismatch must yield NULL")
+    // the insidious case: PRODUCT-compatible wrong geometry (2×4096 ==
+    // 4×2048 elements) would silently probe wrong buckets and could
+    // undercount — the self-describing header must reject it too
+    val prodBad = Seq("data").toDF("token").crossJoin(broadcast(sk))
+      .select(call_function("graft_cms_query", col("sk"), col("token"),
+        lit(2), lit(depth * width / 2)).as("est"))
+      .select(col("est").isNull).as[Boolean].head()
+    assert(prodBad, "product-compatible geometry mismatch must yield NULL, not wrong buckets")
   }
 }

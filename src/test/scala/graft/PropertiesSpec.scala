@@ -129,10 +129,13 @@ class PropertiesSpec extends SparkSuite {
     graft.functions.GraftFunctions.register(spark)
     val depth = 3
     val width = 32 // deliberately tiny: force collisions
-    def sketch(vs: Seq[String], parts: Int): Seq[Long] =
-      spark.createDataset(vs).repartition(parts).toDF("t")
+    def sketch(vs: Seq[String], parts: Int): Seq[Long] = {
+      val full = spark.createDataset(vs).repartition(parts).toDF("t")
         .agg(call_function("graft_cms", col("t"), lit(depth), lit(width)).as("sk"))
         .as[Seq[Long]].head()
+      assert(full.take(2) == Seq(depth.toLong, width.toLong))
+      full.drop(2) // raw counters: linearity is a property of the counter block
+    }
     val itemsGen = Gen.listOfN(50, Gen.choose(0, 20).map(i => s"w$i"))
     check(Prop.forAll(itemsGen, itemsGen) { (xs, ys) =>
       val whole = sketch(xs ++ ys, 5)
