@@ -2305,6 +2305,50 @@ object Extensions {
           round(lit(1.0) + col("n_tail_terms") / col("lnsum"), 6).as("alpha"))
     }),
 
+    // Value-concentration audit per event_type (the 80/20 question):
+    // what share of total value comes from users above the exact P80
+    // of per-user value — whale-dependence for revenue, hub-dependence
+    // for a corpus. NO global ranking window: the threshold is one
+    // exact percentile over the user-grain table, broadcast back —
+    // the only concentration formulation that scales.
+    "q_x_concentration" -> ((s, d) => {
+      val perUser = table(s, d, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(round(sum(col("value")), 6).as("v"))
+      val p80 = perUser.groupBy(col("event_type"))
+        .agg(expr("percentile(v, 0.8)").as("p80"))
+      perUser.join(broadcast(p80), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("v") > col("p80"), 1L).otherwise(0L)).as("n_top"),
+          round(sum(col("v")), 6).as("total_v"),
+          round(sum(when(col("v") > col("p80"), col("v")).otherwise(lit(0.0))), 6)
+            .as("top_v"))
+        .select(col("event_type"), col("n_users"), col("n_top"),
+          round(col("top_v") / col("total_v"), 6).as("top_share"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Inter-event gap statistics per user, aggregated per event_type:
+    // median and P90 of the seconds between a user's consecutive
+    // events — the cadence/burstiness audit behind session-timeout
+    // and rate-limit tuning. One per-user partitioned lag window →
+    // gap rows; exact percentiles on the gap grain.
+    "q_x_gaps" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gaps = table(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("gap_s", (unix_micros(col("ts")) - col("prev")).cast("double") / 1e6)
+      gaps.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          round(expr("percentile(gap_s, 0.5)"), 6).as("median_gap_s"),
+          round(expr("percentile(gap_s, 0.9)"), 6).as("p90_gap_s"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- statistical audits (model-eval / data-quality statistics) ----
 
     // One-vs-rest ROC-AUC per label over a deterministic score
@@ -4308,6 +4352,30 @@ object Extensions {
                            THEN cob.n_coblocked / CAST(cob.n_true AS DOUBLE) END, 6)
                   AS pair_completeness
          FROM cand CROSS JOIN nn CROSS JOIN cob""",
+
+    "q_x_concentration" ->
+      """WITH pu AS (SELECT event_type, user_id, round(sum(value), 6) AS v
+                FROM events GROUP BY 1, 2),
+         p AS (SELECT event_type, quantile_cont(v, 0.8) AS p80
+               FROM pu GROUP BY event_type),
+         j AS (SELECT pu.event_type, pu.v, p.p80 FROM pu JOIN p USING (event_type))
+         SELECT event_type, count(*) AS n_users,
+                CAST(sum(CASE WHEN v > p80 THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+                round(round(sum(CASE WHEN v > p80 THEN v ELSE 0.0 END), 6)
+                      / round(sum(v), 6), 6) AS top_share
+         FROM j GROUP BY event_type ORDER BY event_type""",
+
+    "q_x_gaps" ->
+      """WITH g AS (SELECT event_type,
+                  (epoch_us(ts) - lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id))
+                    / CAST(1000000 AS DOUBLE) AS gap_s
+                FROM events)
+         SELECT event_type, count(*) AS n_gaps,
+                round(quantile_cont(gap_s, 0.5), 6) AS median_gap_s,
+                round(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s
+         FROM g WHERE gap_s IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
 
     "q_x_survival" ->
       """WITH win AS (SELECT max(epoch_us(ts)) AS t_end FROM events),

@@ -540,6 +540,40 @@ class NewQueryInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("concentration: top stratum is ~20% of users and its share dominates its headcount") {
+    import spark.implicits._
+    val rows = run("q_x_concentration")
+      .select(col("event_type"), col("n_users"), col("n_top"), col("top_share"))
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, n, top, share) =>
+      assert(top <= n && top >= 0)
+      // exact-percentile threshold: strictly-above-P80 is at most 20%
+      assert(5 * top <= n + 4, s"$t: $top of $n above the P80")
+      assert(share >= 0.0 && share <= 1.0)
+      // the top stratum must carry at least its headcount share of value
+      if (top > 0) assert(share >= top.toDouble / n - 1e-6,
+        s"$t: top users carry less value than uniform — not a valid P80 split")
+    }
+  }
+
+  test("gaps: non-negative, median <= p90, and count matches n_events - n_users per type... globally") {
+    import spark.implicits._
+    val rows = run("q_x_gaps")
+      .select(col("event_type"), col("n_gaps"), col("median_gap_s"), col("p90_gap_s"))
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, n, med, p90) =>
+      assert(n > 0)
+      assert(med >= 0.0 && p90 >= med, s"$t: median $med above p90 $p90")
+    }
+    // every event except each user's first produces exactly one gap
+    val ev = Tables.events(spark, sfDir)
+    val want = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_._2).sum == want,
+      s"gap rows ${rows.map(_._2).sum} != events - users $want")
+  }
+
   test("media_features checksum equals sha2 of the source text (stub is faithful)") {
     val docs = Tables.table(spark, sfDir, "documents")
       .select(col("doc_id"), sha2(col("text"), 256).as("want"),
