@@ -44,6 +44,41 @@ def canon(v):
     return v
 
 
+# Oracle output columns must stay inside this set: the driver's hash is
+# type-tagged, so a DuckDB-only type (HUGEINT from sum(int), DECIMAL,
+# UHUGEINT...) hash-mismatches Spark even when every value agrees — the
+# r8 q_x_label_noise lesson. Lists of these scalars are fine (both
+# engines canonicalize element-wise).
+ALLOWED_TYPES = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN",
+                 "DATE", "TIMESTAMP"}
+
+
+def type_ok(t: str) -> bool:
+    t = t.strip().upper()
+    if t.endswith("[]"):  # list type, e.g. BIGINT[]
+        return type_ok(t[:-2])
+    return t in ALLOWED_TYPES
+
+
+def audit_types(con, oracle) -> int:
+    """DESCRIBE every oracle and reject engine-specific output types.
+    Returns the number of violating (query, column) pairs."""
+    n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:
+            print(f"TYPE-AUDIT FAIL {name}: DESCRIBE error: {e}")
+            n_bad += 1
+            continue
+        for colname, coltype, *_ in desc:
+            if not type_ok(coltype):
+                print(f"TYPE-AUDIT FAIL {name}: column {colname} is "
+                      f"{coltype} (allowed: {sorted(ALLOWED_TYPES)}[+[]])")
+                n_bad += 1
+    return n_bad
+
+
 def main(outdir, sfdir):
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -108,8 +143,10 @@ def main(outdir, sfdir):
         else:
             print(f"  ok {name}: rows={len(got)}")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} no-oracle")
-    return 1 if n_fail else 0
+    n_type_bad = audit_types(con, oracle)
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} no-oracle, "
+          f"{n_type_bad} type-audit violations")
+    return 1 if (n_fail or n_type_bad) else 0
 
 
 if __name__ == "__main__":

@@ -95,14 +95,12 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
       info("graft_bloom_agg",
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName),
-      (exprs: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions.aggregate
-        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2), 0, 0)))
+      (exprs: Seq[Expression]) => graft.functions.GraftFunctions.bloomAggBuilder(exprs)))
 
     ext.injectFunction((FunctionIdentifier("graft_might_contain"),
       info("graft_might_contain",
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName),
-      (exprs: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => graft.functions.GraftFunctions.mightContainBuilder(exprs)))
 
     ext.injectOptimizerRule(_ => IntersectCountRewrite)
     ext.injectPlannerStrategy(_ => AsOfStrategy)

@@ -184,17 +184,36 @@ object GraftFunctions {
     val bfaId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_agg")
     if (!registry.functionExists(bfaId)) {
       registry.createOrReplaceTempFunction(
-        "graft_bloom_agg",
-        exprs => org.apache.spark.sql.catalyst.expressions.aggregate
-          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2), 0, 0), "built-in")
+        "graft_bloom_agg", GraftFunctions.bloomAggBuilder, "built-in")
     }
     val bfmId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_might_contain")
     if (!registry.functionExists(bfmId)) {
       registry.createOrReplaceTempFunction(
-        "graft_might_contain",
-        exprs => org.apache.spark.sql.catalyst.expressions
-          .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+        "graft_might_contain", GraftFunctions.mightContainBuilder, "built-in")
     }
     graft.plans.IntersectCountRewrite.install(spark)
+  }
+
+  /** Arity-checked builders for the surfaced bloom expressions — a
+    * wrong argument count gets a usage message, not a raw
+    * IndexOutOfBoundsException (matches every other builder here).
+    * Shared by both registration paths (this registry and
+    * GraftSparkExtensions.injectFunction). */
+  def bloomAggBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 3,
+      s"graft_bloom_agg(col, estItems, numBits) takes 3 arguments, got ${exprs.length}")
+    org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(exprs(0), exprs(1), exprs(2), 0, 0)
+  }
+
+  def mightContainBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 2,
+      s"graft_might_contain(bloomBinary, col) takes 2 arguments, got ${exprs.length}")
+    org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(exprs(0), exprs(1))
   }
 }

@@ -2302,7 +2302,12 @@ object Extensions {
       tf.agg(count(lit(1)).as("n_tail_terms"),
           sum(log(col("f") / lit(xmin))).as("lnsum"))
         .select(col("n_tail_terms"),
-          round(lit(1.0) + col("n_tail_terms") / col("lnsum"), 6).as("alpha"))
+          // degenerate corpus guard: if every tail term sits exactly at
+          // xmin, lnsum = 0 and the MLE is undefined — emit NULL rather
+          // than rely on non-ANSI division semantics (DuckDB's double
+          // division would produce inf here, a cross-engine divergence)
+          when(col("lnsum") > 0,
+            round(lit(1.0) + col("n_tail_terms") / col("lnsum"), 6)).as("alpha"))
     }),
 
     // Value-concentration audit per event_type (the 80/20 question):
@@ -2869,7 +2874,7 @@ object Extensions {
                     ORDER BY cos DESC, cand_id) AS rank
                 FROM p)
          SELECT query_id AS vec_id, q_label AS label,
-                sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS n_agree,
+                CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
                 round(CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS DOUBLE) / 10.0, 6) AS agree_frac
          FROM rk WHERE rank <= 10
          GROUP BY query_id, q_label ORDER BY query_id""",
@@ -4449,7 +4454,8 @@ object Extensions {
       """WITH tf AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
          c AS (SELECT t, count(*) AS f FROM tf GROUP BY t HAVING count(*) >= 5)
          SELECT count(*) AS n_tail_terms,
-                round(1.0 + count(*) / sum(ln(f / 5.0)), 6) AS alpha
+                CASE WHEN sum(ln(f / 5.0)) > 0
+                     THEN round(1.0 + count(*) / sum(ln(f / 5.0)), 6) END AS alpha
          FROM c""",
 
     "q_x_temporal_split" ->

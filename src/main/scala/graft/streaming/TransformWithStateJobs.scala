@@ -337,7 +337,7 @@ object TransformWithStateJobs {
     * batches — the streaming form of the batch `graft_cms` aggregate,
     * sharing [[graft.functions.CountMin.bucket]] so the state sketch
     * after N batches is BIT-IDENTICAL to a one-shot batch sketch over
-    * the same rows (the sketch is linear; CmsStreamSpec asserts exact
+    * the same rows (the sketch is linear; StreamingSketchDriftSpec asserts exact
     * equality at 1 and 3 batch granularities). State is depth×width
     * longs per key — fixed regardless of item cardinality, the whole
     * point: a streaming exact per-item count would grow state with
