@@ -112,9 +112,43 @@ def main(rnd: int) -> int:
                       f"never benched: {only_c}")
             ok = False
 
+    # 5. SURVEY §2 must name every declared query (r8 advice: coverage
+    #    grading should not depend on diffing CORRECTNESS keys). Q-names
+    #    are table rows "| q_... |" plus the bolded U1/U2 rows.
+    import subprocess
+    survey = set()
+    for line in open("SURVEY.md"):
+        m = re.match(r"\|\s*(?:\*\*U\d\*\*\s+)?(q[a-z0-9_]+)\s", line)
+        if m:
+            survey.add(m.group(1))
+    if survey != set(corr):
+        only_s = sorted(survey - set(corr))
+        only_c = sorted(set(corr) - survey)
+        if only_s:
+            print(f"GATE RED: {len(only_s)} SURVEY §2 rows with no declared "
+                  f"query: {only_s}")
+        if only_c:
+            print(f"GATE RED: {len(only_c)} declared queries missing a "
+                  f"SURVEY §2 row: {only_c}")
+        ok = False
+
+    # 6. Round artifacts must be COMMITTED, not just present (r6/r7/r8
+    #    recurring gap: BENCH/CORRECTNESS untracked at judging time).
+    st = subprocess.run(["git", "status", "--porcelain"],
+                        capture_output=True, text=True).stdout
+    dirty = [l for l in st.splitlines()
+             if any(t in l for t in ("BENCH_r", "CORRECTNESS_r",
+                                     "LEAKCHECK", "bench_full"))]
+    if dirty:
+        print("GATE RED: round artifacts uncommitted:")
+        for l in dirty:
+            print(f"  {l}")
+        ok = False
+
     if ok:
         print(f"GATE GREEN: bench failed:[] and all {len(corr)} correctness "
-              f"entries pass or are no-oracle")
+              f"entries pass or are no-oracle; SURVEY covers all "
+              f"{len(survey)} queries; artifacts committed")
     return 0 if ok else 1
 
 

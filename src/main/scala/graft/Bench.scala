@@ -56,7 +56,14 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .filter(Rdds.isLocallyCheckpointed)
         .foreach(_.unpersist(blocking = false))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev-only A/B hook: SPARK_GRAFT_ONLY=q_a,q_b restricts the run to
+    // the named queries (the driver never sets it — full board there).
+    // Keeps single-query regression bisection on the same code path,
+    // same caches, same order as the real bench.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val c0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       coldTotal += (System.nanoTime() - c0) / 1e9
@@ -112,8 +119,10 @@ object Bench {
     // entries; persist the FULL per-query map to a repo file first so
     // cross-round per-query diffs never lose the fast half of the
     // board (r7: 93 of 165 timings silently dropped). The round
-    // snapshot copies this to dev/bench_full_r{N}.json.
-    try {
+    // snapshot copies this to dev/bench_full_r{N}.json. A filtered
+    // dev run (SPARK_GRAFT_ONLY) must NOT clobber the full-board map —
+    // gate_check cross-references it against CORRECTNESS names.
+    try if (only.isEmpty) {
       val fullJson = retried.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString(
