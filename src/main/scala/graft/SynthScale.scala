@@ -67,20 +67,36 @@ object SynthScale {
       .drop("copy_i")
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
-    // documents: shifted ids; copy 0 keeps original text (so planted
-    // near-dup structure survives), copies 1..k-1 get a salted prefix
-    // making them near- but not exact-duplicates of their original —
-    // the dedup/similarity family keeps real work at 10× scale.
+    // documents: shifted ids; copy 0 keeps original text (the planted
+    // near-dup structure survives), copies 1..k-1 get every 3rd TOKEN
+    // salted with the copy index — that rewrites ~every trigram, so
+    // replicas are genuinely NEW content to the shingle/Jaccard/LSH
+    // family (first version used a salted prefix only: every doc then
+    // sat in a k-clique of near-dups and all pair-grain queries went
+    // quadratic BY CONSTRUCTION, telling us about the fixture, not
+    // the plans).
     copies(spark.read.parquet(s"$src/documents.parquet"))
       .withColumn("text",
         when(col("copy_i") === 0, col("text"))
-          .otherwise(concat(lit("copy"), col("copy_i"), lit(" "), col("text"))))
+          .otherwise(array_join(
+            transform(split(col("text"), " "),
+              (w, i) => when(i % 3 === 0,
+                concat(w, lit("x"), col("copy_i"))).otherwise(w)),
+            " ")))
       .withColumn("doc_id", shift("doc_id"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("copy_i")
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    // embeddings: deterministic per-copy jitter (±0.03 per element)
+    // spreads replicas in vector space — identical vectors would pile
+    // the whole corpus into the same LSH/IVF buckets and make every
+    // retrieval query look quadratic.
     copies(spark.read.parquet(s"$src/embeddings.parquet"))
+      .withColumn("embedding",
+        transform(col("embedding"), (x, j) =>
+          (x + (pmod(col("copy_i") * 31 + j, lit(7)) - lit(3)).cast("float") * lit(0.01f))
+            .cast("float")))
       .withColumn("vec_id", shift("vec_id"))
       .drop("copy_i")
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")

@@ -2354,6 +2354,154 @@ object Extensions {
         .orderBy(col("event_type"))
     }),
 
+    // Batch EWMA (α = 0.2) per (user, event_type) series — the
+    // order-dependent recurrence no window composition expresses
+    // without (1−α)^-i overflow. Typed-Dataset shape: groupByKey on
+    // the SERIES key + mapGroups sequential fold, so per-group memory
+    // is one user's events for one type (session-scale, bounded by
+    // user activity — never corpus-scale); keys distribute over all
+    // executors. The fold order (ts, event_id) and the 0.2·x + 0.8·y
+    // arithmetic are bit-identical to the oracle's recursive CTE, so
+    // only the final cross-series avg sees float noise (≪ round 6).
+    // Batch twin of the streaming EwmaProcessor (EwmaSpec).
+    "q_x_ewma_batch" -> ((s, d) => {
+      import s.implicits._
+      val series = table(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tsu"), col("event_id"), col("value"))
+        .as[(Long, String, Long, Long, Double)]
+      val finals = series.groupByKey(r => (r._1, r._2)).mapGroups {
+        (key: (Long, String), it: Iterator[(Long, String, Long, Long, Double)]) =>
+          val arr = it.toArray.sortBy(r => (r._3, r._4))
+          var e = arr(0)._5
+          var i = 1
+          while (i < arr.length) { e = 0.2 * arr(i)._5 + 0.8 * e; i += 1 }
+          (key._2, e)
+      }.toDF("event_type", "ewma")
+      finals.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_series"),
+          round(avg(col("ewma")), 6).as("avg_final_ewma"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Exact rolling median (order statistic over a trailing 10-row
+    // frame per user) — the robust smoother percentile sketches can't
+    // replace when the frame is small and exactness matters. The
+    // median aggregate runs INSIDE the partitioned window (10-element
+    // frames ⇒ O(frame) per row, not O(partition)); output collapses
+    // to event_type grain. Both engines interpolate the even-count
+    // middle pair identically ((a+b)/2, quantile_cont semantics).
+    "q_x_rolling_median" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-9, Window.currentRow)
+      table(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"), col("value"))
+        // Spark blocks median() inside a framed window — build the
+        // order statistic from the sorted frame directly (≤10 values).
+        // (a+b)/2 on the middle pair == quantile_cont(0.5) exactly.
+        .withColumn("fr", array_sort(collect_list(col("value")).over(w)))
+        .withColumn("rmed", expr(
+          "(element_at(fr, CAST((size(fr)+1)/2 AS INT)) + " +
+            "element_at(fr, CAST(size(fr)/2+1 AS INT))) / 2.0"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("rmed")), 6).as("avg_rolling_median"),
+          round(max(col("rmed")), 6).as("max_rolling_median"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Quantile normalization of a per-doc statistic across sources
+    // (the batch-effect corrector of multi-source corpus assembly):
+    // rank within source → decile bucket → per-(source, decile) mean →
+    // normalized target = cross-source mean of decile means. One
+    // window per source partition + decile-grain aggregates — the
+    // decile table is 10 × n_sources rows regardless of corpus size.
+    "q_x_quantile_norm" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wr = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+      val ranked = table(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rn", row_number().over(wr).cast("long"))
+        .withColumn("n_s", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .withColumn("decile", expr("((rn - 1) * 10) div n_s"))
+      val grp = ranked.groupBy(col("source"), col("decile"))
+        .agg(count(lit(1)).as("n_docs"), avg(col("n_chars")).as("mean_raw"))
+      grp
+        .withColumn("norm",
+          round(avg(col("mean_raw")).over(Window.partitionBy(col("decile"))), 6))
+        .select(col("source"), col("decile"), col("n_docs"),
+          round(col("mean_raw"), 6).as("mean_raw"), col("norm"))
+        .orderBy(col("source"), col("decile"))
+    }),
+
+    // Burstiness audit: Fano factor (var/mean of per-user-per-day
+    // event counts) per event_type — dispersion > 1 means bursty
+    // arrivals, < 1 means pacing; the drift signal rate-limit and
+    // bot-detection thresholds key on. Two aggregations, cell grain
+    // then type grain; nothing corpus-sized crosses the shuffle.
+    "q_x_burstiness" -> ((s, d) => {
+      val cells = table(s, d, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      cells.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(avg(col("c")), 6).as("mean_c"),
+          round(var_pop(col("c")) / avg(col("c")), 6).as("fano"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Multiclass confusion audit: a deterministic argmax "classifier"
+    // (first-max over embedding dims 1..10) against the stored label —
+    // per-class tp / precision / recall / F1 from pure integer counts
+    // (F1 = 2·tp/(n_pred+n_actual), no intermediate float ratios), so
+    // both engines divide identical integers. Two class-grain
+    // aggregates; nothing corpus-sized crosses the shuffle.
+    "q_x_confusion" -> ((s, d) => {
+      val sliced = slice(col("embedding"), 1, 10)
+      val scored = table(s, d, "embeddings")
+        .select(col("label").cast("int").as("actual"),
+          (array_position(sliced, array_max(sliced)) - 1).cast("int").as("pred"))
+      val byActual = scored.groupBy(col("actual"))
+        .agg(count(lit(1)).as("n_actual"),
+          sum(when(col("pred") === col("actual"), 1L).otherwise(0L)).as("tp"))
+      val byPred = scored.groupBy(col("pred")).agg(count(lit(1)).as("n_pred"))
+      byActual.join(byPred, col("actual") === col("pred"), "left")
+        .na.fill(0L, Seq("n_pred"))
+        .select(col("actual").as("label"), col("n_actual"), col("n_pred"), col("tp"),
+          round(when(col("n_pred") > 0, col("tp") / col("n_pred")), 6).as("prec"),
+          round(col("tp") / col("n_actual"), 6).as("recall"),
+          round(lit(2.0) * col("tp") / (col("n_pred") + col("n_actual")), 6).as("f1"))
+        .orderBy(col("label"))
+    }),
+
+    // Cohen's kappa of the same argmax classifier vs the label — the
+    // chance-corrected agreement statistic of annotation QA. po, pe,
+    // and kappa all derive from integer marginals (Σ na·np stays in
+    // exact longs until one final division), so the doubles agree
+    // bit-for-bit pre-round.
+    "q_x_kappa" -> ((s, d) => {
+      val sliced = slice(col("embedding"), 1, 10)
+      val scored = table(s, d, "embeddings")
+        .select(col("label").cast("int").as("actual"),
+          (array_position(sliced, array_max(sliced)) - 1).cast("int").as("pred"))
+      val byA = scored.groupBy(col("actual")).agg(count(lit(1)).as("na"))
+      val byP = scored.groupBy(col("pred")).agg(count(lit(1)).as("np"))
+      val peNum = byA.join(byP, col("actual") === col("pred"), "full")
+        .select(coalesce(col("na"), lit(0L)).as("na"),
+          coalesce(col("np"), lit(0L)).as("np"))
+        .agg(sum(col("na") * col("np")).as("pe_num"))
+      val st = scored.agg(count(lit(1)).as("n"),
+        sum(when(col("actual") === col("pred"), 1L).otherwise(0L)).as("diag"))
+      st.crossJoin(peNum).select(col("n"),
+        round(col("diag") / col("n"), 6).as("po"),
+        round(col("pe_num") / (col("n") * col("n")), 6).as("pe"),
+        round((col("diag") / col("n") - col("pe_num") / (col("n") * col("n"))) /
+          (lit(1.0) - col("pe_num") / (col("n") * col("n"))), 6).as("kappa"))
+    }),
+
     // ---- statistical audits (model-eval / data-quality statistics) ----
 
     // One-vs-rest ROC-AUC per label over a deterministic score
@@ -4381,6 +4529,102 @@ object Extensions {
                 round(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s
          FROM g WHERE gap_s IS NOT NULL
          GROUP BY event_type ORDER BY event_type""",
+
+    "q_x_ewma_batch" ->
+      """WITH RECURSIVE o AS (
+           SELECT user_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) AS rn
+           FROM events),
+         r AS (
+           SELECT user_id, event_type, rn, value AS ewma FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.user_id, o.event_type, o.rn, 0.2 * o.value + 0.8 * r.ewma
+           FROM o JOIN r ON o.user_id = r.user_id
+             AND o.event_type = r.event_type AND o.rn = r.rn + 1),
+         f AS (
+           SELECT event_type, ewma,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                    ORDER BY rn DESC) AS rk
+           FROM r)
+         SELECT event_type, count(*) AS n_series,
+                round(avg(ewma), 6) AS avg_final_ewma
+         FROM f WHERE rk = 1
+         GROUP BY event_type ORDER BY event_type""",
+
+    "q_x_rolling_median" ->
+      """WITH rm AS (
+           SELECT event_type,
+                  median(value) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS rmed
+           FROM events)
+         SELECT event_type, count(*) AS n,
+                round(avg(rmed), 6) AS avg_rolling_median,
+                round(max(rmed), 6) AS max_rolling_median
+         FROM rm GROUP BY event_type ORDER BY event_type""",
+
+    "q_x_quantile_norm" ->
+      """WITH r AS (
+           SELECT doc_id, source, n_chars,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY source) AS n_s
+           FROM documents),
+         g AS (
+           SELECT source, ((rn - 1) * 10) // n_s AS decile,
+                  count(*) AS n_docs, avg(n_chars) AS mean_raw
+           FROM r GROUP BY source, ((rn - 1) * 10) // n_s)
+         SELECT source, decile, n_docs, round(mean_raw, 6) AS mean_raw,
+                round(avg(mean_raw) OVER (PARTITION BY decile), 6) AS norm
+         FROM g ORDER BY source, decile""",
+
+    "q_x_burstiness" ->
+      """WITH c AS (
+           SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                  count(*) AS c
+           FROM events GROUP BY user_id, CAST(ts AS DATE), event_type)
+         SELECT event_type, count(*) AS n_cells,
+                round(avg(c), 6) AS mean_c,
+                round(var_pop(c) / avg(c), 6) AS fano
+         FROM c GROUP BY event_type ORDER BY event_type""",
+
+    "q_x_confusion" ->
+      """WITH s AS (
+           SELECT CAST(label AS INTEGER) AS actual,
+                  CAST(list_position(embedding[1:10],
+                         list_max(embedding[1:10])) - 1 AS INTEGER) AS pred
+           FROM embeddings),
+         a AS (SELECT actual, CAST(count(*) AS BIGINT) AS n_actual,
+                 CAST(sum(CASE WHEN pred = actual THEN 1 ELSE 0 END) AS BIGINT) AS tp
+               FROM s GROUP BY actual),
+         p AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_pred FROM s GROUP BY pred)
+         SELECT actual AS label, n_actual,
+                coalesce(n_pred, 0) AS n_pred, tp,
+                CASE WHEN coalesce(n_pred, 0) > 0 THEN round(tp / n_pred, 6) END AS prec,
+                round(tp / n_actual, 6) AS recall,
+                round(2.0 * tp / (coalesce(n_pred, 0) + n_actual), 6) AS f1
+         FROM a LEFT JOIN p ON actual = pred
+         ORDER BY label""",
+
+    "q_x_kappa" ->
+      """WITH s AS (
+           SELECT CAST(label AS INTEGER) AS actual,
+                  CAST(list_position(embedding[1:10],
+                         list_max(embedding[1:10])) - 1 AS INTEGER) AS pred
+           FROM embeddings),
+         a AS (SELECT actual AS cls, CAST(count(*) AS BIGINT) AS na FROM s GROUP BY actual),
+         p AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS np FROM s GROUP BY pred),
+         j AS (SELECT coalesce(na, 0) AS na, coalesce(np, 0) AS np
+               FROM a FULL JOIN p USING (cls)),
+         pe AS (SELECT CAST(sum(na * np) AS BIGINT) AS pe_num FROM j),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN actual = pred THEN 1 ELSE 0 END) AS BIGINT) AS diag
+                FROM s)
+         SELECT n, round(diag / n, 6) AS po,
+                round(pe_num / (n * n), 6) AS pe,
+                round((diag / n - pe_num / (n * n)) / (1.0 - pe_num / (n * n)), 6) AS kappa
+         FROM st CROSS JOIN pe""",
 
     "q_x_survival" ->
       """WITH win AS (SELECT max(epoch_us(ts)) AS t_end FROM events),

@@ -211,6 +211,29 @@ object Joins {
         .select(col("r_name"), col("n_name"))
         .orderBy(col("r_name"), col("n_name"))),
 
+    // Salt-mitigated skew join, surfaced first-class: lineitem's
+    // l_suppkey (1000 distinct keys × 6k rows each at sf0.1 — the
+    // "hot key" shape AQE's skew splitting can't fix inside stateful
+    // ops) spread over 8 salted reducers against a replicated
+    // supplier side. The oracle is the PLAIN join aggregate — salting
+    // must be invisible in the result (SkewJoinSpec's contract, now
+    // driver-checked against DuckDB too).
+    "q_join_skew" -> ((s, d) => {
+      val joined = graft.operators.SkewJoin.saltedJoin(
+        table(s, d, "lineitem"),
+        // saltedJoin equi-joins on a shared column name — align the
+        // small side's key to the fact side's
+        table(s, d, "supplier").withColumnRenamed("s_suppkey", "l_suppkey"),
+        key = "l_suppkey", saltFactor = 8,
+        saltExpr = xxhash64(col("l_orderkey"), col("l_linenumber")))
+      joined
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("l_extendedprice"))).cast(DecimalType(18, 2))
+            .cast("double").as("total"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // Two broadcast dims off the fact table (part + supplier).
     "q_join_dims" -> ((s, d) =>
       table(s, d, "lineitem")
@@ -326,6 +349,12 @@ object Joins {
 
     "q_cross" ->
       "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+
+    "q_join_skew" ->
+      """SELECT s_nationkey, count(*) AS n,
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey ORDER BY s_nationkey""",
 
     "q_join_dims" ->
       """SELECT p_brand, s_name, count(*) AS n,

@@ -33,6 +33,23 @@ object SetOps {
         .orderBy(col("price").desc, col("o_orderkey"))
         .limit(10)),
 
+    // Keyset (cursor) pagination — the scale-correct page fetch:
+    // WHERE (sortkey tuple) > cursor ORDER BY sortkey LIMIT n plans as
+    // filter + TakeOrderedAndProject, touching only rows past the
+    // cursor; OFFSET-based paging scans and discards everything before
+    // the page and gets LINEARLY slower per page at 100 TB.
+    "q_page_keyset" -> ((s, d) =>
+      table(s, d, "orders")
+        // fixture o_orderdate reads as TIMESTAMP_NTZ (non-UTC-adjusted
+        // µs); session TZ is pinned UTC, so the cast is wall-clock
+        // identity and makes the struct comparison type-check
+        .filter(struct(col("o_orderdate").cast("timestamp"), col("o_orderkey")) >
+          struct(lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00")), lit(0L)))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .limit(20)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          money(col("o_totalprice")).cast("double").as("price"))),
+
     "q_topk_group" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -242,6 +259,13 @@ object SetOps {
     "q_limit" ->
       """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
          FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""",
+
+    "q_page_keyset" ->
+      """SELECT o_orderkey, o_orderdate,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+         FROM orders
+         WHERE (o_orderdate, o_orderkey) > (TIMESTAMP '1998-06-01 00:00:00', 0)
+         ORDER BY o_orderdate, o_orderkey LIMIT 20""",
 
     "q_topk_group" ->
       """SELECT o_orderpriority, CAST(rn AS INTEGER) AS rn, o_orderkey, price FROM (
