@@ -132,6 +132,23 @@ def main(rnd: int) -> int:
                   f"SURVEY §2 row: {only_c}")
         ok = False
 
+    # 5b. dev/plan_audit.txt must cover every declared query (r9 gap:
+    #     stale at 218 rows while the board had 226 — the audit went
+    #     silently stale the moment a wave landed without rerunning it).
+    audit_names = set()
+    try:
+        for line in open("dev/plan_audit.txt"):
+            m = re.match(r"AUDIT\s+(q[a-z0-9_]+)\s", line)
+            if m:
+                audit_names.add(m.group(1))
+    except FileNotFoundError:
+        pass
+    missing_audit = set(corr) - audit_names
+    if missing_audit:
+        print(f"GATE RED: {len(missing_audit)} declared queries missing from "
+              f"dev/plan_audit.txt: {sorted(missing_audit)[:10]}...")
+        ok = False
+
     # 6. Round artifacts must be COMMITTED, not just present (r6/r7/r8
     #    recurring gap: BENCH/CORRECTNESS untracked at judging time).
     st = subprocess.run(["git", "status", "--porcelain"],

@@ -33,7 +33,13 @@ FAMILIES = [
                r"vocab|chunks|redact|normalize|pmi)"),
     ("graph", r"^q_x_(triangles|kcore|lpa|dbscan|pagerank|assortativity|"
               r"blocking|fuzzy)"),
-    ("stats-x", r"^q_x_"),
+    ("stats-x", r"^q_x_(mann_whitney|anova|spearman|kendall|isotonic|linreg|"
+                r"holt|interp|auc|acf|gini|benford|ks|seasonality|wmedian|"
+                r"ece|robust_z|theil|mi$|chisq|survival|ab_test|ess|corr|"
+                r"bootstrap|winsorize|outlier|psi|kl_source|changepoint|"
+                r"quality_corr|burstiness|confusion|kappa|ewma_batch|"
+                r"rolling_median|quantile_norm)"),
+    ("other-x", r"^q_x_"),
 ]
 
 

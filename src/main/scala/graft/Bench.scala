@@ -67,7 +67,7 @@ object Bench {
       val c0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       coldTotal += (System.nanoTime() - c0) / 1e9
-      val times = (1 to 2).map { _ =>
+      def timedRun(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
@@ -78,8 +78,18 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      val times = (1 to 2).map(_ => timedRun())
+      // Disagreement guard (r9 verdict item 5): when the two timed runs
+      // differ by >1.5x, one of them straddled a host-contention window
+      // — take a third sample so a single bad window can't mint a ghost
+      // regression in the published min. (Three rounds running of A/B
+      // forensics all concluded "driver-window noise"; this makes the
+      // artifact itself robust instead.)
+      val all = if (times.max > 1.5 * times.min && !failed.contains(name))
+        times :+ timedRun()
+      else times
       dropQueryBlocks()
-      name -> times.min
+      name -> all.min
     }
     // Tail retry pass: a host-contention window (dev/NOTES.md "LATE-r6
     // addendum": whole-JVM slow windows, trivial queries at 10-15 s)
@@ -122,6 +132,11 @@ object Bench {
     // snapshot copies this to dev/bench_full_r{N}.json. A filtered
     // dev run (SPARK_GRAFT_ONLY) must NOT clobber the full-board map —
     // gate_check cross-references it against CORRECTNESS names.
+    // SPARK_GRAFT_BENCH_OUT redirects the full map for builder A/B runs
+    // (e.g. dev/bench_full_r10_dev.json) so a later driver run — which
+    // always writes the default path — can never clobber a comparison
+    // artifact (the r9 driver overwrote the builder's 218-query map).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "dev/bench_full_latest.json")
     try if (only.isEmpty) {
       val fullJson = retried.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + r3(v) }
@@ -129,7 +144,7 @@ object Bench {
           s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${retried.size},"cold_total":${r3(coldTotal)},"failed":$failedJson,"sf":"$sfDir","queries":{""",
           ",", "}}\n")
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("dev/bench_full_latest.json"),
+        java.nio.file.Paths.get(outPath),
         fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full-map write failed: ${e.getMessage}")

@@ -15,12 +15,18 @@ object DevProbe {
       .withExtensions(new GraftSparkExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.001"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     args.headOption match {
       case Some("explain") =>
         args.drop(1).foreach { q =>
           println(s"===== $q =====")
           SparkEntry.queries(q)(spark, dir).explain("formatted")
+        }
+      case Some("show") =>
+        args.drop(1).foreach { q =>
+          println(s"===== $q =====")
+          try SparkEntry.queries(q)(spark, dir).show(20, truncate = false)
+          catch { case e: Throwable => println(s"THREW: $e"); e.printStackTrace() }
         }
       case _ =>
         val flagship = SparkEntry.entry(spark)

@@ -42,7 +42,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scalars.defs ++ Joins.defs ++ Aggregates.defs ++ Windows.defs ++
-      SetOps.defs ++ StreamingBatch.defs ++ Extensions.defs
+      SetOps.defs ++ StreamingBatch.defs ++ Extensions.defs ++ Stats.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -50,5 +50,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Scalars.oracle ++ Joins.oracle ++ Aggregates.oracle ++ Windows.oracle ++
-      SetOps.oracle ++ StreamingBatch.oracle ++ Extensions.oracle
+      SetOps.oracle ++ StreamingBatch.oracle ++ Extensions.oracle ++ Stats.oracle
 }

@@ -2446,10 +2446,18 @@ object Extensions {
       val cells = table(s, d, "events")
         .groupBy(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
         .agg(count(lit(1)).as("c"))
+      // n, Σc, Σc² stay exact longs; mean and Fano are each ONE final
+      // double expression identical on both engines (var_pop/avg have
+      // engine-specific float accumulation orders — the integer-moment
+      // identity fano = (n·Σc² − (Σc)²)/(n·Σc) sidesteps that).
       cells.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_cells"),
-          round(avg(col("c")), 6).as("mean_c"),
-          round(var_pop(col("c")) / avg(col("c")), 6).as("fano"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("c")).as("sc"),
+          sum(col("c") * col("c")).as("qc"))
+        .select(col("event_type"), col("n_cells"),
+          round(col("sc").cast("double") / col("n_cells"), 6).as("mean_c"),
+          round((col("n_cells").cast("double") * col("qc") -
+            col("sc").cast("double") * col("sc")) /
+            (col("n_cells").cast("double") * col("sc")), 6).as("fano"))
         .orderBy(col("event_type"))
     }),
 
@@ -4582,12 +4590,18 @@ object Extensions {
     "q_x_burstiness" ->
       """WITH c AS (
            SELECT user_id, CAST(ts AS DATE) AS day, event_type,
-                  count(*) AS c
-           FROM events GROUP BY user_id, CAST(ts AS DATE), event_type)
-         SELECT event_type, count(*) AS n_cells,
-                round(avg(c), 6) AS mean_c,
-                round(var_pop(c) / avg(c), 6) AS fano
-         FROM c GROUP BY event_type ORDER BY event_type""",
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY user_id, CAST(ts AS DATE), event_type),
+         a AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_cells,
+                  CAST(sum(c) AS BIGINT) AS sc,
+                  CAST(sum(c * c) AS BIGINT) AS qc
+           FROM c GROUP BY event_type)
+         SELECT event_type, n_cells,
+                round(CAST(sc AS DOUBLE) / n_cells, 6) AS mean_c,
+                round((CAST(n_cells AS DOUBLE) * qc - CAST(sc AS DOUBLE) * sc) /
+                      (CAST(n_cells AS DOUBLE) * sc), 6) AS fano
+         FROM a ORDER BY event_type""",
 
     "q_x_confusion" ->
       """WITH s AS (

@@ -43,8 +43,11 @@ object SetOps {
         // fixture o_orderdate reads as TIMESTAMP_NTZ (non-UTC-adjusted
         // µs); session TZ is pinned UTC, so the cast is wall-clock
         // identity and makes the struct comparison type-check
+        // cursor literal parsed under spark.sql.session.timeZone (NOT
+        // the JVM default TZ java.sql.Timestamp.valueOf would use) so
+        // both sides of the comparison share the pinned UTC semantics
         .filter(struct(col("o_orderdate").cast("timestamp"), col("o_orderkey")) >
-          struct(lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00")), lit(0L)))
+          struct(lit("1998-06-01 00:00:00").cast("timestamp"), lit(0L)))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
         .limit(20)
         .select(col("o_orderkey"), col("o_orderdate"),

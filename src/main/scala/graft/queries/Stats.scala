@@ -209,7 +209,7 @@ object Stats {
         .orderBy(col("sv"))
     }),
 
-    // Two-feature OLS (n_chars ~ tokens + digit-count) via the normal
+    // Two-feature OLS (n_chars ~ tokens + vowel-count) via the normal
     // equations: ONE aggregate pass collects the 9 moment sums as
     // exact longs, then a closed-form 3×3 Cramer solve — no gradient
     // iterations, no per-row residual pass; R² comes from the same
@@ -218,7 +218,10 @@ object Stats {
       val m = table(s, d, "documents")
         .select(col("n_chars").as("y"),
           size(split(col("text"), " ")).cast("long").as("x1"),
-          length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("x2"))
+          // vowel count, NOT digit count: the fixture text is digit-free
+          // at every SF, which would make the normal-equation matrix
+          // exactly singular (checked sf0.001/0.01/0.1)
+          length(regexp_replace(col("text"), "[^aeiou]", "")).cast("long").as("x2"))
         .agg(count(lit(1)).as("n"),
           sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
           sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
@@ -274,7 +277,8 @@ object Stats {
     // sensor-style feeds. Two per-user window functions (lag/lead of
     // (ts, value)), weights are ratios of exact integer micros.
     "q_x_interp" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // orders by the µs long (ts is projected away below) — full µs order
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
       table(s, d, "events")
         .select(col("user_id"), col("event_type"), col("event_id"),
           unix_micros(col("ts")).as("t"), col("value"))
@@ -457,7 +461,7 @@ object Stats {
                   CAST(sum(y * y) AS BIGINT) AS syy
                 FROM (SELECT n_chars AS y,
                         CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
-                        CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS x2
+                        CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS BIGINT) AS x2
                       FROM documents))
          SELECT n, round($linregB0, 6) AS b0, round($linregB1, 6) AS b1,
                 round($linregB2, 6) AS b2,
