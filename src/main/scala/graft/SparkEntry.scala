@@ -42,7 +42,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scalars.defs ++ Joins.defs ++ Aggregates.defs ++ Windows.defs ++
-      SetOps.defs ++ StreamingBatch.defs ++ Extensions.defs ++ Stats.defs
+      SetOps.defs ++ StreamingBatch.defs ++ Extensions.defs ++ Stats.defs ++
+      Round10.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -50,5 +51,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Scalars.oracle ++ Joins.oracle ++ Aggregates.oracle ++ Windows.oracle ++
-      SetOps.oracle ++ StreamingBatch.oracle ++ Extensions.oracle ++ Stats.oracle
+      SetOps.oracle ++ StreamingBatch.oracle ++ Extensions.oracle ++ Stats.oracle ++
+      Round10.oracle
 }

@@ -217,20 +217,42 @@ object Similarity {
     df.select(col("*"), posexplode(codes).as(Seq("lsh_table", "lsh_code")))
   }
 
+  /** Hash-plane count that keeps expected bucket occupancy ~constant
+    * (~`target` rows/bucket) as the corpus grows: 2^planes buckets ∝ N.
+    * With FIXED planes, occupancy grows linearly in N and the bucket
+    * join goes quadratic — measured in the r10 sf0.1→sf1 evidence run
+    * (q_x_ann_lsh 43× on 10× facts with 6 fixed planes). log-scaled
+    * planes restore the linear candidate count that makes LSH the
+    * declared 100 TB path; recall per probe drops as planes grow, which
+    * is the standard planes↔tables/probes dial (dev/recall.txt).
+    * Per-query candidate work is (1+planes)·tables·target ≈ O(log N) —
+    * the whole query is O(N log N) instead of O(N²). target=50 keeps
+    * the plane count at the historical 6 for every driver fixture
+    * (≤ 2000 vectors), so recall measurements stay comparable.
+    */
+  def autoPlanes(corpusRows: Long, target: Long = 50L): Int =
+    math.max(6, math.ceil(math.log(math.max(1.0, corpusRows.toDouble / target)) /
+      math.log(2.0)).toInt)
+
   /** Approximate top-k: per hash table, queries probe their own bucket
     * plus all 1-bit neighbor buckets (multi-probe); candidates from
     * any table are verified with the exact cosine and ranked per
     * query. Recall vs [[bruteForceKnn]] is asserted in the spec.
+    *
+    * `nPlanes = -1` (the declared-query default) sizes the code length
+    * from the corpus row count via [[autoPlanes]] — constant bucket
+    * occupancy at any SF.
     */
   def lshKnn(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
-      k: Int, nPlanes: Int = 6, dim: Int = 64, nTables: Int = 4): DataFrame = {
+      k: Int, nPlanes: Int = -1, dim: Int = 64, nTables: Int = 4): DataFrame = {
+    val nPlanes0 = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count())
     val qc = lshCodes(spark, queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("qv")), "qv", nPlanes, dim, nTables)
+      col("embedding").as("qv")), "qv", nPlanes0, dim, nTables)
     val cc = lshCodes(spark, corpus.select(col("vec_id").as("cand_id"),
-      col("embedding").as("cv")), "cv", nPlanes, dim, nTables)
+      col("embedding").as("cv")), "cv", nPlanes0, dim, nTables)
     // multi-probe: explode each query into its code + nPlanes 1-bit flips
     val probes = qc.select(col("query_id"), col("qv"), col("lsh_table"), col("lsh_code"),
-      explode(array((lit(0L) +: (0 until nPlanes).map(p => shiftleft(lit(1L), p))): _*))
+      explode(array((lit(0L) +: (0 until nPlanes0).map(p => shiftleft(lit(1L), p))): _*))
         .as("flip"))
       .withColumn("probe_code", col("lsh_code").bitwiseXOR(col("flip")))
       .select(col("query_id"), col("qv"), col("lsh_table"), col("probe_code"))
