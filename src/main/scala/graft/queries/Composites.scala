@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables.table
+
+/** Classic TPC-H composite analytics (SURVEY.md §3.3 / §2.8d): the
+  * reference's declared query capability is ad-hoc SQL over the
+  * warehoused table (README.md:62-78 — "you can write your own SQL
+  * queries", executed by Postgres 13). The q_* operator rows cover
+  * that surface piecewise; these three run the canonical multi-join
+  * analytics end to end — filter pushdown × broadcast dims × big-big
+  * join × decimal aggregate × top-k — in one declared, oracle-checked
+  * plan each (date windows adapted to the fixture's 1995–2001 span).
+  *
+  * Scale shapes: the fact tables join on their keys (one shuffle
+  * each, AQE-coalesced), every dim is broadcast, top-k plans as
+  * TakeOrderedAndProject (never a global sort), and the money sums
+  * keep the DECIMAL(18,4) product convention (§7.4).
+  */
+object Composites {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def money4(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
+  private def revenue =
+    sum(money4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+      .cast(DecimalType(18, 4)).cast("double")
+
+  val defs: Map[String, Q] = Map(
+
+    // TPC-H Q3 (shipping priority): top-10 unshipped BUILDING-segment
+    // orders by revenue at the cutoff date.
+    "q_tpch_q3" -> ((s, d) =>
+      table(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(table(s, d, "orders")
+          .filter(col("o_orderdate") < lit("1996-03-15").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(table(s, d, "lineitem")
+          .filter(col("l_shipdate") > lit("1996-03-15").cast("timestamp")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+          col("o_orderpriority"))),
+
+    // TPC-H Q5 (local supplier volume): revenue from ASIA customers
+    // served by a supplier in the SAME nation, by nation, one year.
+    "q_tpch_q5" -> ((s, d) =>
+      table(s, d, "customer")
+        .join(table(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(table(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(table(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(table(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, d, "region"))
+          .filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))),
+
+    // TPC-H Q10 (returned-item reporting): top-20 customers by lost
+    // revenue from returned items in one quarter.
+    "q_tpch_q10" -> ((s, d) =>
+      table(s, d, "customer")
+        .join(table(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(table(s, d, "lineitem").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(table(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+                CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+                o_orderdate, o_orderpriority
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+           AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1996-03-15'
+           AND l_shipdate > TIMESTAMP '1996-03-15'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+                CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+                CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+                c_acctbal, n_name
+         FROM customer, orders, lineitem, nation
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND o_orderdate >= TIMESTAMP '1996-10-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+           AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20"""
+  )
+}
