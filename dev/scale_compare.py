@@ -38,7 +38,9 @@ FAMILIES = [
                 r"ece|robust_z|theil|mi$|chisq|survival|ab_test|ess|corr|"
                 r"bootstrap|winsorize|outlier|psi|kl_source|changepoint|"
                 r"quality_corr|burstiness|confusion|kappa|ewma_batch|"
-                r"rolling_median|quantile_norm)"),
+                r"rolling_median|quantile_norm|levene|mcnemar|cohens_d|"
+                r"mann_kendall|durbin_watson|js_divergence|entropy_rate|"
+                r"cusum|runs_test|simpson|grubbs|qq_shift|decile_lift)"),
     ("other-x", r"^q_x_"),
 ]
 
