@@ -106,4 +106,22 @@ class SimilaritySpec extends SparkSuite {
     assert(a.flatten.toSeq === b.flatten.toSeq)
     assert(a.flatten.forall(x => x >= -1.0 && x < 1.0))
   }
+
+  test("autoPlanes keeps bucket occupancy ~constant and fixture scale stable") {
+    // every driver fixture (<= 2000 vectors) must stay at the
+    // historical 6 planes so recall measurements remain comparable
+    assert(Similarity.autoPlanes(0) == 6)
+    assert(Similarity.autoPlanes(500) == 6)
+    assert(Similarity.autoPlanes(2000) == 6)
+    // beyond that: 2^planes grows with N/target -> occupancy bounded
+    for (n <- Seq(20000L, 200000L, 2000000L, 2000000000L)) {
+      val p = Similarity.autoPlanes(n)
+      val occupancy = n.toDouble / (1L << p)
+      assert(occupancy <= 50.0 + 1e-9, s"n=$n planes=$p occupancy=$occupancy")
+      assert(p <= 63, "code must fit one long")
+    }
+    // monotone in corpus size
+    val ps = Seq(1L, 100L, 10000L, 1000000L, 100000000L).map(Similarity.autoPlanes(_))
+    assert(ps == ps.sorted)
+  }
 }
