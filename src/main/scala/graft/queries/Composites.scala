@@ -30,6 +30,35 @@ object Composites {
 
   val defs: Map[String, Q] = Map(
 
+    // TPC-H Q1 (pricing summary report): the canonical single-pass
+    // wide aggregate — 8 aggregates over 2 group keys, one codegen'd
+    // stage, map-side partials carry the whole reduction. All money
+    // sums in exact DECIMAL (2dp inputs; 4dp for the 2-factor
+    // product, 6dp for the 3-factor charge), averages as one
+    // decimal-sum / count division per engine.
+    "q_tpch_q1" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DecimalType(18, 2)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DecimalType(18, 2)).cast("double").as("sum_base_price"),
+          sum(money4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .cast(DecimalType(18, 4)).cast("double").as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))).cast(DecimalType(18, 6)))
+            .cast(DecimalType(18, 6)).cast("double").as("sum_charge"),
+          round(sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DecimalType(18, 2)).cast("double") / count(lit(1)), 6).as("avg_qty"),
+          round(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DecimalType(18, 2)).cast("double") / count(lit(1)), 6).as("avg_price"),
+          round(sum(col("l_discount").cast(DecimalType(18, 2)))
+            .cast(DecimalType(18, 2)).cast("double") / count(lit(1)), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
     // TPC-H Q3 (shipping priority): top-10 unshipped BUILDING-segment
     // orders by revenue at the cutoff date.
     "q_tpch_q3" -> ((s, d) =>
@@ -89,6 +118,21 @@ object Composites {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+                CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+                CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
+                round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*), 6) AS avg_qty,
+                round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*), 6) AS avg_price,
+                round(CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*), 6) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
     "q_tpch_q3" ->
       """SELECT l_orderkey,
                 CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,

@@ -20,6 +20,25 @@ class CompositesSpec extends SparkSuite {
       case p => p
     }
 
+  test("q_tpch_q1: one-stage wide aggregate, sums consistent with averages") {
+    val rows = run("q_tpch_q1").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sumQty, avgQty, n) = (r.getDouble(2), r.getDouble(6), r.getLong(9))
+      assert(math.abs(avgQty - sumQty / n) < 1e-6, "avg_qty != sum_qty / count")
+      assert(r.getDouble(4) <= r.getDouble(3) + 1e-9,
+        "disc price cannot exceed base price")
+      assert(r.getDouble(5) >= r.getDouble(4) - 1e-9,
+        "charge (with tax) cannot be below disc price")
+    }
+    // no join, no window: scan -> partial agg -> exchange -> final agg
+    // -> (range exchange for the tiny ordered output) — exactly two
+    // exchanges, of which only the hash one moves fact-sized data
+    val plan = physical(run("q_tpch_q1"))
+    assert(plan.collect { case s: ShuffleExchangeExec => s }.size <= 2,
+      "Q1 must be agg-exchange + output-order exchange only")
+  }
+
   test("q_tpch_q3: top-k plans as TakeOrderedAndProject, revenue ordered desc") {
     val df = run("q_tpch_q3")
     assert(physical(df).collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
