@@ -22,8 +22,14 @@ object SparkEntry {
     * (user, 5-min window) (weather-etl.py:152-163) → tumbling aggregate
     * → ordered output. Driver smoke-checks rows > 0 on sf0.001.
     */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
+  def entry(spark: SparkSession): DataFrame =
+    entry(spark, "/root/testdata/sf0.001")
+
+  /** Fixture-parameterized flagship (r10 verdict item 8): same plan at
+    * any SF dir; the no-arg overload keeps the driver's smoke-call
+    * contract on sf0.001.
+    */
+  def entry(spark: SparkSession, dir: String): DataFrame = {
     val typed = Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       // structured payload metrics (weather-etl.py:123 analog):

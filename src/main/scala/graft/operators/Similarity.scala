@@ -234,6 +234,25 @@ object Similarity {
     math.max(6, math.ceil(math.log(math.max(1.0, corpusRows.toDouble / target)) /
       math.log(2.0)).toInt)
 
+  /** Corpus row count for [[autoPlanes]] from Catalyst plan STATISTICS
+    * — never an eager job (r10 advice: `corpus.count()` at DataFrame-
+    * construction time made every build of q_x_ann_lsh, including
+    * explain-only PlanAudit paths, run a full corpus scan first).
+    * `rowCount` is exact when CBO stats exist; the fallback divides
+    * the relation's sizeInBytes by the packed float-array row estimate
+    * (4·dim payload + ~128 B parquet framing — within 5% of the
+    * measured fixtures). autoPlanes is log₂-scaled, so even a 2× row
+    * misestimate moves the plane count by ≤1; a non-positive/unknown
+    * size falls back to the exact count (one job, same as before).
+    */
+  private def estimatedRows(df: DataFrame, dim: Int): Long = {
+    val st = df.queryExecution.optimizedPlan.stats
+    st.rowCount.map(_.toLong).getOrElse {
+      if (st.sizeInBytes <= 0 || !st.sizeInBytes.isValidLong) -1L
+      else math.max(1L, st.sizeInBytes.toLong / (4L * dim + 128L))
+    }
+  }
+
   /** Approximate top-k: per hash table, queries probe their own bucket
     * plus all 1-bit neighbor buckets (multi-probe); candidates from
     * any table are verified with the exact cosine and ranked per
@@ -241,11 +260,15 @@ object Similarity {
     *
     * `nPlanes = -1` (the declared-query default) sizes the code length
     * from the corpus row count via [[autoPlanes]] — constant bucket
-    * occupancy at any SF.
+    * occupancy at any SF — estimated from plan statistics so plan
+    * construction stays job-free ([[estimatedRows]]).
     */
   def lshKnn(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
       k: Int, nPlanes: Int = -1, dim: Int = 64, nTables: Int = 4): DataFrame = {
-    val nPlanes0 = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count())
+    val nPlanes0 = if (nPlanes > 0) nPlanes else {
+      val est = estimatedRows(corpus, dim)
+      autoPlanes(if (est > 0) est else corpus.count())
+    }
     val qc = lshCodes(spark, queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv")), "qv", nPlanes0, dim, nTables)
     val cc = lshCodes(spark, corpus.select(col("vec_id").as("cand_id"),

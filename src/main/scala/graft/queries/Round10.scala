@@ -47,18 +47,32 @@ object Round10 {
     "q_x_levene" -> ((s, d) => {
       val docs = table(s, d, "documents").select(col("source"), col("n_chars"))
       val med = docs.groupBy(col("source")).agg(median(col("n_chars")).as("med"))
-      val z = docs.join(broadcast(med), "source")
-        .select(col("source"), abs(col("n_chars") - col("med")).as("z"))
-      val g = z.groupBy(col("source"))
-        .agg(count(lit(1)).as("ni"), sum(col("z")).as("si"),
-          sum(col("z") * col("z")).as("qi"))
-      g.agg(count(lit(1)).as("k"), sum(col("ni")).as("n"),
-        sum(col("si")).as("ssum"), sum(col("qi")).as("qsum"),
-        sum(col("si") * col("si") / col("ni")).as("sb"))
+      // z = |x − median| is a multiple of 0.5 (integer data; median
+      // interpolates to .5 at worst), so 2z is an exact BIGINT and the
+      // distributed per-group moments are INTEGER sums — partition-
+      // order-free (r10 advice; si2² stays under Long via the double
+      // product below; overflow envelope ~2e10 rows × z~1e4).
+      val z2 = docs.join(broadcast(med), "source")
+        .select(col("source"),
+          (abs(col("n_chars") - col("med")) * 2).cast("long").as("z2"))
+      val g = z2.groupBy(col("source"))
+        .agg(count(lit(1)).as("ni"), sum(col("z2")).as("si2"),
+          sum(col("z2") * col("z2")).as("qi4"))
+      // Final reduction over the ≤k-row group table on ONE sorted
+      // partition: Σ si²/ni is the only inexact double sum left, so
+      // pin its accumulation order (residual cross-engine last-bit
+      // risk documented in SURVEY §7.4 — 6dp rounding gives 1e-6
+      // slack vs ~1e-16 noise).
+      g.coalesce(1).sortWithinPartitions(col("source"))
+        .agg(count(lit(1)).as("k"), sum(col("ni")).as("n"),
+          sum(col("si2")).as("s2"), sum(col("qi4")).as("q4"),
+          sum(col("si2").cast("double") * col("si2") / col("ni")).as("sb4"))
         .select(col("k"), col("n"),
-          round(((col("sb") - col("ssum") * col("ssum") / col("n")) /
+          round(((col("sb4") / 4 - (col("s2").cast("double") / 2) *
+              (col("s2").cast("double") / 2) / col("n")) /
             (col("k") - 1)) /
-            ((col("qsum") - col("sb")) / (col("n") - col("k"))), 6).as("w"))
+            ((col("q4").cast("double") / 4 - col("sb4") / 4) /
+              (col("n") - col("k"))), 6).as("w"))
     }),
 
     // McNemar paired-classifier test: argmax over dims 1..10 (model A,
@@ -357,18 +371,21 @@ object Round10 {
     "q_x_levene" ->
       """WITH med AS (SELECT source, median(n_chars) AS med
                       FROM documents GROUP BY source),
-         z AS (SELECT d.source, abs(d.n_chars - m.med) AS z
+         z AS (SELECT d.source,
+                 CAST(2 * abs(d.n_chars - m.med) AS BIGINT) AS z2
                FROM documents d JOIN med m ON m.source = d.source),
          g AS (SELECT source, CAST(count(*) AS BIGINT) AS ni,
-                 sum(z) AS si, sum(z * z) AS qi
+                 CAST(sum(z2) AS BIGINT) AS si2,
+                 CAST(sum(z2 * z2) AS BIGINT) AS qi4
                FROM z GROUP BY source),
          a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ni) AS BIGINT) AS n,
-                 sum(si) AS ssum, sum(qi) AS qsum,
-                 sum(si * si / ni) AS sb
-               FROM g)
+                 CAST(sum(si2) AS BIGINT) AS s2, CAST(sum(qi4) AS BIGINT) AS q4,
+                 sum(CAST(si2 AS DOUBLE) * si2 / ni) AS sb4
+               FROM (SELECT * FROM g ORDER BY source))
          SELECT k, n,
-                round(((sb - ssum * ssum / n) / (k - 1)) /
-                      ((qsum - sb) / (n - k)), 6) AS w
+                round(((sb4 / 4 - (CAST(s2 AS DOUBLE) / 2) * (CAST(s2 AS DOUBLE) / 2) / n) /
+                       (k - 1)) /
+                      ((CAST(q4 AS DOUBLE) / 4 - sb4 / 4) / (n - k)), 6) AS w
          FROM a""",
 
     "q_x_mcnemar" ->

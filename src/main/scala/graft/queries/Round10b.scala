@@ -215,7 +215,11 @@ object Round10b {
           sum(col("n_chars") * col("n_chars")).as("qx"),
           min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
         .select(col("n"), col("mn"), col("mx"),
-          round(when(col("n") > 1 && col("qx") * col("n") > col("sx") * col("sx"),
+          // Variance guard in DOUBLE: qx*n and sx*sx as raw BIGINTs
+          // overflow Long at ~1e10 docs × n_chars~1e3 (Spark non-ANSI
+          // would wrap silently while DuckDB errors — r10 advice).
+          round(when(col("n") > 1 &&
+            col("qx").cast("double") * col("n") > col("sx").cast("double") * col("sx"),
             greatest(col("mx") - col("sx").cast("double") / col("n"),
               col("sx").cast("double") / col("n") - col("mn")) /
               sqrt((col("qx") - col("sx").cast("double") * col("sx") / col("n")) /
@@ -360,7 +364,7 @@ object Round10b {
                   CAST(max(n_chars) AS BIGINT) AS mx
                 FROM documents)
          SELECT n, mn, mx,
-                round(CASE WHEN n > 1 AND qx * n > sx * sx THEN
+                round(CASE WHEN n > 1 AND CAST(qx AS DOUBLE) * n > CAST(sx AS DOUBLE) * sx THEN
                   greatest(mx - CAST(sx AS DOUBLE) / n,
                            CAST(sx AS DOUBLE) / n - mn) /
                   sqrt((qx - CAST(sx AS DOUBLE) * sx / n) / (n - 1)) END, 6) AS g

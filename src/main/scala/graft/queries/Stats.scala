@@ -132,15 +132,18 @@ object Stats {
         .orderBy(col("event_type"))
     }),
 
-    // Kendall τ-b between hour-of-day and floor(value), per
+    // Kendall τ-b between hour-of-day and floor(value/8), per
     // event_type. Concordant/discordant pair counts come from the
-    // CELL-grain self-join (hour × int-value ≤ ~12k cells — constant
-    // in corpus size), never a row-pair join; C, D and the tie terms
-    // are exact longs, τ is one final double expression.
+    // CELL-grain self-join (hour × value-octave ≤ ~1.5k cells —
+    // constant in corpus size), never a row-pair join; C, D and the
+    // tie terms are exact longs, τ is one final double expression.
+    // The y grain is value/8 (r10 verdict item 5): τ-b on the coarser
+    // grid is the declared statistic — identical in both engines —
+    // and cuts the cell-pair constant 64× (3.3 s → sub-second).
     "q_x_kendall" -> ((s, d) => {
       val cells = table(s, d, "events")
         .groupBy(col("event_type"), hour(col("ts")).as("x"),
-          floor(col("value")).as("y"))
+          floor(col("value") / 8).as("y"))
         .agg(count(lit(1)).as("cn"))
         .localCheckpoint(eager = false)
       val a = cells.select(col("event_type"), col("x").as("xa"),
@@ -401,7 +404,7 @@ object Stats {
     "q_x_kendall" ->
       """WITH cells AS (SELECT event_type,
                   CAST(extract(hour FROM ts) AS INTEGER) AS x,
-                  CAST(floor(value) AS BIGINT) AS y,
+                  CAST(floor(value / 8) AS BIGINT) AS y,
                   CAST(count(*) AS BIGINT) AS cn
                 FROM events GROUP BY 1, 2, 3),
          cd AS (SELECT a.event_type,

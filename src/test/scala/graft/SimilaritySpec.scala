@@ -71,11 +71,12 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
-  test("declared q_x_cos_pairs / q_x_ann_ivf launch NO job at construction") {
+  test("declared q_x_cos_pairs / q_x_ann_ivf / q_x_ann_lsh launch NO job at construction") {
     // The round-2 q_x_cos_pairs collect()ed the corpus to the driver
-    // while BUILDING the DataFrame; IVF training ran a count(). Both
-    // are gone: constructing the plan must be fully lazy (no driver-
-    // side materialization of data).
+    // while BUILDING the DataFrame; IVF training ran a count(); the
+    // r10 lshKnn autoPlanes default counted the corpus eagerly (r10
+    // advice — stats-based estimate now). All gone: constructing the
+    // plan must be fully lazy (no driver-side materialization).
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new SparkListener {
@@ -94,6 +95,7 @@ class SimilaritySpec extends SparkSuite {
     try {
       queries.Extensions.defs("q_x_cos_pairs")(spark, sfDir)
       queries.Extensions.defs("q_x_ann_ivf")(spark, sfDir)
+      queries.Extensions.defs("q_x_ann_lsh")(spark, sfDir)
       Thread.sleep(500) // listener delivery is async; no wait API is public
       assert(jobs.isEmpty,
         s"query construction launched Spark jobs (driver-side materialization): $jobs")

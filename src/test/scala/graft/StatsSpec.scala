@@ -87,7 +87,7 @@ class StatsSpec extends SparkSuite {
     val rows = run("q_x_kendall").collect()
     assert(rows.nonEmpty)
     val data = Tables.events(spark, sfDir)
-      .select(col("event_type"), hour(col("ts")), floor(col("value")).cast("long"))
+      .select(col("event_type"), hour(col("ts")), floor(col("value") / 8).cast("long"))
       .collect().map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2)))
     rows.foreach { r =>
       val (typ, tau) = (r.getString(0), r.getDouble(4))
