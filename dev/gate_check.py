@@ -162,11 +162,98 @@ def main(rnd: int) -> int:
             print(f"  {l}")
         ok = False
 
+    # 7. Ghost-regression triage (r10 verdict item 2): four rounds
+    #    running, the judge's only forensic work was explaining one
+    #    driver-window timing ghost by hand (r10: q_win_running 1.43 s
+    #    driver vs 0.161 s same-code builder A/B). Automate it: diff
+    #    this round's full per-query map against the previous round's
+    #    COMMITTED map; any query >2.5x its prior time (and >0.5 s, so
+    #    timer noise on trivial queries can't flag) gets ONE isolated
+    #    re-run through Bench's existing A/B path (SPARK_GRAFT_ONLY —
+    #    same code path, same caches, same order as the real bench).
+    #    Isolated time back within bound => "ghost" (host-contention
+    #    window on the driver run; recorded, not red). Still slow =>
+    #    "regression" => RED. Verdicts persist in
+    #    dev/ghost_triage_r{N}.json so a re-run of this gate is free.
+    if full is not None:
+        tri_ok = triage(rnd, full, run="--no-run" not in sys.argv)
+        ok = ok and tri_ok
+
     if ok:
         print(f"GATE GREEN: bench failed:[] and all {len(corr)} correctness "
               f"entries pass or are no-oracle; SURVEY covers all "
               f"{len(survey)} queries; artifacts committed")
     return 0 if ok else 1
+
+
+def triage(rnd: int, full: dict, run: bool = True) -> bool:
+    import os
+    import subprocess
+    prev_path = f"dev/bench_full_r{rnd - 1:02d}.json"
+    try:
+        prev = json.load(open(prev_path))
+    except FileNotFoundError:
+        print(f"TRIAGE SKIP: {prev_path} missing — no prior map to diff")
+        return True
+    if prev.get("sf") != full.get("sf"):
+        print(f"TRIAGE SKIP: sf mismatch ({prev.get('sf')} vs "
+              f"{full.get('sf')}) — cross-SF timing diffs are meaningless")
+        return True
+    pq, cq = prev.get("queries", {}), full.get("queries", {})
+    flagged = sorted(q for q, t in cq.items()
+                     if q in pq and t > 0.5 and t > 2.5 * pq[q])
+    if not flagged:
+        print(f"TRIAGE GREEN: no query >2.5x its r{rnd - 1} time "
+              f"(of {len(set(cq) & set(pq))} comparable)")
+        return True
+
+    out_path = f"dev/ghost_triage_r{rnd:02d}.json"
+    verdicts = {}
+    try:
+        verdicts = json.load(open(out_path))
+    except FileNotFoundError:
+        pass
+    todo = [q for q in flagged if q not in verdicts]
+    if todo and not run:
+        print(f"TRIAGE RED (unresolved): {len(todo)} flagged, re-run without "
+              f"--no-run or manually:\n  SPARK_GRAFT_SF_DIR={full['sf']} "
+              f"SPARK_GRAFT_ONLY={','.join(todo)} sbt -batch 'runMain graft.Bench'")
+        return False
+    if todo:
+        print(f"TRIAGE: {len(todo)} queries >2.5x prior ({todo}) — isolated "
+              f"re-run via SPARK_GRAFT_ONLY...")
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=full["sf"],
+                   SPARK_GRAFT_ONLY=",".join(todo))
+        r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                           env=env, capture_output=True, text=True)
+        iso = {}
+        for line in r.stdout.splitlines():
+            if '"metric"' in line:
+                iso = json.loads(line[line.index("{"):]).get("queries", {})
+        for q in todo:
+            it = iso.get(q)
+            if it is None:
+                verdicts[q] = {"prior": pq[q], "driver": cq[q],
+                               "isolated": None, "verdict": "regression",
+                               "note": "isolated run produced no timing"}
+            else:
+                ghost = it <= 2.5 * pq[q] + 0.3
+                verdicts[q] = {"prior": pq[q], "driver": cq[q],
+                               "isolated": it,
+                               "verdict": "ghost" if ghost else "regression"}
+        json.dump(verdicts, open(out_path, "w"), indent=1, sort_keys=True)
+    bad = sorted(q for q in flagged if verdicts[q]["verdict"] == "regression")
+    for q in flagged:
+        v = verdicts[q]
+        print(f"  TRIAGE {q}: prior {v['prior']}s, driver {v['driver']}s, "
+              f"isolated {v['isolated']}s -> {v['verdict']}")
+    if bad:
+        print(f"TRIAGE RED: {len(bad)} real regressions confirmed by isolated "
+              f"re-run: {bad}")
+        return False
+    print(f"TRIAGE GREEN: all {len(flagged)} flagged queries are driver-window "
+          f"ghosts (isolated re-run within bound; {out_path})")
+    return True
 
 
 if __name__ == "__main__":
