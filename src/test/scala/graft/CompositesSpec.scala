@@ -72,4 +72,119 @@ class CompositesSpec extends SparkSuite {
     assert(math.abs(top.getDouble(2) - expect.doubleValue()) < 1e-6,
       s"revenue ${top.getDouble(2)} != recomputed ${expect.doubleValue()}")
   }
+
+  // ---- decorrelation composites (r10 verdict item 3): the subquery
+  // forms must reach the physical plan as HASH joins — Catalyst's
+  // RewritePredicateSubquery / scalar-subquery decorrelation — never
+  // a per-row re-execution or a nested-loop join on a fact table.
+
+  private def joinNodes(plan: SparkPlan): Seq[String] =
+    plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        s"${j.getClass.getSimpleName}:${j.joinType}"
+    }
+
+  private def assertNoFactBnlj(plan: SparkPlan): Unit = {
+    // A BNLJ/cartesian is tolerable only when BOTH sides are dim-sized
+    // (region/nation); none of these plans should need one at all.
+    val bad = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(bad.isEmpty, s"nested-loop/cartesian in plan: ${bad.map(_.nodeName)}")
+  }
+
+  test("q_tpch_q18: HAVING-IN subquery decorrelates to a left-semi hash join") {
+    val df = run("q_tpch_q18")
+    val joins = joinNodes(physical(df))
+    assert(joins.exists(j => j.contains("LeftSemi")),
+      s"IN (SELECT ... HAVING) must plan as a left-semi join, got $joins")
+    assertNoFactBnlj(physical(df))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every surviving order really does exceed the quantity threshold
+    rows.foreach(r => assert(r.getDouble(5) > 300, s"sum_qty <= 300 in $r"))
+    // ordered desc by o_totalprice
+    rows.map(_.getDouble(4)).sliding(2)
+      .foreach { case Array(a, b) => assert(a >= b); case _ => }
+  }
+
+  test("q_tpch_q21: EXISTS/NOT EXISTS chain plans as semi + anti hash joins") {
+    val df = run("q_tpch_q21")
+    val joins = joinNodes(physical(df))
+    assert(joins.exists(_.contains("LeftSemi")),
+      s"EXISTS must plan as left-semi, got $joins")
+    assert(joins.exists(_.contains("LeftAnti")),
+      s"NOT EXISTS must plan as left-anti, got $joins")
+    assertNoFactBnlj(physical(df))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) > 0))
+    // the anti-join semantics: a flagged supplier must be the ONLY
+    // late supplier on each counted order — cross-check one supplier
+    // against an independent recompute
+    val sName = rows.head.getString(0)
+    import org.apache.spark.sql.functions.{col, expr}
+    // grain matters: numwait counts late LINE ITEMS (l1 rows), not
+    // distinct orders — keep duplicates per (order, supplier)
+    val lateLines = Tables.table(spark, sfDir, "lineitem")
+      .join(Tables.table(spark, sfDir, "orders").filter(col("o_orderstatus") === "F"),
+        expr("l_orderkey = o_orderkey"))
+      .filter(expr("l_shipdate > o_orderdate + INTERVAL 60 DAY"))
+      .select(col("l_orderkey"), col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lateByOrder = lateLines.groupBy(_._1)
+    val multi = Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val sKey = Tables.table(spark, sfDir, "supplier")
+      .filter(col("s_name") === sName).collect().head.getLong(0)
+    val expect = lateByOrder.collect { case (ok, lines)
+      if lines.map(_._2).toSet == Set(sKey) && multi(ok).size > 1 =>
+        lines.length
+    }.sum
+    assert(rows.head.getLong(2) == expect,
+      s"numwait ${rows.head.getLong(2)} != independent recompute $expect for $sName")
+  }
+
+  test("q_tpch_q2: correlated scalar-min decorrelates to aggregate + equi join") {
+    val df = run("q_tpch_q2")
+    val plan = physical(df)
+    assertNoFactBnlj(plan)
+    // the rewritten subquery joins the per-part min back on p_partkey:
+    // at least one hash agg and one equi join must appear
+    assert(plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }.nonEmpty, "scalar-min subquery must become a real aggregate")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // each reported (part, supplier) really is at the part's min unit
+    // price within EUROPE — independent recompute for the top row
+    val pk = rows.head.getLong(3)
+    import org.apache.spark.sql.functions.col
+    val euroSupp = Tables.table(spark, sfDir, "supplier")
+      .join(Tables.table(spark, sfDir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.table(spark, sfDir, "region").filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val prices = Tables.table(spark, sfDir, "lineitem")
+      .filter(col("l_partkey") === pk)
+      .select(col("l_suppkey"), (col("l_extendedprice") / col("l_quantity")).as("u"))
+      .collect().filter(r => euroSupp(r.getLong(0))).map(_.getDouble(1))
+    assert(prices.nonEmpty)
+    val sMin = prices.min
+    val reported = Tables.table(spark, sfDir, "lineitem")
+      .filter(col("l_partkey") === pk)
+      .select(col("l_suppkey"), (col("l_extendedprice") / col("l_quantity")).as("u"))
+      .collect()
+      .filter(r => euroSupp(r.getLong(0)) && r.getDouble(1) == sMin)
+      .map(_.getLong(0)).toSet
+    val sName2 = rows.filter(_.getLong(3) == pk).map(_.getString(1)).toSet
+    val minNames = Tables.table(spark, sfDir, "supplier")
+      .filter(col("s_suppkey").isin(reported.toSeq: _*))
+      .collect().map(_.getString(1)).toSet
+    assert(sName2.subsetOf(minNames),
+      s"reported suppliers $sName2 not all at the min price ($minNames)")
+  }
 }
