@@ -88,15 +88,27 @@ object SynthScale {
       .drop("copy_i")
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
-    // embeddings: deterministic per-copy jitter (±0.03 per element)
-    // spreads replicas in vector space — identical vectors would pile
-    // the whole corpus into the same LSH/IVF buckets and make every
-    // retrieval query look quadratic.
+    // embeddings: per-copy deterministic SIGN-FLIP pattern (an
+    // orthogonal diag(±1) per copy) + small jitter. The first
+    // version used jitter alone (±0.03/element): replicas of the
+    // same base vector stayed at cos ≈ 0.97, so EVERY vector sat in
+    // a K-clique of the cosine graph and the whole graph family went
+    // quadratic BY CONSTRUCTION (the r11 K=30 run OOMed on exactly
+    // this — same lesson as the r10 document-prefix salting).
+    // Sign-flips fix the geometry honestly: cos(S·a, S·b) = cos(a,b)
+    // for the SAME pattern S, so each copy reproduces the original
+    // similarity structure internally, while cross-copy pairs see
+    // uncorrelated signs and collapse to cos ≈ 0 — the edge set
+    // scales ~K× like a real corpus, not K².
     copies(spark.read.parquet(s"$src/embeddings.parquet"))
       .withColumn("embedding",
-        transform(col("embedding"), (x, j) =>
-          (x + (pmod(col("copy_i") * 31 + j, lit(7)) - lit(3)).cast("float") * lit(0.01f))
-            .cast("float")))
+        transform(col("embedding"), (x, j) => {
+          val jit = x +
+            (pmod(col("copy_i") * 31 + j, lit(7)) - lit(3)).cast("float") * lit(0.01f)
+          when(col("copy_i") === 0 ||
+              pmod(hash(col("copy_i") * 101 + j), lit(2)) === 0, jit)
+            .otherwise(-jit).cast("float")
+        }))
       .withColumn("vec_id", shift("vec_id"))
       .drop("copy_i")
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")

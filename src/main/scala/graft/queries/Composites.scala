@@ -95,7 +95,205 @@ object Composites {
          ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"""
   )
 
-  val defs: Map[String, Q] = decorrelated.map { case (name, sql) =>
+  /** Round-11 TPC-H breadth wave — the remaining dial-a-shape
+    * composites the fixture schema can express, again as SHARED SQL
+    * text on both engines (the plan is the point, not the dialect).
+    * Adaptations where the fixture lacks a TPC-H column are noted
+    * per query (no commit/receipt dates → the >60-day ship-lag
+    * lateness convention from Q21; no l_shipmode/p_container/c_phone
+    * → derived delay buckets, p_size, c_nationkey). Determinism
+    * (§7.4): every money sum goes through DECIMAL(18,4) terms (exact,
+    * order-free), every integer-CASE sum is CAST AS BIGINT (the r8
+    * HUGEINT lesson), the Q22 average is an exact-decimal sum / count
+    * (a bare double avg is partition-order-dependent), and every
+    * output is totally ordered.
+    */
+  private val tpchWave2: Map[String, String] = Map(
+    // TPC-H Q4 (order priority checking): EXISTS against the fact →
+    // left-semi hash join; lateness = shipped >60 days after order.
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+           AND o_orderdate < TIMESTAMP '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // TPC-H Q6 (forecasting revenue change): the pure scan-filter-agg
+    // — one codegen'd stage, zero joins; the predicate constants are
+    // exactly-representable doubles so BETWEEN never straddles an ulp.
+    "q_tpch_q6" ->
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                  AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
+
+    // TPC-H Q7 (volume shipping): two-nation flow with a
+    // double-aliased nation dim (n1 supplier side, n2 customer side).
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+                CAST(CAST(sum(volume) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                      CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                      CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume
+               FROM supplier, lineitem, orders, customer, nation n1, nation n2
+               WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                 AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+                 AND c_nationkey = n2.n_nationkey
+                 AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                 AND l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
+
+    // TPC-H Q8 (national market share): NATION_6's share of AMERICA
+    // ECONOMY-part revenue by order year — conditional share over a
+    // 5-table join; both sums are exact decimals, one final division.
+    "q_tpch_q8" ->
+      """SELECT o_year,
+                round(CAST(sum(CASE WHEN nation = 'NATION_6' THEN volume
+                                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+                      CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+         FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                      CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+                      n2.n_name AS nation
+               FROM part, supplier, lineitem, orders, customer,
+                    nation n1, nation n2, region
+               WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+                 AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+                 AND c_nationkey = n1.n_nationkey
+                 AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+                 AND s_nationkey = n2.n_nationkey
+                 AND o_orderdate >= TIMESTAMP '1996-01-01'
+                 AND o_orderdate < TIMESTAMP '1998-01-01'
+                 AND p_type = 'ECONOMY') all_nations
+         GROUP BY o_year ORDER BY o_year""",
+
+    // TPC-H Q12 (shipping modes / priority): l_shipmode doesn't exist
+    // in the fixture → derived ship-delay buckets (FAST ≤30d, SLOW
+    // ≤60d, LATE >60d) carry the same high/low-priority pivot.
+    "q_tpch_q12" ->
+      """SELECT delay_bucket,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM (SELECT o_orderpriority,
+                      CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 'LATE'
+                           WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY THEN 'SLOW'
+                           ELSE 'FAST' END AS delay_bucket
+               FROM orders, lineitem
+               WHERE o_orderkey = l_orderkey
+                 AND l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate < TIMESTAMP '1997-01-01') flagged
+         GROUP BY delay_bucket ORDER BY delay_bucket""",
+
+    // TPC-H Q13 (customer order-count distribution): LEFT OUTER join
+    // keeps zero-order customers; the o_comment NOT LIKE exclusion
+    // becomes an order-priority exclusion (same join-condition-filter
+    // shape: the predicate must ride INSIDE the outer join, not after
+    // it, or the zero bucket vanishes).
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT OUTER JOIN orders
+                 ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+               GROUP BY c_custkey) c_orders
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+
+    // TPC-H Q14 (promo revenue share): conditional-over-total revenue
+    // across the part join, one month window.
+    "q_tpch_q14" ->
+      """SELECT round(100.0 *
+                  CAST(sum(CASE WHEN p_type = 'PROMO'
+                                THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+                  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                       AS DOUBLE), 6) AS promo_revenue
+         FROM lineitem, part
+         WHERE l_partkey = p_partkey
+           AND l_shipdate >= TIMESTAMP '1996-09-01'
+           AND l_shipdate < TIMESTAMP '1996-10-01'""",
+
+    // TPC-H Q15 (top supplier): CTE revenue view + scalar-max
+    // subquery — Catalyst evaluates the max once (subquery reuse),
+    // never per row.
+    "q_tpch_q15" ->
+      """WITH revenue0 AS (
+           SELECT l_suppkey AS supplier_no,
+                  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                       AS DECIMAL(18,4)) AS DOUBLE) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM supplier, revenue0
+         WHERE s_suppkey = supplier_no
+           AND total_revenue = (SELECT max(total_revenue) FROM revenue0)
+         ORDER BY s_suppkey""",
+
+    // TPC-H Q17 (small-quantity-order revenue): correlated per-part
+    // avg → aggregate + equi join back on l_partkey; p_container
+    // stands in as p_size. The threshold avg is a sum of
+    // integer-valued quantities / count — exact, order-free.
+    "q_tpch_q17" ->
+      """SELECT round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS DOUBLE) / 7.0, 6) AS avg_yearly
+         FROM lineitem, part
+         WHERE p_partkey = l_partkey
+           AND p_brand = 'Brand#23' AND p_size < 25
+           AND l_quantity < (SELECT 0.3 * avg(l_quantity)
+                             FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
+
+    // TPC-H Q19 (discounted revenue, disjunctive predicates): the
+    // OR-of-ANDs join predicate — Catalyst must still extract the
+    // common p_partkey = l_partkey equi key and hash-join, pushing
+    // the disjunction to a post-join filter (never a BNLJ).
+    "q_tpch_q19" ->
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                  AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+         FROM lineitem, part
+         WHERE p_partkey = l_partkey AND
+           ((p_brand = 'Brand#12' AND p_size >= 1 AND p_size <= 15
+             AND l_quantity >= 1 AND l_quantity <= 11)
+            OR (p_brand = 'Brand#23' AND p_size >= 1 AND p_size <= 25
+                AND l_quantity >= 10 AND l_quantity <= 20)
+            OR (p_brand = 'Brand#24' AND p_size >= 1 AND p_size <= 35
+                AND l_quantity >= 20 AND l_quantity <= 30))""",
+
+    // TPC-H Q22 (global sales opportunity): NOT EXISTS (anti join) +
+    // a scalar avg threshold; c_phone country codes become
+    // c_nationkey, and "never ordered" becomes "never ordered
+    // URGENT" (every fixture customer has orders, so the literal
+    // form is empty at every SF). The threshold is an exact decimal
+    // sum / count — a bare avg(double) differs across partition
+    // orders.
+    "q_tpch_q22" ->
+      """SELECT cntrycode, count(*) AS numcust,
+                CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS DOUBLE) AS totacctbal
+         FROM (SELECT c_nationkey AS cntrycode, c_acctbal
+               FROM customer
+               WHERE c_nationkey <= 12
+                 AND c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                                              AS DOUBLE) / count(*)
+                                  FROM customer
+                                  WHERE c_acctbal > 0.0
+                                    AND c_nationkey <= 12)
+                 AND NOT EXISTS (SELECT 1 FROM orders
+                                 WHERE o_custkey = c_custkey
+                                   AND o_orderpriority = '1-URGENT')) custsale
+         GROUP BY cntrycode ORDER BY cntrycode"""
+  )
+
+  val defs: Map[String, Q] = (decorrelated ++ tpchWave2).map { case (name, sql) =>
     name -> ((s: SparkSession, d: String) => graft.Sql.adhoc(s, d, sql)): (String, Q)
   } ++ Map(
 
@@ -186,7 +384,7 @@ object Composites {
           col("c_acctbal"), col("n_name")))
   )
 
-  val oracle: Map[String, String] = decorrelated ++ Map(
+  val oracle: Map[String, String] = decorrelated ++ tpchWave2 ++ Map(
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,

