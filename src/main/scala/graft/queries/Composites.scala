@@ -145,8 +145,8 @@ object Composites {
                WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
                  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
                  AND c_nationkey = n2.n_nationkey
-                 AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                 AND ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+                   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
                  AND l_shipdate >= TIMESTAMP '1996-01-01'
                  AND l_shipdate < TIMESTAMP '1998-01-01') shipping
          GROUP BY supp_nation, cust_nation, l_year
@@ -293,7 +293,105 @@ object Composites {
          GROUP BY cntrycode ORDER BY cntrycode"""
   )
 
-  val defs: Map[String, Q] = (decorrelated ++ tpchWave2).map { case (name, sql) =>
+  /** Round-11 TPC-H completion wave — the last four of the 22, all
+    * partsupp-dependent in the official text (the fixture has no
+    * partsupp table), re-anchored on lineitem with the Q2 convention
+    * (unit price l_extendedprice/l_quantity stands in for
+    * ps_supplycost; a supplier "stocks" a part iff it ever shipped
+    * it). The PLAN shapes survive the adaptation: Q9's per-part
+    * cost subquery decorrelates to an aggregate + equi join under the
+    * 5-table star, Q11's HAVING threshold is a one-row scalar
+    * subquery broadcast against the grouped fact, Q16's NOT IN is a
+    * null-safe anti join under a count-distinct rollup, and Q20 keeps
+    * the nested IN chain with a correlated per-part aggregate.
+    * Money sums follow §7.4 (DECIMAL(18,4) terms); quantity sums are
+    * integer-valued doubles (exact at any partition order); min over
+    * doubles is order-free.
+    */
+  private val tpchWave3: Map[String, String] = Map(
+    // TPC-H Q9 (product-type profit): profit per supplier nation and
+    // order year over the canonical 6-table star — supply cost rides
+    // the part dim as a fixed retail margin (0.6 · p_retailprice
+    // stands in for ps_supplycost; a 2dp value × 0.6 × an integer
+    // quantity sits on the 3dp grid, so the DECIMAL(18,4) cast is
+    // never near a rounding midpoint — unit-price quotients are NOT
+    // hash-safe here, measured).
+    "q_tpch_q9" ->
+      """SELECT nation, o_year,
+                CAST(CAST(sum(amount) AS DECIMAL(18,4)) AS DOUBLE) AS sum_profit
+         FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                      CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                      - CAST(0.6 * p_retailprice * l_quantity AS DECIMAL(18,4)) AS amount
+               FROM part, supplier, lineitem, orders, nation
+               WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+                 AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+                 AND p_name LIKE '%red%') profit
+         GROUP BY nation, o_year ORDER BY nation, o_year DESC""",
+
+    // TPC-H Q11 (important stock): per-part shipped value for one
+    // nation's suppliers, kept only above a fraction of the nation
+    // total — the global threshold is a scalar subquery evaluated
+    // once and broadcast.
+    "q_tpch_q11" ->
+      """SELECT l_partkey AS ps_partkey,
+                CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                     AS DECIMAL(18,4)) AS DOUBLE) AS value
+         FROM lineitem, supplier, nation
+         WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+           AND n_name = 'NATION_3'
+         GROUP BY l_partkey
+         HAVING CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                     AS DOUBLE) >
+                (SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                             AS DOUBLE) * 0.001
+                 FROM lineitem, supplier, nation
+                 WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+                   AND n_name = 'NATION_3')
+         ORDER BY value DESC, ps_partkey""",
+
+    // TPC-H Q16 (parts/supplier relationship): distinct suppliers per
+    // part attribute cell, excluding flagged suppliers via NOT IN —
+    // s_acctbal < 0 stands in for the comment-LIKE complaint flag
+    // (keys are never null, so the null-aware anti join is a plain
+    // left-anti hash join).
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+                count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem, part
+         WHERE p_partkey = l_partkey
+           AND p_brand <> 'Brand#12' AND p_type <> 'PROMO'
+           AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+    // TPC-H Q20 (potential part promotion): suppliers who dominated a
+    // red part's 1996 volume (>20% of all shipments of that part) —
+    // the nested-IN chain with a correlated per-part aggregate; the
+    // nationkey range plays the country-code role (the Q22
+    // convention) so the result is non-degenerate at every SF.
+    "q_tpch_q20" ->
+      """SELECT s_name, s_acctbal
+         FROM supplier, nation
+         WHERE s_suppkey IN (
+             SELECT l1.l_suppkey
+             FROM lineitem l1
+             WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE 'red%')
+               AND l1.l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l1.l_shipdate < TIMESTAMP '1997-01-01'
+             GROUP BY l1.l_suppkey, l1.l_partkey
+             HAVING sum(l1.l_quantity) > (
+                 SELECT 0.2 * sum(l2.l_quantity) FROM lineitem l2
+                 WHERE l2.l_partkey = l1.l_partkey
+                   AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+           AND s_nationkey = n_nationkey AND n_nationkey < 13
+         ORDER BY s_name"""
+  )
+
+  val defs: Map[String, Q] = (decorrelated ++ tpchWave2 ++ tpchWave3).map { case (name, sql) =>
     name -> ((s: SparkSession, d: String) => graft.Sql.adhoc(s, d, sql)): (String, Q)
   } ++ Map(
 
@@ -384,7 +482,7 @@ object Composites {
           col("c_acctbal"), col("n_name")))
   )
 
-  val oracle: Map[String, String] = decorrelated ++ tpchWave2 ++ Map(
+  val oracle: Map[String, String] = decorrelated ++ tpchWave2 ++ tpchWave3 ++ Map(
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,

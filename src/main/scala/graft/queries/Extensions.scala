@@ -2933,7 +2933,7 @@ object Extensions {
     })
   )
 
-  private val knnCosSql =
+  private[queries] val knnCosSql =
     """list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
        / (qn * cn)"""
 

@@ -266,4 +266,110 @@ class CompositesSpec extends SparkSuite {
     assert(sName2.subsetOf(minNames),
       s"reported suppliers $sName2 not all at the min price ($minNames)")
   }
+
+  // ---- round-11 TPC-H completion wave (Q9/Q11/Q16/Q20): the four
+  // partsupp-dependent queries on their lineitem re-anchoring.
+
+  test("tpch wave 3: no nested-loop/cartesian joins in any plan") {
+    for (q <- Seq("q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20"))
+      assertNoFactBnlj(physical(run(q)))
+  }
+
+  test("q_tpch_q9: star join broadcasts the dims; profit <= revenue per cell") {
+    val df = run("q_tpch_q9")
+    assert(physical(df).collect { case b: BroadcastHashJoinExec => b }.size >= 2,
+      "part/supplier/nation dims must broadcast in the Q9 star")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // profit against cost floored at the corpus-min unit price can
+    // never exceed plain discounted revenue for the same cell
+    import org.apache.spark.sql.functions.{col, expr}
+    val rev = Tables.table(spark, sfDir, "lineitem")
+      .join(Tables.table(spark, sfDir, "part")
+        .filter(col("p_name").like("%red%")), expr("p_partkey = l_partkey"))
+      .join(Tables.table(spark, sfDir, "orders"), expr("o_orderkey = l_orderkey"))
+      .join(Tables.table(spark, sfDir, "supplier"), expr("s_suppkey = l_suppkey"))
+      .join(Tables.table(spark, sfDir, "nation"), expr("s_nationkey = n_nationkey"))
+      .groupBy(col("n_name"), expr("CAST(year(o_orderdate) AS BIGINT)").as("y"))
+      .agg(expr("CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)").as("rev"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      val cell = (r.getString(0), r.getLong(1))
+      assert(r.getDouble(2) <= rev(cell) + 1e-6,
+        s"profit ${r.getDouble(2)} above revenue ${rev(cell)} for $cell")
+    }
+  }
+
+  test("q_tpch_q11: scalar threshold respected; values ordered desc") {
+    val rows = run("q_tpch_q11").collect()
+    assert(rows.nonEmpty)
+    val values = rows.map(_.getDouble(1))
+    values.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => }
+    val total = {
+      import org.apache.spark.sql.functions.{col, expr}
+      Tables.table(spark, sfDir, "lineitem")
+        .join(Tables.table(spark, sfDir, "supplier"), expr("l_suppkey = s_suppkey"))
+        .join(Tables.table(spark, sfDir, "nation")
+          .filter(col("n_name") === "NATION_3"), expr("s_nationkey = n_nationkey"))
+        .selectExpr("CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)")
+        .collect().head.getDouble(0)
+    }
+    values.foreach(v => assert(v > total * 0.001, s"$v below threshold ${total * 0.001}"))
+    // the kept groups cannot sum past the total
+    assert(values.sum <= total + 1e-6)
+  }
+
+  test("q_tpch_q16: NOT IN plans as a left-anti join; counts match a driver recompute") {
+    val df = run("q_tpch_q16")
+    assert(joinNodes(physical(df)).exists(_.contains("LeftAnti")),
+      s"NOT IN must plan as left-anti, got ${joinNodes(physical(df))}")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions.col
+    val flagged = Tables.table(spark, sfDir, "supplier")
+      .filter(col("s_acctbal") < 0).collect().map(_.getLong(0)).toSet
+    val sizes = Set(1, 4, 7, 10, 14, 19, 23, 36)
+    val parts = Tables.table(spark, sfDir, "part")
+      .filter(col("p_brand") =!= "Brand#12" && col("p_type") =!= "PROMO")
+      .collect().filter(r => sizes(r.getInt(4)))
+      .map(r => r.getLong(0) -> (r.getString(2), r.getString(3), r.getInt(4))).toMap
+    val expect = Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .collect { case (pk, sk) if parts.contains(pk) && !flagged(sk) => (parts(pk), sk) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length).toMap
+    rows.foreach { r =>
+      val cell = (r.getString(0), r.getString(1), r.getInt(2))
+      assert(r.getLong(3) == expect(cell), s"supplier_cnt mismatch for $cell")
+    }
+    assert(rows.length == expect.size)
+  }
+
+  test("q_tpch_q20: nested IN chain plans as semi joins; members dominate a red part") {
+    val df = run("q_tpch_q20")
+    val joins = joinNodes(physical(df))
+    assert(joins.exists(_.contains("LeftSemi")),
+      s"IN chain must plan as left-semi, got $joins")
+    assertNoFactBnlj(physical(df))
+    val rows = df.collect()
+    assert(rows.nonEmpty, "Q20 must be non-degenerate at the gate SF")
+    import org.apache.spark.sql.functions.{col, expr}
+    val redParts = Tables.table(spark, sfDir, "part")
+      .filter(col("p_name").like("red%")).collect().map(_.getLong(0)).toSet
+    val win = Tables.table(spark, sfDir, "lineitem")
+      .filter(expr("l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(t => redParts(t._1))
+    val byPart = win.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val dominant = win.groupBy(t => (t._1, t._2)).collect {
+      case ((pk, sk), ls) if ls.map(_._3).sum > 0.2 * byPart(pk) => sk
+    }.toSet
+    val names = Tables.table(spark, sfDir, "supplier")
+      .join(Tables.table(spark, sfDir, "nation").filter(col("n_nationkey") < 13),
+        expr("s_nationkey = n_nationkey"))
+      .collect().filter(r => dominant(r.getLong(0))).map(_.getString(1)).toSet
+    assert(rows.map(_.getString(0)).toSet == names,
+      s"Q20 membership ${rows.map(_.getString(0)).toSet} != driver $names")
+  }
 }
