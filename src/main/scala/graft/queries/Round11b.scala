@@ -340,15 +340,21 @@ object Round11b {
       val sym = e.select(col("a").as("u"), col("b").as("v"))
         .unionByName(e.select(col("b").as("u"), col("a").as("v")))
       val deg = sym.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
-      val hop2 = sym.select(col("v").as("id_a"), col("u").as("w"))
+      // attach deg(w) to the EDGE-grain side (2m rows) before the
+      // wedge self-join — joining deg onto the Σd²-row wedge table
+      // instead was the 10×-fixture scale killer; likewise the
+      // existing-edge anti join runs AFTER pair aggregation (pair
+      // grain ≤ wedge grain), not on raw wedges
+      val symd = sym.join(deg, sym("u") === deg("w"))
+        .select(col("v").as("id_a"), col("w"), col("deg"))
+      val hop2 = symd
         .join(sym.select(col("u").as("w"), col("v").as("id_b")), "w")
         .filter(col("id_a") < col("id_b"))
-        .join(e.select(col("a").as("id_a"), col("b").as("id_b")),
-          Seq("id_a", "id_b"), "left_anti")
-      hop2.join(deg, "w")
-        .groupBy(col("id_a"), col("id_b"))
+      hop2.groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("n_common"),
           round(sum(lit(1.0) / log(col("deg").cast("double"))), 6).as("aa"))
+        .join(e.select(col("a").as("id_a"), col("b").as("id_b")),
+          Seq("id_a", "id_b"), "left_anti")
         .orderBy(col("aa").desc, col("id_a"), col("id_b"))
         .limit(50)
     })
