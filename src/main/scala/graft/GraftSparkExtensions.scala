@@ -76,6 +76,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_adc", classOf[AdcLookup].getName),
       (exprs: Seq[Expression]) => AdcLookup(exprs(0), exprs(1))))
 
+    ext.injectFunction((FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler", classOf[JaroWinklerSim].getName),
+      (exprs: Seq[Expression]) => JaroWinklerSim(exprs(0), exprs(1))))
+
     ext.injectFunction((FunctionIdentifier("graft_kmv"),
       info("graft_kmv", classOf[KmvSketch].getName),
       (exprs: Seq[Expression]) => KmvSketch.build(exprs)))

@@ -44,10 +44,12 @@ object Kcore {
         .groupBy(col("id")).agg(count(lit(1)).as("core_deg"))
       val degT = Checkpoints.truncate(deg, eager = false)
       val alive = degT.filter(col("core_deg") >= k).select(col("id"))
-      val nAlive = alive.count()
-      val nVerts = degT.count()
+      // ONE driver action per round (was two: count(alive) +
+      // count(all)) — with 10+ peeling rounds the extra job launch
+      // was the dominant cost at small partitions
+      val nBelow = degT.filter(col("core_deg") < k).count()
       lastDeg = degT
-      if (nAlive == nVerts) stable = true
+      if (nBelow == 0L) stable = true
       else {
         e = Checkpoints.truncate(
           e.join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
