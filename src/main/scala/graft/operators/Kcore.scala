@@ -34,27 +34,31 @@ object Kcore {
   def kCore(spark: SparkSession, edges: DataFrame, k: Int,
       maxRounds: Int = 50): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    def degOf(g: DataFrame): DataFrame =
+      g.select(col("a").as("id"))
+        .unionAll(g.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("core_deg"))
+    def peel(g: DataFrame, deg: DataFrame): DataFrame = {
+      val alive = deg.filter(col("core_deg") >= k).select(col("id"))
+      g.join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
+    }
     var e = Checkpoints.truncate(edges.select(col("a"), col("b")), eager = false)
     var lastDeg: DataFrame = null
     var round = 0
     var stable = false
     while (!stable && round < maxRounds) {
-      val deg = e.select(col("a").as("id"))
-        .unionAll(e.select(col("b").as("id")))
-        .groupBy(col("id")).agg(count(lit(1)).as("core_deg"))
-      val degT = Checkpoints.truncate(deg, eager = false)
-      val alive = degT.filter(col("core_deg") >= k).select(col("id"))
-      // ONE driver action per round (was two: count(alive) +
-      // count(all)) — with 10+ peeling rounds the extra job launch
-      // was the dominant cost at small partitions
-      val nBelow = degT.filter(col("core_deg") < k).count()
-      lastDeg = degT
+      // TWO peel steps per driver action: peeling past the fixpoint is
+      // idempotent, and the per-round count job (not the shuffle work)
+      // dominated wall time at small partitions — one count now pays
+      // for two peeling levels
+      val e1 = Checkpoints.truncate(peel(e, degOf(e)), eager = false)
+      val deg2 = Checkpoints.truncate(degOf(e1), eager = false)
+      val nBelow = deg2.filter(col("core_deg") < k).count()
+      lastDeg = deg2
       if (nBelow == 0L) stable = true
       else {
-        e = Checkpoints.truncate(
-          e.join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
-            .join(alive.select(col("id").as("b")), Seq("b"), "left_semi"),
-          eager = false)
+        e = Checkpoints.truncate(peel(e1, deg2), eager = false)
         round += 1
       }
     }
