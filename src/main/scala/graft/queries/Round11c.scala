@@ -33,12 +33,13 @@ import graft.functions.TextFunctions
 object Round11c {
   type Q = (SparkSession, String) => DataFrame
 
-  // language-ID-gate prediction shared by fairness: yhat = "the
-  // en-stopword score wins the argmax" — the exact q_x_lang_id rule.
-  private def predEn: org.apache.spark.sql.Column =
+  // language-ID-gate prediction shared by fairness (and Round11l's
+  // MCC): yhat = "the en-stopword score wins the argmax" — the exact
+  // q_x_lang_id rule.
+  private[queries] def predEn: org.apache.spark.sql.Column =
     TextFunctions.langId(TextFunctions.tokens(col("text"))) === "en"
 
-  private val langIdCte =
+  private[queries] val langIdCte =
     """ SELECT source, lang = 'en' AS y,
              CASE WHEN greatest(sc_de, sc_en, sc_es, sc_fr) <= 0 THEN false
                   WHEN sc_de = greatest(sc_de, sc_en, sc_es, sc_fr) THEN false
