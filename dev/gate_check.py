@@ -213,7 +213,10 @@ def triage(rnd: int, full: dict, run: bool = True) -> bool:
         verdicts = json.load(open(out_path))
     except FileNotFoundError:
         pass
-    todo = [q for q in flagged if q not in verdicts]
+    # 'inconclusive' verdicts (failed isolated run) stay in todo so the
+    # next gate run retries them instead of reusing a broken verdict
+    todo = [q for q in flagged
+            if verdicts.get(q, {}).get("verdict") not in ("ghost", "regression")]
     if todo and not run:
         print(f"TRIAGE RED (unresolved): {len(todo)} flagged, re-run without "
               f"--no-run or manually:\n  SPARK_GRAFT_SF_DIR={full['sf']} "
@@ -232,10 +235,13 @@ def triage(rnd: int, full: dict, run: bool = True) -> bool:
                 iso = json.loads(line[line.index("{"):]).get("queries", {})
         for q in todo:
             it = iso.get(q)
-            if it is None:
+            if r.returncode != 0 or it is None:
+                # do NOT persist 'regression' on an infra failure (OOM,
+                # flake): 'inconclusive' is retried by the next gate run
                 verdicts[q] = {"prior": pq[q], "driver": cq[q],
-                               "isolated": None, "verdict": "regression",
-                               "note": "isolated run produced no timing"}
+                               "isolated": None, "verdict": "inconclusive",
+                               "note": f"isolated run rc={r.returncode}, "
+                                       f"timing {'missing' if it is None else it}"}
             else:
                 ghost = it <= 2.5 * pq[q] + 0.3
                 verdicts[q] = {"prior": pq[q], "driver": cq[q],
@@ -243,6 +249,8 @@ def triage(rnd: int, full: dict, run: bool = True) -> bool:
                                "verdict": "ghost" if ghost else "regression"}
         json.dump(verdicts, open(out_path, "w"), indent=1, sort_keys=True)
     bad = sorted(q for q in flagged if verdicts[q]["verdict"] == "regression")
+    unresolved = sorted(q for q in flagged
+                        if verdicts[q]["verdict"] == "inconclusive")
     for q in flagged:
         v = verdicts[q]
         print(f"  TRIAGE {q}: prior {v['prior']}s, driver {v['driver']}s, "
@@ -250,6 +258,10 @@ def triage(rnd: int, full: dict, run: bool = True) -> bool:
     if bad:
         print(f"TRIAGE RED: {len(bad)} real regressions confirmed by isolated "
               f"re-run: {bad}")
+        return False
+    if unresolved:
+        print(f"TRIAGE RED (inconclusive): isolated re-run failed for "
+              f"{unresolved} — rerun the gate (verdicts not persisted as red)")
         return False
     print(f"TRIAGE GREEN: all {len(flagged)} flagged queries are driver-window "
           f"ghosts (isolated re-run within bound; {out_path})")

@@ -239,17 +239,25 @@ object Similarity {
     * construction time made every build of q_x_ann_lsh, including
     * explain-only PlanAudit paths, run a full corpus scan first).
     * `rowCount` is exact when CBO stats exist; the fallback divides
-    * the relation's sizeInBytes by the packed float-array row estimate
-    * (4·dim payload + ~128 B parquet framing — within 5% of the
-    * measured fixtures). autoPlanes is log₂-scaled, so even a 2× row
-    * misestimate moves the plane count by ≤1; a non-positive/unknown
-    * size falls back to the exact count (one job, same as before).
+    * the relation's sizeInBytes (ON-DISK parquet bytes, scaled by
+    * `spark.sql.sources.fileCompressionFactor` — set it above 1 for a
+    * compressible corpus, it defaults to 1 and the fixtures' random
+    * floats are incompressible, where the 4·dim payload + ~128 B
+    * framing estimate is within 5%) by the per-row estimate. A
+    * compressible corpus with the factor left at 1 under-counts rows,
+    * but autoPlanes is log₂-scaled, so even a 2× row misestimate
+    * moves the plane count by ≤1; a non-positive/unknown size falls
+    * back to the exact count (one job, same as before).
     */
   private def estimatedRows(df: DataFrame, dim: Int): Long = {
     val st = df.queryExecution.optimizedPlan.stats
     st.rowCount.map(_.toLong).getOrElse {
       if (st.sizeInBytes <= 0 || !st.sizeInBytes.isValidLong) -1L
-      else math.max(1L, st.sizeInBytes.toLong / (4L * dim + 128L))
+      else {
+        val factor = df.sparkSession.conf
+          .get("spark.sql.sources.fileCompressionFactor", "1.0").toDouble
+        math.max(1L, (st.sizeInBytes.toLong * factor).toLong / (4L * dim + 128L))
+      }
     }
   }
 
