@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Cuts.CutOps
 
 /** Distributed byte-pair-encoding tokenizer training — the
   * vocabulary-learning step of an LLM data pipeline (the Sennrich
@@ -105,7 +106,7 @@ object Bpe {
     * not data). */
   def trainMerges(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    var words = wordTable(docs, textCol).localCheckpoint(eager = false)
+    var words = wordTable(docs, textCol).cut("Bpe.scala:108")
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
     while (merges.length < numMerges && !exhausted) {
@@ -132,7 +133,7 @@ object Bpe {
         val mergeOne = udf((s: Seq[String]) => applyMerge(s, l, r))
         words = words
           .select(mergeOne(col("syms")).as("syms"), col("freq"))
-          .localCheckpoint(eager = false)
+          .cut("Bpe.scala:135")
       }
     }
     merges.toSeq

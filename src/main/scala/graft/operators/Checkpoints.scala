@@ -43,6 +43,7 @@ object Checkpoints {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   def truncate(df: DataFrame, eager: Boolean = true): DataFrame = {
+    graft.Cuts.record("Checkpoints.truncate", df)
     val ss = df.sparkSession
     val reliable = ss.conf.get(ConfKey, "false").toBoolean &&
       ss.sparkContext.getCheckpointDir.isDefined

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Cuts.CutOps
 
 /** Graph-based DBSCAN (Ester et al. 1996) over a precomputed
   * ε-neighborhood edge list — density clustering that, unlike k-means,
@@ -36,13 +37,13 @@ object Dbscan {
     *         points only — noise is the complement of the id set.
     */
   def cluster(spark: SparkSession, edges: DataFrame, minPts: Int): DataFrame = {
-    val e = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
+    val e = edges.select(col("a"), col("b")).cut("Dbscan.scala:39")
     val sym = e.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e.select(col("b").as("u"), col("a").as("v")))
     // |N_eps(p)| >= minPts with p itself counted => degree >= minPts-1
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
     val core = deg.filter(col("d") >= minPts - 1).select(col("u").as("id"))
-      .localCheckpoint(eager = false)
+      .cut("Dbscan.scala:45")
     val coreEdges = e
       .join(core.select(col("id").as("a")), Seq("a"), "left_semi")
       .join(core.select(col("id").as("b")), Seq("b"), "left_semi")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
+import graft.Cuts.CutOps
 
 /** Deduplication operators for training-data pipelines
   * (SURVEY.md §2.8): exact, MinHash+LSH, SimHash, n-gram Jaccard.
@@ -127,7 +128,7 @@ object Dedup {
         b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-      .localCheckpoint()
+      .cut("Dedup.scala:130", eager = true)
 
     val a = banded.select(col("band"), col("bucket"),
       col("doc_id").as("doc_a"), col("words").as("words_a"))
@@ -184,7 +185,7 @@ object Dedup {
     // other Dedup builders): reused by the explode below AND both sides
     // of the verify join (would otherwise recompute the derivation 3×)
     val base = sets.select(col(idCol).as("doc_id"), col(setCol).as("s"))
-      .localCheckpoint(eager = false)
+      .cut("Dedup.scala:187")
     val la = base.select(col("doc_id").as("doc_a"), col("s"))
     val rb = base.select(col("doc_id").as("doc_b"), col("s"))
     val freq = base.select(explode(col("s")).as("t"))
@@ -229,7 +230,7 @@ object Dedup {
     val q = 1000000L
     val base = sets.select(col(idCol).as("doc_id"), col(setCol).as("s"))
       .filter(size(col("s")) > 0)
-      .localCheckpoint(eager = false)
+      .cut("Dedup.scala:232")
     val la = base.select(col("doc_id").as("doc_a"), col("s"))
     val rb = base.select(col("doc_id").as("doc_b"), col("s"))
     val freq = base.select(explode(col("s")).as("t"))
@@ -317,9 +318,9 @@ object Dedup {
       idCol: String, setCol: String, threshold: Double): DataFrame =
     exactJaccardJoinPrepared(
       left.select(col(idCol).as("doc_a"), col(setCol).as("s"))
-        .localCheckpoint(eager = false),
+        .cut("Dedup.scala:320"),
       right.select(col(idCol).as("doc_b"), col(setCol).as("s"))
-        .localCheckpoint(eager = false),
+        .cut("Dedup.scala:322"),
       threshold)
 
   /** [[exactJaccardJoin]] over caller-prepared sides: la = (doc_a, s),
@@ -383,7 +384,7 @@ object Dedup {
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
-      .localCheckpoint()
+      .cut("Dedup.scala:386", eager = true)
     val a = banded.select(col("chunk"), col("chunk_val"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("chunk"), col("chunk_val"),
@@ -432,7 +433,7 @@ object Dedup {
     // checkpoint and everything downstream carries 8-byte keys)
     val wins = (if (hashKeys) raw.select(col("doc_id"), xxhash64(col("win")).as("win"))
                 else raw)
-      .localCheckpoint(eager = false)
+      .cut("Dedup.scala:435")
     val perKey = wins.groupBy(col("win"))
       .agg(countDistinct(col("doc_id")).as("nd"))
     wins.join(perKey, "win")

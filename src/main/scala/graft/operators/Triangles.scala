@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Cuts.CutOps
 
 /** Exact triangle counting on an undirected graph via degree-ordered
   * orientation (Cohen 2009 / Suri & Vassilvitskii 2011 — the
@@ -35,7 +36,7 @@ object Triangles {
     // materialize the census once (lazily): the ta/tb/tc union below
     // would otherwise replay the wedge join + closing semi-join three
     // times — measured 22 s vs 2 s on the dense 10× synthetic graph
-    val tri = triangles(edges).localCheckpoint(eager = false)
+    val tri = triangles(edges).cut("Triangles.scala:38")
     tri.select(col("ta").as("id"))
       .unionAll(tri.select(col("tb").as("id")))
       .unionAll(tri.select(col("tc").as("id")))
@@ -65,7 +66,7 @@ object Triangles {
         col("b")).otherwise(col("a")).as("v"),
       when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
         col("db")).otherwise(col("da")).as("dv"))
-      .localCheckpoint(eager = false)
+      .cut("Triangles.scala:68")
     // wedges from each source u: out-neighbor pairs in orientation order
     val o1 = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
     val o2 = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))

@@ -8,6 +8,7 @@ import graft.functions.TextFunctions
 import graft.functions.VectorFunctions
 import graft.multimodal.Multimodal
 import graft.operators.{Dedup, Similarity}
+import graft.Cuts.CutOps
 
 /** LLM-data-pipeline extension queries (SURVEY.md §2.8): dedup family,
   * similarity search, text analysis, multimodal columns.
@@ -1087,7 +1088,7 @@ object Extensions {
       val tf = table(s, d, "documents")
         .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(eager = false)
+        .cut("Extensions.scala:1090")
       val tot = tf.agg(sum(col("c")).as("total"))
       def cut(k: Int) = tf.orderBy(col("c").desc, col("tok")).limit(k)
         .agg(sum(col("c")).as("mass"), count(lit(1)).as("n_used"))
@@ -1115,7 +1116,7 @@ object Extensions {
         .filter(col("nv") > 0)
       val nx = dims.join(nrm, Seq("vec_id", "label"))
         .select(col("label"), col("pos"), (col("x") / col("nv")).as("xh"))
-        .localCheckpoint(eager = false)
+        .cut("Extensions.scala:1118")
       val s2 = nx.groupBy(col("label"), col("pos")).agg(sum(col("xh")).as("sx"))
         .groupBy(col("label")).agg(sum(col("sx") * col("sx")).as("s2"))
       val s1 = nx.groupBy(col("label")).agg(sum(col("xh") * col("xh")).as("s1"))
@@ -1567,7 +1568,7 @@ object Extensions {
       // document scans)
       val toks = table(s, d, "documents")
         .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-        .localCheckpoint(eager = false)
+        .cut("Extensions.scala:1570")
       val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
         .orderBy(col("cf").desc, col("tok")).limit(200)
       // smooth by the ACTUAL vocab size (can be < 200 on tiny
@@ -1977,7 +1978,7 @@ object Extensions {
       val grams = table(s, d, "documents")
         .select(col("doc_id"),
           explode(TextFunctions.charNgramsExpr("text", 3)).as("g"))
-        .localCheckpoint(eager = false)
+        .cut("Extensions.scala:1980")
       val counts = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
       val total = grams.agg(count(lit(1)).as("tot"))
       grams.join(counts, "g")
@@ -2683,7 +2684,7 @@ object Extensions {
       val grams = table(s, d, "documents")
         .select(col("doc_id"),
           explode(array_distinct(TextFunctions.wordNgramsExpr("text", 5))).as("g"))
-        .localCheckpoint(eager = false)
+        .cut("Extensions.scala:2686")
       val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
       grams.join(df, "g")
         .groupBy(col("doc_id"))
@@ -2922,7 +2923,7 @@ object Extensions {
       val media = Multimodal.attachBinary(table(s, d, "documents"))
       val frames = Multimodal.sampleFrames(s, media, stride = 1).toDF()
         .select(col("doc_id"), md5(col("frame_bytes")).as("h")).distinct()
-        .localCheckpoint(eager = false)
+        .cut("Extensions.scala:2925")
       frames.select(col("doc_id").as("doc_a"), col("h"))
         .join(frames.select(col("doc_id").as("doc_b"), col("h")), "h")
         .filter(col("doc_a") < col("doc_b"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.table
 import graft.functions.{TextFunctions, VectorFunctions}
+import graft.Cuts.CutOps
 
 /** Round-10 expansion (SURVEY.md §2.8d): statistical-audit companions
   * (Levene/Brown–Forsythe, McNemar, Cohen's d, Mann–Kendall trend,
@@ -135,7 +136,7 @@ object Round10 {
       val ut = table(s, d, "events")
         .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
         .distinct()
-        .localCheckpoint(eager = false)
+        .cut("Round10.scala:138")
       val nu = ut.select(col("user_id"), col("day")).distinct()
         .agg(count(lit(1)).as("n_users"))
       val nt = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
@@ -165,7 +166,7 @@ object Round10 {
       val dc = table(s, d, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint(eager = false)
+        .cut("Round10.scala:168")
       val a = dc.select(col("event_type"), col("day").as("da"), col("c").as("ca"))
       val b = dc.select(col("event_type"), col("day").as("db"), col("c").as("cb"))
       val sTab = a.join(b, Seq("event_type")).filter(col("da") < col("db"))
@@ -232,7 +233,7 @@ object Round10 {
         .withColumn("cumb",
           coalesce(sum(col("bn")).over(
             wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .localCheckpoint(eager = false)
+        .cut("Round10.scala:235", kRowFold = true)
       bins.crossJoin(broadcast(tot))
         .withColumn("decile", floor(col("cumb") * 10 / col("nn")).cast("int"))
         .groupBy(col("decile"))
@@ -352,7 +353,7 @@ object Round10 {
     "q_x_mg_guaranteed" -> ((s, d) => {
       val toks = table(s, d, "documents")
         .select(explode(TextFunctions.tokens(col("text"))).as("w"))
-        .localCheckpoint(eager = false)
+        .cut("Round10.scala:355")
       val sketchTerms = toks
         .agg(call_function("graft_freq_items", col("w"), lit(50)).as("sk"))
         .select(explode(col("sk.terms")).as("t"))

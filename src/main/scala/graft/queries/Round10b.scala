@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
+import graft.Cuts.CutOps
 
 /** Round-10 wave 3 (SURVEY.md §2.8d cont.): drift detection (CUSUM),
   * randomness (runs test), cross-source similarity (exact vocabulary
@@ -107,7 +108,7 @@ object Round10b {
         .select(col("source"),
           explode(graft.functions.TextFunctions.wordNgramsExpr("text", 2)).as("t"))
         .distinct()
-        .localCheckpoint(eager = false)
+        .cut("Round10b.scala:110")
       val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("nv"))
       val inter = st.select(col("source").as("sa"), col("t"))
         .join(st.select(col("source").as("sb"), col("t")), "t")
@@ -142,7 +143,7 @@ object Round10b {
           wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("cum_mass", sum(col("mass")).over(
           wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .localCheckpoint(eager = false)
+        .cut("Round10b.scala:145", kRowFold = true)
       val tot = byCount.agg(sum(col("mass")).as("n_tokens"))
       byCount.crossJoin(broadcast(tot))
         .select(col("c"), col("n_terms"), col("cum_terms"),
@@ -167,7 +168,7 @@ object Round10b {
         val cum = vg.coalesce(1)
           .withColumn("cum", sum(col("cnt")).over(
             wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .localCheckpoint(eager = false)
+          .cut("Round10b.scala:170", kRowFold = true)
         val n = cum.agg(max(col("cum")).as("n"))
         val spine = broadcast(
           side.sparkSession.range(1, 20).select((col("id") * 5).as("q")))

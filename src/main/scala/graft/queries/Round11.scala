@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
+import graft.Cuts.CutOps
 
 /** Round-11 wave (SURVEY.md §2.8e): retrieval/calibration evaluation
   * (average precision, Brier decomposition), multi-classifier
@@ -285,7 +286,7 @@ object Round11 {
       val cum = hist.coalesce(1)
         .withColumn("ccnt", sum(col("cnt")).over(w))
         .withColumn("cchars", sum(col("chars")).over(w))
-        .localCheckpoint(eager = false)
+        .cut("Round11.scala:288", kRowFold = true)
       val tot = cum.agg(max(col("ccnt")).as("n"), max(col("cchars")).as("tchars"))
       val grid = s.range(1, 11).toDF("g")
         .crossJoin(broadcast(tot))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables.table
+import graft.Cuts.CutOps
 
 /** Round-11 wave 2 (SURVEY.md §2.8e): the k-sample statistical-test
   * completions (Kruskal–Wallis, Bartlett, Welch ANOVA, Tukey HSD,
@@ -309,7 +310,7 @@ object Round11b {
         val cum = vg.coalesce(1)
           .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("v"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .localCheckpoint(eager = false)
+          .cut("Round11b.scala:312", kRowFold = true)
         val n = cum.agg(max(col("cum")).as("n"))
         val thr = broadcast(u.sparkSession.range(1, 5).select(col("id").as("q")))
           .crossJoin(broadcast(n))

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables.table
 import graft.functions.TextFunctions
+import graft.Cuts.CutOps
 
 /** Round-11 wave 4 (SURVEY.md §2.8e): the corpus-operations layer a
   * 100 TB training-data pipeline runs between cleaning and writing —
@@ -100,7 +101,7 @@ object Round11d {
       val cum = vg.coalesce(1)
         .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("v"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .localCheckpoint(eager = false)
+        .cut("Round11d.scala:103", kRowFold = true)
       val n = cum.agg(max(col("cum")).as("n"))
       val thr = broadcast(s.range(1, 5).select(col("id").as("q")))
         .crossJoin(broadcast(n))
@@ -148,7 +149,7 @@ object Round11d {
       val cum = hist.coalesce(1)
         .withColumn("cum", sum(col("k")).over(Window.orderBy(col("sz"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .localCheckpoint(eager = false)
+        .cut("Round11d.scala:151", kRowFold = true)
       val dd = cum.agg(max(col("cum")).as("d"))
       val p99 = cum.crossJoin(broadcast(dd))
         .filter(col("cum") * 100 >= col("d") * 99)

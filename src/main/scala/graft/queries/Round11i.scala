@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.table
 import graft.functions.TextFunctions
+import graft.Cuts.CutOps
 
 /** Round-11 wave 9 (SURVEY.md §2.8e): novelty/provenance audits — how
   * much of each document, source, and corpus decile is NEW text vs
@@ -90,7 +91,7 @@ object Round11i {
         .withColumn("cum_grams", sum(col("new_grams")).over(
           Window.orderBy(col("decile"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .localCheckpoint(eager = false)
+        .cut("Round11i.scala:93", kRowFold = true)
         .orderBy(col("decile"))
     })
   )

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
+import graft.Cuts.CutOps
 
 /** Round-11 wave 13 (SURVEY.md §2.8e): the ROC/Youden threshold
   * picker over the q_x_ece calibration stream — the full ROC table at
@@ -45,7 +46,7 @@ object Round11m {
           Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
         .withColumn("tn", sum(col("n") - col("npos")).over(
           Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .localCheckpoint(eager = false)
+        .cut("Round11m.scala:48", kRowFold = true)
         .selectExpr("bin", "n",
           "CAST(cpos AS DOUBLE) / tp AS tpr",
           "CAST(cneg AS DOUBLE) / tn AS fpr",

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.Row
+import graft.Cuts.CutOps
 
 /** Native Structured Streaming forms of SURVEY.md §2.7.
   *
@@ -152,11 +153,11 @@ object StreamingJobs {
         val sets = batch.select(col(idCol),
           array_distinct(graft.functions.TextFunctions.wordNgramsExpr(textCol, ngram)).as("g"))
         val la = sets.select(col(idCol).as("doc_a"), col("g").as("s"))
-          .localCheckpoint(eager = false)
+          .cut("StreamingJobs.scala:155")
         // corpus contract: two columns, (id, shingle-set) in order
         val rb = corpusSets.toDF(idCol, "g")
           .select(col(idCol).as("doc_b"), col("g").as("s"))
-          .localCheckpoint(eager = false)
+          .cut("StreamingJobs.scala:159")
         val dups = graft.operators.Dedup
           .exactJaccardJoinPrepared(la, rb, threshold).persist()
         try {

@@ -22,9 +22,44 @@ class PlanShapeSpec extends SparkSuite {
 
   // Plan every declared query once (construction may run jobs for the
   // iterative/localCheckpoint-based ones — cheap at the spec fixture).
-  private lazy val plans: Seq[(String, SparkPlan)] =
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+  // Capture is enabled DURING construction so every lineage cut
+  // (Cuts.cut / Checkpoints.truncate) registers its pre-cut frame —
+  // the executed plan alone cannot see upstream of a localCheckpoint.
+  private lazy val plansAndCuts: (Seq[(String, SparkPlan)], Seq[Cuts.Captured]) = {
+    Cuts.startCapture()
+    val ps = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> physical(fn(spark, sfDir))
+    }
+    (ps, Cuts.stopCapture())
+  }
+  private def plans: Seq[(String, SparkPlan)] = plansAndCuts._1
+  private def capturedCuts: Seq[Cuts.Captured] = plansAndCuts._2
+
+  /** The shape rules applied to a pre-cut frame: no cartesian ever; an
+    * unpartitioned window only at a site declared `kRowFold`, and such
+    * a frame must contain an aggregation (the bin/grain reduction) —
+    * a corpus-sized window cannot ride the declaration.
+    */
+  private def cutOffenders(captured: Seq[Cuts.Captured]): Seq[String] =
+    captured.flatMap { c =>
+      val p = physical(c.df)
+      val cartesian =
+        p.collect { case x: CartesianProductExec => x }.nonEmpty
+      val unpartWin =
+        p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.nonEmpty
+      val hasAgg = p.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.nonEmpty
+      Seq(
+        if (cartesian)
+          Some(s"${c.site}: cartesian product behind lineage cut") else None,
+        if (unpartWin && !c.kRowFold)
+          Some(s"${c.site}: unpartitioned window behind lineage cut " +
+            "(site not declared kRowFold)") else None,
+        if (unpartWin && c.kRowFold && !hasAgg)
+          Some(s"${c.site}: kRowFold-declared window with NO upstream " +
+            "aggregation — corpus-sized fold?") else None
+      ).flatten
     }
 
   test("no CartesianProduct in any declared query plan") {
@@ -48,6 +83,33 @@ class PlanShapeSpec extends SparkSuite {
       }.nonEmpty => name
     }
     assert(offenders.isEmpty, s"unpartitioned window in: $offenders")
+  }
+
+  test("pre-checkpoint plans obey the same shape rules (lineage-cut sweep)") {
+    // Every declared query was constructed with capture on; the
+    // registry must be non-empty (the repo has ~40 cut sites) or the
+    // Cuts wiring itself regressed.
+    assert(capturedCuts.nonEmpty, "no lineage cuts captured — Cuts wiring broken")
+    val off = cutOffenders(capturedCuts).distinct
+    assert(off.isEmpty, s"shape violations hidden behind lineage cuts:\n${off.mkString("\n")}")
+  }
+
+  test("the lineage-cut sweep catches a corpus-sized unpartitioned window (red test)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // a window over the RAW documents table with no partition keys —
+    // exactly the shape the executed-plan sweep cannot see once it
+    // hides behind a localCheckpoint
+    val bad = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+    val asUndeclared = cutOffenders(Seq(Cuts.Captured("red-test", bad, kRowFold = false)))
+    assert(asUndeclared.exists(_.contains("unpartitioned window")),
+      s"sweep missed the undeclared corpus window: $asUndeclared")
+    // and declaring the site kRowFold must NOT launder it: the frame
+    // has no aggregation, so the grain-reduction requirement fires
+    val asDeclared = cutOffenders(Seq(Cuts.Captured("red-test", bad, kRowFold = true)))
+    assert(asDeclared.exists(_.contains("NO upstream aggregation")),
+      s"kRowFold declaration laundered a corpus window: $asDeclared")
   }
 
   private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
