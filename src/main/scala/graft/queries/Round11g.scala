@@ -30,7 +30,7 @@ object Round11g {
     * (sa, sb, na, nb, v, wa, wb, cuma, cumb), plus dv = next v − v
     * (null on the last grid row).
     */
-  private def pairGrid(s: SparkSession, d: String): DataFrame = {
+  private[queries] def pairGrid(s: SparkSession, d: String): DataFrame = {
     val h = table(s, d, "documents")
       .groupBy(col("source"), col("n_chars").as("v"))
       .agg(count(lit(1)).as("cnt"))
@@ -120,7 +120,7 @@ object Round11g {
         .orderBy(col("sa"), col("sb")))
   )
 
-  private val gridSql =
+  private[queries] val gridSql =
     """h AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
              FROM documents GROUP BY source, n_chars),
        tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY source),
