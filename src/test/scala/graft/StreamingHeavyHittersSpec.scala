@@ -90,4 +90,44 @@ class StreamingHeavyHittersSpec extends SparkSuite {
       assertInvariants(parseFinals("t_hh3"))
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("MG bounds hold at shuffle widths 2 and 5; totals and guaranteed-heavy sets agree") {
+    // partitioning invariance (r11 verdict item 8): Misra–Gries is
+    // within-key order-SENSITIVE in its counter contents, so the
+    // layout-free contract is (a) the error bounds hold at every
+    // width, (b) processed totals are identical, and (c) every term
+    // whose true count exceeds the width's dec bound appears at BOTH
+    // widths — the set a user may act on never depends on task layout.
+    TransformWithStateJobs.withRocksDb(spark)
+    try {
+      def run(w: Int): Map[String, (Map[String, Long], Long, Long)] = withShuffleWidth(w) {
+        val name = s"t_hh_w$w"
+        val q = TransformWithStateJobs
+          .heavyHitters(spark, StreamingJobs.readEvents(spark, sfDir), k)
+          .toDF().writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation",
+            Files.createTempDirectory(s"graft-hh-inv$w").toString)
+          .start()
+        q.awaitTermination()
+        parseFinals(name)
+      }
+      val narrow = run(2)
+      val wide = run(5)
+      assertInvariants(narrow)
+      assertInvariants(wide)
+      assert(narrow.keySet == wide.keySet)
+      val exact = exactCounts()
+      narrow.foreach { case (typ, (_, decN, nN)) =>
+        val (_, decW, nW) = wide(typ)
+        assert(nN == nW, s"$typ: processed totals differ across widths ($nN vs $nW)")
+        val bound = math.max(decN, decW)
+        exact.filter { case ((t, _), c) => t == typ && c > bound }.foreach {
+          case ((_, term), c) =>
+            assert(narrow(typ)._1.contains(term) && wide(typ)._1.contains(term),
+              s"$typ: guaranteed-heavy term $term (true $c > dec $bound) missing at one width")
+        }
+      }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }

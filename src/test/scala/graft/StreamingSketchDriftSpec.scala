@@ -118,4 +118,61 @@ class StreamingSketchDriftSpec extends SparkSuite {
     if (results.size == 1) assert(math.abs(results.head._2) < 1e-12,
       "single full-corpus batch vs its own reference must score 0")
   }
+
+  // ---- partitioning invariance (r11 verdict item 8) --------------------
+  // Managed state must never depend on task layout: the same bounded
+  // stream folded at two different shuffle widths (= state-store
+  // partition counts, pinned at query start) must produce the same
+  // final snapshots.
+
+  test("streamed CMS final snapshots identical at shuffle widths 2 and 5") {
+    TransformWithStateJobs.withRocksDb(spark)
+    try {
+      def run(w: Int): Map[String, (Long, Seq[Long])] = withShuffleWidth(w) {
+        val name = s"t_cms_w$w"
+        val q = TransformWithStateJobs.cmsByType(
+            spark, StreamingJobs.readEvents(spark, sfDir), depth, width)
+          .toDF().writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation",
+            Files.createTempDirectory(s"graft-cms-inv$w").toString)
+          .start()
+        q.awaitTermination()
+        finalSnapshots(name)
+      }
+      val narrow = run(2)
+      val wide = run(5)
+      assert(narrow.keySet == wide.keySet)
+      // the sketch fold is commutative (adds only), so the equality is
+      // EXACT — any dependence on row routing or within-partition order
+      // would break the bit-level sketch compare
+      narrow.foreach { case (k, (n, sk)) =>
+        assert(n == wide(k)._1, s"$k: n differs across widths")
+        assert(sk == wide(k)._2, s"$k: sketch differs across shuffle widths")
+      }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("drift monitor PSI/n invariant to shuffle width") {
+    val ev = Tables.events(spark, sfDir)
+    val ref = Drift.histogram(ev, col("value"), 1.0).localCheckpoint(eager = true)
+    def run(w: Int): Seq[(Long, Double, Long)] = withShuffleWidth(w) {
+      val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
+      val q = StreamingJobs.driftSink(
+          StreamingJobs.readEvents(spark, sfDir), ref, 1.0) {
+        (id, psi, n) => results.synchronized { results += ((id, psi, n)); () }
+      }.trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      results.sortBy(_._1).toSeq
+    }
+    val narrow = run(2)
+    val wide = run(5)
+    assert(narrow.map(r => (r._1, r._3)) == wide.map(r => (r._1, r._3)),
+      "batch ids / row counts differ across shuffle widths")
+    // PSI is a sum of per-bucket doubles: partial-sum grouping may vary
+    // with the layout, so allow ulp-scale drift but nothing more
+    narrow.zip(wide).foreach { case ((id, p1, _), (_, p2, _)) =>
+      assert(math.abs(p1 - p2) < 1e-9, s"batch $id: PSI $p1 vs $p2 across widths")
+    }
+  }
 }
