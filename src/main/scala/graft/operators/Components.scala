@@ -34,9 +34,15 @@ object Components {
     * @return (id, cluster_id) — cluster_id = min id in the component
     *         under the type's natural ordering.
     */
+  /** @param jumpsPerRound pointer jumps folded into each round (≥ 1).
+    *   Extra jumps shorten the round count on long-filament graphs
+    *   (each jump doubles pointer depth) at the cost of a larger
+    *   per-round plan — the driver-planning vs round-count tradeoff
+    *   measured by graft.IterProbe; see dev/NOTES.md round-12 log.
+    */
   def connectedComponents(
       spark: SparkSession, nodes: DataFrame, edges: DataFrame,
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25, jumpsPerRound: Int = 1): DataFrame = {
     // Materialize the (possibly expensive) edge derivation ONCE — both
     // the direction-normalizing union below and every loop round would
     // otherwise re-execute the upstream candidate-pair computation
@@ -56,9 +62,14 @@ object Components {
       .agg(least(min(col("dst")), first(col("id"))).as("lbl"))
       .transform(Checkpoints.truncate(_))
 
+    // Dev-only per-round timing (graft.IterProbe sets the property):
+    // each round ends in a real action, so construct-vs-action wall
+    // time separates driver planning cost from execution cost.
+    val probe = sys.props.get("graft.roundProbe").contains("true")
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
+      val tRound0 = System.nanoTime()
       // (1) neighbor-min: pull each neighbor's current label
       val viaEdges = sym
         .join(lbl.select(col("id").as("dst2"), col("lbl").as("dlbl")),
@@ -68,20 +79,30 @@ object Components {
       val afterEdges = lbl.join(viaEdges, Seq("id"), "left")
         .select(col("id"), col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl1"))
-      // (2) pointer jump: lbl := lbl(lbl); `prev` rides along so the
-      // convergence test below is a narrow scan of the checkpointed
-      // result, not an extra shuffle join against the old labels.
-      val jump = afterEdges.select(col("id").as("jid"), col("lbl1").as("jlbl"))
+      // (2) pointer jump(s): lbl := lbl(lbl), jumpsPerRound times;
+      // `prev` rides along so the convergence test below is a narrow
+      // scan of the checkpointed result, not an extra shuffle join
+      // against the old labels. Each extra jump self-joins the
+      // previous frame (referenced twice → in-round subtree doubling,
+      // bounded because every round starts from RDD scans).
       // lazy checkpoint + count in ONE action: the full-scan convergence
       // count materializes the checkpoint blocks as it runs (an eager
       // checkpoint plus a separate isEmpty job was two actions per
       // round — pure scheduler latency at fixture scale; measured r6).
-      val next = afterEdges
-        .join(jump, col("lbl1") === col("jid"), "left")
-        .select(col("id"), col("prev"),
-          least(col("lbl1"), coalesce(col("jlbl"), col("lbl1"))).as("lbl"))
+      val next = (1 to jumpsPerRound).foldLeft(
+          afterEdges.select(col("id"), col("prev"), col("lbl1").as("lbl"))) {
+          (cur, _) =>
+            val jump = cur.select(col("id").as("jid"), col("lbl").as("jlbl"))
+            cur.join(jump, col("lbl") === col("jid"), "left")
+              .select(col("id"), col("prev"),
+                least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"))
+        }
         .transform(Checkpoints.truncate(_, eager = false))
+      val tBuilt = System.nanoTime()
       converged = next.filter(col("lbl") =!= col("prev")).count() == 0
+      if (probe) println(f"[roundprobe] cc round=$iter%d " +
+        f"build=${(tBuilt - tRound0) / 1e9}%.3f " +
+        f"action=${(System.nanoTime() - tBuilt) / 1e9}%.3f")
       lbl = next.select(col("id"), col("lbl"))
       iter += 1
     }

@@ -48,7 +48,11 @@ object PageRank {
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val withDeg = sym.join(deg, "src").transform(Checkpoints.truncate(_))
     val n = broadcast(nodes.agg(count(lit(1)).as("n")))
+    // cut once: `base` re-enters every round's plan, and without the
+    // cut each round re-analyzes the node scan + crossJoin subtree —
+    // pure driver planning cost at fixture scale (IterProbe, r12)
     val base = nodes.select(col("id")).crossJoin(n)
+      .transform(Checkpoints.truncate(_, eager = false))
     var ranks = base.select(col("id"), (lit(1.0) / col("n")).as("rank"))
     for (_ <- 1 to iters) {
       val inMass = withDeg
