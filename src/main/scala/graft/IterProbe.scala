@@ -99,12 +99,11 @@ object IterProbe {
     println("=== Components (embeddings, CosGraph 0.4 = semantic_dedup) ===")
     timedSplit("cc cos04")(
       graft.operators.Components.connectedComponents(spark, emb, cos04))
-    timedSplit("cc cos04 jumps=2")(
-      graft.operators.Components.connectedComponents(spark, emb, cos04,
-        jumpsPerRound = 2))
-    timedSplit("cc cos04 jumps=3")(
-      graft.operators.Components.connectedComponents(spark, emb, cos04,
-        jumpsPerRound = 3))
+    // jumps >= 2 probes removed (r12 ADVICE): each extra jump
+    // self-joins the fold frame with no mid-round cut, so executed
+    // work grows ~2^j per round — the probe then measures duplicated
+    // execution, not the planning slope it exists to isolate (and it
+    // ran for 10+ minutes on the 920-edge cos04 graph).
 
     println("=== Components (documents, DupGraph 0.6 = dup_clusters) ===")
     timedSplit("cc dup06")(

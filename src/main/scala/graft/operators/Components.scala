@@ -31,18 +31,25 @@ object Components {
     *              cast. Isolated nodes allowed (own cluster).
     * @param edges columns `a`, `b`, same type as `id` — undirected;
     *              direction and duplicates are normalized internally.
-    * @return (id, cluster_id) — cluster_id = min id in the component
-    *         under the type's natural ordering.
-    */
-  /** @param jumpsPerRound pointer jumps folded into each round (≥ 1).
+    * @param jumpsPerRound pointer jumps folded into each round (≥ 1).
     *   Extra jumps shorten the round count on long-filament graphs
     *   (each jump doubles pointer depth) at the cost of a larger
     *   per-round plan — the driver-planning vs round-count tradeoff
     *   measured by graft.IterProbe; see dev/NOTES.md round-12 log.
+    *   NOTE each extra jump self-joins the previous fold frame with no
+    *   mid-round lineage cut, so EXECUTED work grows ~2^j per round,
+    *   not additively (measured: minutes vs seconds at jumps=2/3 on
+    *   60-node filaments) — IterProbe slopes at jumps ≥ 2 conflate
+    *   planning with duplicated execution.
+    * @return (id, cluster_id) — cluster_id = min id in the component
+    *         under the type's natural ordering.
     */
   def connectedComponents(
       spark: SparkSession, nodes: DataFrame, edges: DataFrame,
       maxIters: Int = 25, jumpsPerRound: Int = 1): DataFrame = {
+    require(jumpsPerRound >= 1,
+      s"jumpsPerRound must be >= 1 (got $jumpsPerRound): 0 would silently " +
+        "disable pointer jumping, degrading convergence to O(diameter) rounds")
     // Materialize the (possibly expensive) edge derivation ONCE — both
     // the direction-normalizing union below and every loop round would
     // otherwise re-execute the upstream candidate-pair computation

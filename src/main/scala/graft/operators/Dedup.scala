@@ -369,19 +369,98 @@ object Dedup {
     summed.select(col("doc_id"), bits.reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
-  /** SimHash near-duplicate pairs: band the 64-bit hash into four
-    * 16-bit chunks (any pair within hamming distance 3 shares at least
-    * one exact chunk — pigeonhole), bucket-join, then verify hamming ≤
-    * maxHamming via bit_count.
+  /** Anchoring layouts for [[simhashNearDups]] at hamming ≤ 3, in
+    * ascending anchor-bit order: (blocks b, combo size m) with
+    * m = b − 3, so ≤ 3 flipped bits leave ≥ b − 3 blocks untouched and
+    * at least one m-combo matches exactly (pigeonhole — Manku et al.,
+    * WWW'07 §3). Random-collision candidates per anchor table are
+    * N²/2^anchorBits, so anchor WIDTH must grow with log₂ N: the
+    * classic 4×16 single-band layout is quadratic past N ≈ 3·10⁶ docs
+    * — the same fixed-width failure class as the LSH plane count
+    * [[graft.operators.Similarity.autoPlanes]] fixed in r10. Wider
+    * layouts pay more tables (C(b,m) = 4/10/20) — candidate-row volume
+    * linear in N — to keep bucket collisions constant.
+    */
+  private val simhashLayouts = Seq((4, 1), (5, 2), (6, 3))
+
+  /** Per-block bit widths for `b` blocks over the 64-bit signature
+    * (remainder bits spread over the leading blocks).
+    */
+  private[graft] def simhashWidths(b: Int): Array[Int] =
+    Array.tabulate(b)(i => 64 / b + (if (i < 64 % b) 1 else 0))
+
+  /** The GUARANTEED anchor width of layout (b, m): the m smallest
+    * block widths summed (the weakest combo bounds the collision rate).
+    */
+  private[graft] def anchorBits(b: Int, m: Int): Int =
+    simhashWidths(b).sorted.take(m).sum
+
+  /** Smallest layout whose guaranteed anchor width keeps expected
+    * bucket occupancy at `target`: anchorBits ≥ log₂(N/target).
+    * Every driver fixture (≤ 50 k docs at synthetic sf1) selects the
+    * historical 4×16 single-band layout, so declared-query results
+    * and candidate volumes are unchanged below N ≈ 3.3 M.
+    */
+  private[graft] def autoSimhashLayout(corpusRows: Long,
+      target: Long = 50L): (Int, Int) = {
+    val need = math.ceil(math.log(math.max(1.0, corpusRows.toDouble / target)) /
+      math.log(2.0)).toInt
+    simhashLayouts.find { case (b, m) => anchorBits(b, m) >= need }
+      .getOrElse(simhashLayouts.last)
+  }
+
+  /** Corpus row estimate from Catalyst plan statistics — never an
+    * eager job at construction (the r10 q_x_ann_lsh advice): exact
+    * CBO rowCount when present, else on-disk bytes over the measured
+    * ~125 B/doc fixture footprint. autoSimhashLayout is log₂-scaled
+    * with ≥ 9-bit steps between layouts, so even a 4× row misestimate
+    * cannot select the wrong layout except at a boundary — where both
+    * neighbors are correct designs.
+    */
+  private def estimatedDocRows(df: DataFrame): Long = {
+    val st = df.queryExecution.optimizedPlan.stats
+    st.rowCount.map(_.toLong).getOrElse {
+      if (st.sizeInBytes <= 0 || !st.sizeInBytes.isValidLong) df.count()
+      else math.max(1L, st.sizeInBytes.toLong / 128L)
+    }
+  }
+
+  /** SimHash near-duplicate pairs: anchor the 64-bit hash on exact
+    * block-combination matches (layout auto-sized from the corpus row
+    * estimate — see [[autoSimhashLayout]]; any pair within hamming
+    * distance 3 shares at least one anchor by pigeonhole), bucket-join,
+    * then verify hamming ≤ maxHamming via bit_count. The verify makes
+    * the OUTPUT layout-independent — every layout returns exactly the
+    * hamming ≤ maxHamming pair set; layouts only trade candidate
+    * volume (tables × N rows) against bucket collisions (N²/2^bits).
     */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs, textCol, idCol)
+      maxHamming: Int = 3, layout: Option[(Int, Int)] = None): DataFrame = {
+    val picked = layout.getOrElse(autoSimhashLayout(estimatedDocRows(docs)))
+    simhashNearDupsFromSignatures(
+      simhash(docs, textCol, idCol), maxHamming, picked)
+  }
+
+  /** [[simhashNearDups]] from a precomputed (doc_id, simhash) frame —
+    * the entry point for a corpus whose signatures are already stored
+    * as a column (the 100 TB form: sign once, anchor many).
+    */
+  def simhashNearDupsFromSignatures(sh: DataFrame, maxHamming: Int,
+      layout: (Int, Int)): DataFrame = {
+    require(maxHamming <= 3,
+      s"anchoring layouts are derived for hamming <= 3 (got $maxHamming): " +
+        "m = b - 3 pigeonhole would under-recall a larger bound")
+    val (nBlocks, m) = layout
+    val widths = simhashWidths(nBlocks)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def block(i: Int): Column =
+      shiftright(col("simhash"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    val anchors = (0 until nBlocks).combinations(m).toSeq.map(c =>
+      c.foldLeft(lit(0L))((acc, i) => shiftleft(acc, widths(i)).bitwiseOR(block(i))))
     // materialize once: the a/b self-join below would otherwise
     // re-hash the corpus per side
     val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      posexplode(array(anchors: _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
       .cut("Dedup.scala:386", eager = true)

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+
+/** Round-13 wave (SURVEY.md §2.8g): dynamic time warping between the
+  * per-type daily count series — the alignment-tolerant series
+  * distance the lag-locked family (q_x_acf / q_x_ccf /
+  * q_x_rolling_corr) cannot express: "are these two activity curves
+  * the same shape, allowing local time stretch?" is the question a
+  * corpus monitor asks when two sources ingest the same upstream feed
+  * on drifting schedules (the reference's polled-API batches land on
+  * a timer — weather-etl.py:58 — so cross-source alignment drift is
+  * its native failure mode).
+  *
+  * Scale shape: the corpus contributes exactly ONE aggregate pass
+  * down to (event_type, day) grain; the DP then runs per type-pair on
+  * calendar-bounded arrays (n ≈ 30..365 regardless of corpus size),
+  * so at 100 TB the plan is the same map-side-partial aggregate plus
+  * a dims-sized pair grid — T(T−1)/2 rows for T event types,
+  * embarrassingly parallel, no corpus-grain join anywhere.
+  *
+  * Determinism (§7.4): the series are BIGINT daily counts, the cost
+  * |x−y| and every DP cell are exact BIGINT min-plus arithmetic, so
+  * both engines produce bit-identical distances; the single division
+  * (the path-normalized dtw/(n_a+n_b)) rounds at 6dp as the last step.
+  *
+  * The within-row recurrence D(i,j) = c + min(D(i−1,j), D(i−1,j−1),
+  * D(i,j−1)) looks sequential in j, but unrolls to the prefix-min
+  * identity D(i,j) = S(i,j) + min_{k≤j}(a_k − S(i,k−1)) with
+  * a_k = min(D(i−1,k), D(i−1,k−1)) and S the row prefix-sum of costs
+  * — both the codegen'd Spark fold below and the DuckDB recursive CTE
+  * oracle use that SAME closed form, so the recursion depth is the
+  * row count, not the cell count.
+  */
+object Round13 {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+
+    // DTW distance between every pair of event types' daily count
+    // series. One corpus pass to day grain; per-pair DP over
+    // calendar-length BIGINT arrays via one aggregate() fold (row i
+    // from row i−1 with the prefix-min unroll — no UDF, stays inside
+    // codegen). na < 2 guard: sequence(2, 1) is DESCENDING in Spark,
+    // so the fold range must be empty-guarded explicitly.
+    "q_x_dtw" -> ((s, d) => {
+      val dc = table(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val ser = dc.groupBy(col("event_type"))
+        .agg(expr("transform(sort_array(collect_list(struct(day, c))), x -> x.c)").as("s"),
+          count(lit(1)).as("n"))
+      val pairs = ser.toDF("type_a", "xa", "n_a")
+        .join(broadcast(ser.toDF("type_b", "yb", "n_b")),
+          col("type_a") < col("type_b"))
+      pairs
+        // pm[i][j] = Σ_{t≤j} |xa[i] − yb[t]|: the per-row cost prefix
+        // sums the fold below indexes instead of re-summing slices
+        .withColumn("pm", expr(
+          """transform(xa, x -> transform(sequence(1, CAST(n_b AS INT)), j ->
+               aggregate(slice(yb, 1, j), CAST(0 AS BIGINT), (acc, y) -> acc + abs(x - y))))"""))
+        .withColumn("dlast", expr(
+          """CASE WHEN n_a < 2 THEN element_at(pm, 1) ELSE
+             aggregate(sequence(2, CAST(n_a AS INT)), element_at(pm, 1),
+               (prev, i) -> transform(sequence(1, CAST(n_b AS INT)), j ->
+                 element_at(element_at(pm, i), j)
+                 + array_min(transform(sequence(1, j), k ->
+                     (CASE WHEN k = 1 THEN element_at(prev, 1)
+                           ELSE least(element_at(prev, k), element_at(prev, k - 1)) END)
+                     - (CASE WHEN k = 1 THEN CAST(0 AS BIGINT)
+                             ELSE element_at(element_at(pm, i), k - 1) END)))))
+             END"""))
+        .selectExpr("type_a", "type_b", "n_a", "n_b",
+          "element_at(dlast, CAST(n_b AS INT)) AS dtw",
+          "round(CAST(element_at(dlast, CAST(n_b AS INT)) AS DOUBLE) / (n_a + n_b), 6) AS dtw_norm")
+        .orderBy(col("type_a"), col("type_b"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    // Same prefix-min unroll, row-at-a-time over a LIST-typed DP row:
+    // the recursive CTE carries one row per (pair, i) with the full
+    // D(i, ·) as a BIGINT list, so the recursion is row-count deep
+    // and every cell is the identical integer min-plus expression.
+    "q_x_dtw" ->
+      """WITH RECURSIVE dc AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         ser AS (
+           SELECT event_type, list(c ORDER BY day) AS s,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM dc GROUP BY 1),
+         pr AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  a.s AS xa, b.s AS yb, a.n AS na, b.n AS nb
+           FROM ser a JOIN ser b ON a.event_type < b.event_type),
+         r AS (
+           SELECT type_a, type_b, na, nb, xa, yb, CAST(1 AS BIGINT) AS i,
+                  list_transform(range(1, CAST(nb AS INTEGER) + 1), j ->
+                    CAST(list_sum(list_transform(yb[1:j], y -> abs(xa[1] - y))) AS BIGINT)) AS d
+           FROM pr
+           UNION ALL
+           SELECT type_a, type_b, na, nb, xa, yb, i + 1,
+                  list_transform(range(1, CAST(nb AS INTEGER) + 1), j ->
+                    CAST(list_sum(list_transform(yb[1:j],
+                           y -> abs(xa[CAST(i AS INTEGER) + 1] - y))) AS BIGINT)
+                    + list_min(list_transform(range(1, j + 1), k ->
+                        (CASE WHEN k = 1 THEN d[1]
+                              ELSE least(d[k], d[k - 1]) END)
+                        - (CASE WHEN k = 1 THEN CAST(0 AS BIGINT)
+                                ELSE CAST(list_sum(list_transform(yb[1:CAST(k AS INTEGER) - 1],
+                                       y -> abs(xa[CAST(i AS INTEGER) + 1] - y))) AS BIGINT) END))))
+           FROM r WHERE i < na)
+         SELECT type_a, type_b, na AS n_a, nb AS n_b,
+                d[CAST(nb AS INTEGER)] AS dtw,
+                round(CAST(d[CAST(nb AS INTEGER)] AS DOUBLE) / (na + nb), 6) AS dtw_norm
+         FROM r WHERE i = na ORDER BY type_a, type_b"""
+  )
+}

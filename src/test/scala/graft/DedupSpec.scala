@@ -262,6 +262,49 @@ class DedupSpec extends SparkSuite {
     assert(pairs.exists(p => (p._1, p._2) == (0L, 3L)))
   }
 
+  test("autoSimhashLayout widens anchors with corpus size; fixture scales keep 4x16") {
+    assert(Dedup.autoSimhashLayout(500L) == ((4, 1)))
+    assert(Dedup.autoSimhashLayout(50000L) == ((4, 1)))     // synthetic sf1
+    assert(Dedup.autoSimhashLayout(10000000L) == ((5, 2)))  // past N ~ 3.3M
+    assert(Dedup.autoSimhashLayout(5000000000L) == ((6, 3)))
+    // guaranteed anchor widths the thresholds derive from
+    assert(Dedup.anchorBits(4, 1) == 16 && Dedup.anchorBits(5, 2) == 25 &&
+      Dedup.anchorBits(6, 3) == 31)
+  }
+
+  test("every anchoring layout returns the identical hamming<=3 set == brute force") {
+    val fixture = Tables.table(spark, sfDir, "documents")
+    // brute-force truth from the signatures themselves (fixture-sized)
+    val sigs = Dedup.simhash(fixture, "text", "doc_id")
+      .as[(Long, Long)].collect()
+    val truth = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs
+      if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ida, idb, java.lang.Long.bitCount(sa ^ sb))).toSet
+    Seq((4, 1), (5, 2), (6, 3)).foreach { lo =>
+      val got = Dedup.simhashNearDups(fixture, "text", "doc_id",
+        maxHamming = 3, layout = Some(lo)).as[(Long, Long, Int)].collect().toSet
+      assert(got == truth, s"layout $lo: ${got.size} pairs vs truth ${truth.size}")
+    }
+  }
+
+  test("planted 3-bit flips spanning 3 blocks are recalled by every layout") {
+    // flips at bits 0, 22, 44 land in three DISTINCT blocks of every
+    // layout (b=4: blocks 0,1,2; b=5: 0,1,3; b=6: 0,2,4) — the
+    // adversarial case where only the pigeonhole's clean-combo
+    // guarantee, not luck, produces a candidate.
+    val base = 0x0123456789ABCDEFL
+    val near3 = base ^ ((1L << 0) | (1L << 22) | (1L << 44))
+    val far4 = base ^ 0xF0L // hamming 4: candidate via 3 clean blocks, verify must drop it
+    val sigs = Seq((1L, base), (2L, near3), (3L, far4), (4L, ~base))
+      .toDF("doc_id", "simhash")
+    Seq((4, 1), (5, 2), (6, 3)).foreach { lo =>
+      val got = Dedup.simhashNearDupsFromSignatures(sigs, 3, lo)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == Set((1L, 2L, 3)), s"layout $lo: $got")
+    }
+  }
+
   test("spanDupStats counts exactly the windows shared across docs") {
     val span = "a b c d e f g h i j" // the planted 10-word span
     val docs = Seq(

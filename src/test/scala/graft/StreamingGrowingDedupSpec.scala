@@ -20,18 +20,20 @@ import graft.streaming.StreamingJobs
 class StreamingGrowingDedupSpec extends SparkSuite {
   import spark.implicits._
 
-  test("streamed growing dedup == one-shot batch exactByHash") {
-    // the fixture has no EXACT dups, so plant cross-batch ones: copies
-    // of the first 20 docs re-id'd into the LAST batch — the growing
-    // state must reject them, and the batch answer keeps the original
-    // (smaller) ids, so stream == batch stays exact
+  // the fixture has no EXACT dups, so plant cross-batch ones: copies
+  // of the first 20 docs re-id'd into the LAST batch — the growing
+  // state must reject them, and the batch answer keeps the original
+  // (smaller) ids, so stream == batch stays exact
+  private def plantedDocs() = {
     val fixture = Tables.table(spark, sfDir, "documents")
-    val docs = fixture.unionByName(
+    fixture.unionByName(
       fixture.filter(col("doc_id") < 20)
         .withColumn("doc_id", col("doc_id") + 10000L))
+  }
 
-    // stage three ascending doc_id slices as separate files with
-    // strictly increasing mtimes so the file source orders them
+  // stage three ascending doc_id slices as separate files with
+  // strictly increasing mtimes so the file source orders them
+  private def stageSlices(docs: org.apache.spark.sql.DataFrame): String = {
     val dir = Files.createTempDirectory("graft-grow-dedup").toString
     val bounds = Seq((0L, 170L), (170L, 340L), (340L, Long.MaxValue))
     bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
@@ -45,7 +47,13 @@ class StreamingGrowingDedupSpec extends SparkSuite {
     }
     bounds.indices.foreach(i =>
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/part$i")))
+    dir
+  }
 
+  // run the 3-batch growing-dedup stream end to end; returns the
+  // accepted (doc_id, hash) rows in arrival order plus batch sizes
+  private def runStream(docs: org.apache.spark.sql.DataFrame, dir: String)
+      : (Seq[(Long, String)], Seq[Int]) = {
     val accepted = mutable.ListBuffer.empty[(Long, String)]
     val batchSizes = mutable.ListBuffer.empty[Int]
     def loadHashes(id: Long) =
@@ -69,6 +77,13 @@ class StreamingGrowingDedupSpec extends SparkSuite {
         Files.createTempDirectory("graft-grow-ckpt").toString)
       .start()
     q.awaitTermination()
+    (accepted.toSeq, batchSizes.toSeq)
+  }
+
+  test("streamed growing dedup == one-shot batch exactByHash") {
+    val docs = plantedDocs()
+    val (acceptedSeq, batchSizes) = runStream(docs, stageSlices(docs))
+    val accepted = acceptedSeq
 
     assert(batchSizes.size == 3, s"expected 3 micro-batches, got $batchSizes")
     val batchAnswer = Dedup.exactByHash(docs, "text", "doc_id")
@@ -81,5 +96,31 @@ class StreamingGrowingDedupSpec extends SparkSuite {
     assert(accepted.size.toLong == docs.count() - 20,
       s"expected exactly the 20 planted dups pruned, kept ${accepted.size}")
     assert(!accepted.exists(_._1 >= 10000L), "a planted copy was accepted")
+  }
+
+  test("growing dedup is shuffle-width invariant: widths 2 and 5 accept identical sets") {
+    // partitioning invariance (r12 verdict item 7): exact hash dedup is
+    // fully deterministic — smallest id wins inside a batch, first
+    // arrival wins across batches — so the accepted set must be
+    // BIT-identical at any task layout, and per-batch accept counts
+    // must match too (the batch boundary, not the shuffle width, is
+    // the only thing allowed to shape state growth).
+    val docs = plantedDocs()
+    def run(w: Int): (Seq[(Long, String)], Seq[Int]) = withShuffleWidth(w) {
+      runStream(docs, stageSlices(docs))
+    }
+    val (narrow, narrowSizes) = run(2)
+    val (wide, wideSizes) = run(5)
+    assert(narrowSizes.size == 3 && wideSizes.size == 3,
+      s"expected 3 micro-batches at both widths, got $narrowSizes / $wideSizes")
+    assert(narrowSizes == wideSizes,
+      s"per-batch accept counts differ across widths: $narrowSizes vs $wideSizes")
+    assert(narrow.toSet == wide.toSet,
+      s"accepted sets differ across widths: ${narrow.size} vs ${wide.size}")
+    val batchAnswer = Dedup.exactByHash(docs, "text", "doc_id")
+      .select(col("doc_id"), col("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(narrow.toSet == batchAnswer,
+      "width-invariant accepted set still must equal the one-shot batch answer")
   }
 }
