@@ -77,6 +77,43 @@ object Round13 {
           "element_at(dlast, CAST(n_b AS INT)) AS dtw",
           "round(CAST(element_at(dlast, CAST(n_b AS INT)) AS DOUBLE) / (n_a + n_b), 6) AS dtw_norm")
         .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // Page–Hinkley drift alarm per event type over the daily count
+    // series — the ONLINE change detector (running-mean deviations,
+    // not a fixed reference) that complements CUSUM's median-anchored
+    // form: m_t = Σ_{i≤t}(c_i − mean(c_1..c_i) − δ), PH_t = m_t −
+    // min_{s≤t} m_s, alarm when max_t PH_t > λ. Declared rules,
+    // decided before the oracle: δ = 0.5 (half a daily count — the
+    // magnitude tolerance), the min runs over s ≥ 1 (m_0 = 0 is NOT a
+    // candidate), and the running mean is the plain prefix mean.
+    // Same scale shape as q_x_cusum: one corpus pass to day grain,
+    // then a per-type sequential fold over ≤ calendar-length state
+    // (exact integer prefix sums; the only doubles are the identical
+    // division/accumulate expression order in both engines).
+    "q_x_page_hinkley" -> ((s, d) => {
+      import s.implicits._
+      val dc = table(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val rows = dc.select(col("event_type"), col("day").cast("string"), col("c"))
+        .as[(String, String, Long)]
+      rows.groupByKey(_._1).mapGroups { (typ, it) =>
+        val arr = it.toArray.sortBy(_._2)
+        var sum = 0L; var m = 0.0; var mn = Double.MaxValue; var ph = 0.0
+        arr.zipWithIndex.foreach { case (r, i) =>
+          sum += r._3
+          val dDev = r._3 - sum.toDouble / (i + 1) - 0.5
+          m += dDev
+          mn = math.min(mn, m)
+          ph = math.max(ph, m - mn)
+        }
+        (typ, arr.length.toLong, ph, m)
+      }.toDF("event_type", "n_days", "ph_max", "m_final")
+        .select(col("event_type"), col("n_days"),
+          round(col("ph_max"), 6).as("ph_max"),
+          round(col("m_final"), 6).as("m_final"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -119,6 +156,38 @@ object Round13 {
          SELECT type_a, type_b, na AS n_a, nb AS n_b,
                 d[CAST(nb AS INTEGER)] AS dtw,
                 round(CAST(d[CAST(nb AS INTEGER)] AS DOUBLE) / (na + nb), 6) AS dtw_norm
-         FROM r WHERE i = na ORDER BY type_a, type_b"""
+         FROM r WHERE i = na ORDER BY type_a, type_b""",
+
+    // Same fold, same declared rules (δ = 0.5; min over s ≥ 1; prefix
+    // mean), same expression order — the doubles are bit-identical.
+    "q_x_page_hinkley" ->
+      """WITH RECURSIVE dc AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         o AS (SELECT event_type, c,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY day) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+               FROM dc),
+         r AS (
+           SELECT event_type, rn, n_days, c AS s,
+                  c - CAST(c AS DOUBLE) / 1 - 0.5 AS m,
+                  c - CAST(c AS DOUBLE) / 1 - 0.5 AS mn,
+                  CAST(0 AS DOUBLE) AS phmax
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.event_type, o.rn, o.n_days, r.s + o.c,
+                  r.m + (o.c - CAST(r.s + o.c AS DOUBLE) / o.rn - 0.5),
+                  least(r.mn,
+                    r.m + (o.c - CAST(r.s + o.c AS DOUBLE) / o.rn - 0.5)),
+                  greatest(r.phmax,
+                    r.m + (o.c - CAST(r.s + o.c AS DOUBLE) / o.rn - 0.5)
+                    - least(r.mn,
+                        r.m + (o.c - CAST(r.s + o.c AS DOUBLE) / o.rn - 0.5)))
+           FROM o JOIN r ON o.event_type = r.event_type AND o.rn = r.rn + 1)
+         SELECT event_type, n_days,
+                round(phmax, 6) AS ph_max, round(m, 6) AS m_final
+         FROM r WHERE rn = n_days ORDER BY event_type"""
   )
 }

@@ -56,6 +56,28 @@ class Round13Spec extends SparkSuite {
     }
   }
 
+  test("q_x_page_hinkley matches an independent driver fold; PH is nonneg and max-consistent") {
+    val rows = SparkEntry.queries("q_x_page_hinkley")(spark, sfDir).collect()
+    val ser = dailySeries()
+    assert(rows.length == ser.size)
+    rows.foreach { r =>
+      val cs = ser(r.getString(0))
+      var sum = 0L; var m = 0.0; var mn = Double.MaxValue; var ph = 0.0
+      cs.zipWithIndex.foreach { case (c, i) =>
+        sum += c
+        m += c - sum.toDouble / (i + 1) - 0.5
+        mn = math.min(mn, m)
+        ph = math.max(ph, m - mn)
+      }
+      assert(r.getLong(1) == cs.length)
+      assert(math.abs(r.getDouble(2) - math.round(ph * 1e6) / 1e6) < 1e-9,
+        s"ph_max(${r.getString(0)})")
+      assert(math.abs(r.getDouble(3) - math.round(m * 1e6) / 1e6) < 1e-9,
+        s"m_final(${r.getString(0)})")
+      assert(r.getDouble(2) >= 0.0, "PH is a max of nonnegative gaps")
+    }
+  }
+
   test("dtw axioms: zero on identical series, symmetric, <= lag-locked L1") {
     val ser = dailySeries()
     ser.values.foreach(s => assert(dtwRef(s, s) == 0L))
