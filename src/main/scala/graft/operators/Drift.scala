@@ -19,6 +19,32 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
+  /** Page–Hinkley monitor state: `n`/`sum` exact integer prefix
+    * counts, `m` the running deviation sum Σ(c_i − mean_i − δ), `mn`
+    * its running minimum (over s ≥ 1 — the empty state carries
+    * Double.MaxValue, NOT 0, so m_0 is never a min candidate), and
+    * `phMax` = max_t (m_t − mn_t), the alarm statistic.
+    */
+  case class PhState(n: Long, sum: Long, m: Double, mn: Double, phMax: Double)
+
+  /** Empty Page–Hinkley state (no observations folded yet). */
+  val phInit: PhState = PhState(0L, 0L, 0.0, Double.MaxValue, 0.0)
+
+  /** One Page–Hinkley step at δ = 0.5 — THE single definition of the
+    * fold: the batch query (q_x_page_hinkley) and the streaming
+    * monitor ([[graft.streaming.StreamingJobs.pageHinkleySink]]) both
+    * call this, so stream-after-N-batches ≡ one-shot batch is by
+    * construction (and spec-asserted). Expression order matters for
+    * the oracle's bit-identity — do not reassociate.
+    */
+  def phStep(st: PhState, c: Long): PhState = {
+    val sum2 = st.sum + c
+    val n2 = st.n + 1
+    val m2 = st.m + (c - sum2.toDouble / n2 - 0.5)
+    val mn2 = math.min(st.mn, m2)
+    PhState(n2, sum2, m2, mn2, math.max(st.phMax, m2 - mn2))
+  }
+
   /** Bucket histogram of `valueCol` at `width`-sized buckets. */
   def histogram(df: DataFrame, valueCol: Column, width: Double): DataFrame = {
     require(width > 0, "bucket width must be positive")

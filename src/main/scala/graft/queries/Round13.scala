@@ -99,20 +99,97 @@ object Round13 {
       val rows = dc.select(col("event_type"), col("day").cast("string"), col("c"))
         .as[(String, String, Long)]
       rows.groupByKey(_._1).mapGroups { (typ, it) =>
-        val arr = it.toArray.sortBy(_._2)
-        var sum = 0L; var m = 0.0; var mn = Double.MaxValue; var ph = 0.0
-        arr.zipWithIndex.foreach { case (r, i) =>
-          sum += r._3
-          val dDev = r._3 - sum.toDouble / (i + 1) - 0.5
-          m += dDev
-          mn = math.min(mn, m)
-          ph = math.max(ph, m - mn)
-        }
-        (typ, arr.length.toLong, ph, m)
+        // THE fold is graft.operators.Drift.phStep — shared with the
+        // streaming monitor (pageHinkleySink), so stream == batch is
+        // by construction, not by parallel reimplementation.
+        val st = it.toArray.sortBy(_._2)
+          .foldLeft(graft.operators.Drift.phInit)((s0, r) =>
+            graft.operators.Drift.phStep(s0, r._3))
+        (typ, st.n, st.phMax, st.m)
       }.toDF("event_type", "n_days", "ph_max", "m_final")
         .select(col("event_type"), col("n_days"),
           round(col("ph_max"), 6).as("ph_max"),
           round(col("m_final"), 6).as("m_final"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Holt–Winters ADDITIVE seasonal smoothing of the per-type daily
+    // count series — the seasonal extension of q_x_holt (level+trend)
+    // that a weekly-periodic feed needs. Declared before the oracle:
+    // α=0.3, β=0.1, γ=0.2, period 7; init l = mean(c_1..c_7), b = 0,
+    // s_i = c_i − l; types with < 8 days are dropped. Day-grain
+    // sequential fold per type (state = level+trend+7 seasonals); the
+    // recursive-CTE oracle carries the seasonal vector as 7 columns
+    // and repeats the level expression textually — identical
+    // arithmetic order, so the rounded doubles are bit-identical.
+    "q_x_holt_winters" -> ((s, d) => {
+      import s.implicits._
+      val dc = table(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val rows = dc.select(col("event_type"), col("day").cast("string"), col("c"))
+        .as[(String, String, Long)]
+      rows.groupByKey(_._1).flatMapGroups { (typ, it) =>
+        val arr = it.toArray.sortBy(_._2).map(_._3)
+        if (arr.length < 8) Iterator.empty
+        else {
+          var l = arr.take(7).sum.toDouble / 7
+          var b = 0.0
+          val sv = Array.tabulate(7)(i => arr(i) - l)
+          var i = 7
+          while (i < arr.length) {
+            val idx = i % 7 // rn = i+1, slot (rn−1) mod 7
+            val l2 = 0.3 * (arr(i) - sv(idx)) + 0.7 * (l + b)
+            b = 0.1 * (l2 - l) + 0.9 * b
+            sv(idx) = 0.2 * (arr(i) - l2) + 0.8 * sv(idx)
+            l = l2
+            i += 1
+          }
+          Iterator.single((typ, arr.length.toLong, l, b,
+            l + b + sv(arr.length % 7)))
+        }
+      }.toDF("event_type", "n_days", "level", "trend", "fc_next")
+        .select(col("event_type"), col("n_days"),
+          round(col("level"), 6).as("level"),
+          round(col("trend"), 6).as("trend"),
+          round(col("fc_next"), 6).as("fc_next"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Jonckheere–Terpstra ordered-trend test: do the per-type daily
+    // counts trend UP across ordered calendar weeks? Unlike
+    // Mann–Kendall (pairwise over days), JT tests a monotone shift
+    // across ORDERED GROUPS — the k-sample trend member the
+    // mann_whitney/kruskal family lacks. j2 = 2·J (ties at ½) stays an
+    // exact BIGINT from the week-pair day-grain grid (days × days per
+    // type — calendar-bounded at any corpus size); the normal
+    // approximation uses the DECLARED no-ties variance formula, one
+    // division at the end.
+    "q_x_jonckheere" -> ((s, d) => {
+      val dc = table(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = dc.select(col("event_type"),
+        floor(datediff(col("day"), lit("1970-01-01").cast("date")) / lit(7.0))
+          .cast("long").as("wk"),
+        col("c"))
+      val p = w.select(col("event_type"), col("wk").as("wk_a"), col("c").as("c_a"))
+        .join(w.select(col("event_type"), col("wk").as("wk_b"), col("c").as("c_b")),
+          Seq("event_type"))
+        .filter(col("wk_a") < col("wk_b"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("c_a") < col("c_b"), 2)
+          .when(col("c_a") === col("c_b"), 1).otherwise(0)).cast("long").as("j2"))
+      val g = w.groupBy(col("event_type"), col("wk"))
+        .agg(count(lit(1)).as("nn"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_weeks"), sum(col("nn")).as("n_days"),
+          sum(col("nn") * col("nn")).as("sn2"),
+          sum(col("nn") * col("nn") * (col("nn") * 2 + 3)).as("sn23"))
+      p.join(g, "event_type")
+        .selectExpr("event_type", "n_weeks", "n_days", "j2",
+          """round((j2 - CAST(n_days * n_days - sn2 AS DOUBLE) / 2)
+               / (2 * sqrt((CAST(n_days AS DOUBLE) * n_days * (2 * n_days + 3) - sn23) / 72)), 6) AS z""")
         .orderBy(col("event_type"))
     })
   )
@@ -188,6 +265,77 @@ object Round13 {
            FROM o JOIN r ON o.event_type = r.event_type AND o.rn = r.rn + 1)
          SELECT event_type, n_days,
                 round(phmax, 6) AS ph_max, round(m, 6) AS m_final
-         FROM r WHERE rn = n_days ORDER BY event_type"""
+         FROM r WHERE rn = n_days ORDER BY event_type""",
+
+    // Declared α/β/γ = 0.3/0.1/0.2, period 7, init (mean, 0, c_i−mean);
+    // the seasonal vector rides as 7 columns and the level expression
+    // repeats textually so every double matches the Spark fold's
+    // arithmetic order exactly.
+    "q_x_holt_winters" ->
+      """WITH RECURSIVE dc AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         o AS (SELECT event_type, c,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY day) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+               FROM dc),
+         init AS (
+           SELECT event_type, max(n_days) AS n_days,
+                  CAST(sum(c) AS DOUBLE) / 7 AS l,
+                  max(CASE WHEN rn = 1 THEN c END) - CAST(sum(c) AS DOUBLE) / 7 AS s0,
+                  max(CASE WHEN rn = 2 THEN c END) - CAST(sum(c) AS DOUBLE) / 7 AS s1,
+                  max(CASE WHEN rn = 3 THEN c END) - CAST(sum(c) AS DOUBLE) / 7 AS s2,
+                  max(CASE WHEN rn = 4 THEN c END) - CAST(sum(c) AS DOUBLE) / 7 AS s3,
+                  max(CASE WHEN rn = 5 THEN c END) - CAST(sum(c) AS DOUBLE) / 7 AS s4,
+                  max(CASE WHEN rn = 6 THEN c END) - CAST(sum(c) AS DOUBLE) / 7 AS s5,
+                  max(CASE WHEN rn = 7 THEN c END) - CAST(sum(c) AS DOUBLE) / 7 AS s6
+           FROM o WHERE rn <= 7 GROUP BY event_type HAVING max(n_days) >= 8),
+         r AS (
+           SELECT event_type, n_days, CAST(7 AS BIGINT) AS rn,
+                  l, CAST(0 AS DOUBLE) AS b, s0, s1, s2, s3, s4, s5, s6
+           FROM init
+           UNION ALL
+           SELECT o.event_type, r.n_days, o.rn,
+                  0.3 * (o.c - (CASE CAST((o.rn - 1) % 7 AS INTEGER) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END)) + 0.7 * (r.l + r.b),
+                  0.1 * ((0.3 * (o.c - (CASE CAST((o.rn - 1) % 7 AS INTEGER) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END)) + 0.7 * (r.l + r.b)) - r.l) + 0.9 * r.b,
+                  CASE WHEN CAST((o.rn - 1) % 7 AS INTEGER) = 0 THEN 0.2 * (o.c - (0.3 * (o.c - r.s0) + 0.7 * (r.l + r.b))) + 0.8 * r.s0 ELSE r.s0 END,
+                  CASE WHEN CAST((o.rn - 1) % 7 AS INTEGER) = 1 THEN 0.2 * (o.c - (0.3 * (o.c - r.s1) + 0.7 * (r.l + r.b))) + 0.8 * r.s1 ELSE r.s1 END,
+                  CASE WHEN CAST((o.rn - 1) % 7 AS INTEGER) = 2 THEN 0.2 * (o.c - (0.3 * (o.c - r.s2) + 0.7 * (r.l + r.b))) + 0.8 * r.s2 ELSE r.s2 END,
+                  CASE WHEN CAST((o.rn - 1) % 7 AS INTEGER) = 3 THEN 0.2 * (o.c - (0.3 * (o.c - r.s3) + 0.7 * (r.l + r.b))) + 0.8 * r.s3 ELSE r.s3 END,
+                  CASE WHEN CAST((o.rn - 1) % 7 AS INTEGER) = 4 THEN 0.2 * (o.c - (0.3 * (o.c - r.s4) + 0.7 * (r.l + r.b))) + 0.8 * r.s4 ELSE r.s4 END,
+                  CASE WHEN CAST((o.rn - 1) % 7 AS INTEGER) = 5 THEN 0.2 * (o.c - (0.3 * (o.c - r.s5) + 0.7 * (r.l + r.b))) + 0.8 * r.s5 ELSE r.s5 END,
+                  CASE WHEN CAST((o.rn - 1) % 7 AS INTEGER) = 6 THEN 0.2 * (o.c - (0.3 * (o.c - r.s6) + 0.7 * (r.l + r.b))) + 0.8 * r.s6 ELSE r.s6 END
+           FROM o JOIN r ON o.event_type = r.event_type AND o.rn = r.rn + 1)
+         SELECT event_type, n_days, round(l, 6) AS level, round(b, 6) AS trend,
+                round(l + b + (CASE CAST(n_days % 7 AS INTEGER) WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5 ELSE s6 END), 6) AS fc_next
+         FROM r WHERE rn = n_days ORDER BY event_type""",
+
+    // floor(days/7.0): DuckDB '/' is float division, so the explicit
+    // floor is what makes the week bucket integral in BOTH engines.
+    "q_x_jonckheere" ->
+      """WITH dc AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, c,
+                 CAST(floor(CAST(day - DATE '1970-01-01' AS DOUBLE) / 7) AS BIGINT) AS wk
+               FROM dc),
+         p AS (SELECT a.event_type,
+                 CAST(sum(CASE WHEN a.c < b.c THEN 2 WHEN a.c = b.c THEN 1 ELSE 0 END) AS BIGINT) AS j2
+               FROM w a JOIN w b ON a.event_type = b.event_type AND a.wk < b.wk
+               GROUP BY 1),
+         g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_weeks,
+                 CAST(sum(nn) AS BIGINT) AS n_days,
+                 CAST(sum(nn * nn) AS BIGINT) AS sn2,
+                 CAST(sum(nn * nn * (2 * nn + 3)) AS BIGINT) AS sn23
+               FROM (SELECT event_type, wk, CAST(count(*) AS BIGINT) AS nn
+                     FROM w GROUP BY 1, 2) GROUP BY 1)
+         SELECT p.event_type, g.n_weeks, g.n_days, p.j2,
+                round((p.j2 - CAST(n_days * n_days - sn2 AS DOUBLE) / 2)
+                      / (2 * sqrt((CAST(n_days AS DOUBLE) * n_days * (2 * n_days + 3) - sn23) / 72)), 6) AS z
+         FROM p JOIN g ON g.event_type = p.event_type
+         ORDER BY p.event_type"""
   )
 }

@@ -217,6 +217,39 @@ object StreamingJobs {
         store(id, psi, n)
       }
 
+  /** Streaming Page–Hinkley drift monitor: per event_type, fold the
+    * per-DAY batch counts into [[graft.operators.Drift.PhState]] via
+    * the SAME [[graft.operators.Drift.phStep]] the batch query
+    * (q_x_page_hinkley) uses — one fold definition, so N day-aligned
+    * micro-batches end in exactly the one-shot batch state
+    * (StreamingPageHinkleySpec asserts bit-equality). Contract: batch
+    * boundaries must be DAY-aligned (a split day would fold as two
+    * steps) — the daily-trigger deployment shape, like the reference's
+    * timer-scheduled batches (weather-etl.py:58). Per batch the corpus
+    * collapses to (type × days-in-batch) grain in one aggregate before
+    * the driver folds it — bounded state however large the batch.
+    */
+  def pageHinkleySink(events: DataFrame)(
+      load: Long => Map[String, graft.operators.Drift.PhState],
+      store: (Long, Map[String, graft.operators.Drift.PhState]) => Unit): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val days = batch
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+          .select(col("event_type"), col("day").cast("string"), col("c"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val st0 = load(id)
+        val next = days.groupBy(_._1).map { case (typ, rows) =>
+          typ -> rows.sortBy(_._2).foldLeft(
+            st0.getOrElse(typ, graft.operators.Drift.phInit))(
+            (s0, r) => graft.operators.Drift.phStep(s0, r._3))
+        }
+        store(id, st0 ++ next)
+      }
+
   /** Last-writer-wins upsert sink (U2 streaming form;
     * weather-etl.py:152-163): each micro-batch merges into `target`
     * under `mergeAndStore`, which the caller implements over its store

@@ -78,6 +78,65 @@ class Round13Spec extends SparkSuite {
     }
   }
 
+  test("q_x_holt_winters matches an independent driver fold at the declared constants") {
+    val rows = SparkEntry.queries("q_x_holt_winters")(spark, sfDir).collect()
+    val ser = dailySeries()
+    val eligible = ser.filter(_._2.length >= 8)
+    assert(rows.length == eligible.size)
+    rows.foreach { r =>
+      val cs = ser(r.getString(0))
+      var l = cs.take(7).sum.toDouble / 7
+      var b = 0.0
+      val sv = Array.tabulate(7)(i => cs(i) - l)
+      (7 until cs.length).foreach { i =>
+        val idx = i % 7
+        val l2 = 0.3 * (cs(i) - sv(idx)) + 0.7 * (l + b)
+        b = 0.1 * (l2 - l) + 0.9 * b
+        sv(idx) = 0.2 * (cs(i) - l2) + 0.8 * sv(idx)
+        l = l2
+      }
+      def r6(x: Double) = math.round(x * 1e6) / 1e6
+      assert(r.getLong(1) == cs.length)
+      assert(math.abs(r.getDouble(2) - r6(l)) < 1e-9, s"level(${r.getString(0)})")
+      assert(math.abs(r.getDouble(3) - r6(b)) < 1e-9, s"trend(${r.getString(0)})")
+      assert(math.abs(r.getDouble(4) - r6(l + b + sv(cs.length % 7))) < 1e-9,
+        s"fc_next(${r.getString(0)})")
+    }
+  }
+
+  test("q_x_jonckheere: j2 matches a driver pair count; monotone series maxes the statistic") {
+    val rows = SparkEntry.queries("q_x_jonckheere")(spark, sfDir).collect()
+    val dc = Tables.table(spark, sfDir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"),
+        floor(datediff(col("day"), lit("1970-01-01").cast("date")) / lit(7.0))
+          .cast("long").as("wk"), col("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val groups = dc(r.getString(0)).groupBy(_._2).toSeq.sortBy(_._1)
+        .map(_._2.map(_._3).toSeq)
+      val j2 = (for {
+        (ga, i) <- groups.zipWithIndex; (gb, j) <- groups.zipWithIndex if i < j
+        x <- ga; y <- gb
+      } yield if (x < y) 2L else if (x == y) 1L else 0L).sum
+      assert(r.getLong(3) == j2, s"j2(${r.getString(0)})")
+      assert(r.getLong(1) == groups.length && r.getLong(2) == groups.map(_.length).sum)
+    }
+    // axiom: a strictly increasing cross-week series attains the max
+    // j2 = 2 * sum_{i<j} n_i*n_j, and the z formula is positive there
+    val inc = Seq(Seq(1L, 2L), Seq(3L, 4L), Seq(5L, 6L))
+    val maxJ2 = 2L * (for {
+      (ga, i) <- inc.zipWithIndex; (gb, j) <- inc.zipWithIndex if i < j
+    } yield ga.length.toLong * gb.length).sum
+    val gotJ2 = (for {
+      (ga, i) <- inc.zipWithIndex; (gb, j) <- inc.zipWithIndex if i < j
+      x <- ga; y <- gb
+    } yield if (x < y) 2L else if (x == y) 1L else 0L).sum
+    assert(gotJ2 == maxJ2)
+  }
+
   test("dtw axioms: zero on identical series, symmetric, <= lag-locked L1") {
     val ser = dailySeries()
     ser.values.foreach(s => assert(dtwRef(s, s) == 0L))
