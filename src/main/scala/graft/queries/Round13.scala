@@ -191,6 +191,83 @@ object Round13 {
           """round((j2 - CAST(n_days * n_days - sn2 AS DOUBLE) / 2)
                / (2 * sqrt((CAST(n_days AS DOUBLE) * n_days * (2 * n_days + 3) - sn23) / 72)), 6) AS z""")
         .orderBy(col("event_type"))
+    }),
+
+    // Pettitt rank-based change-point test per event type — the
+    // nonparametric counterpart of q_x_changepoint's mean-CUSUM
+    // location (robust to outliers, exact integer statistic).
+    // U_t = Σ_{i≤t}Σ_{j>t} sgn(c_i − c_j) collapses via antisymmetry
+    // to the running sum of V_i = Σ_j sgn(c_i − c_j), so the pair
+    // grid is read ONCE for the V aggregate and everything after is a
+    // day-grain window. K = max_t |U_t| over cuts t < n (argmax tie →
+    // earliest day, declared); p ≈ 2·exp(−6K²/(n³+n²)), the standard
+    // approximation, uncapped as declared.
+    "q_x_pettitt" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dc = table(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val o = dc.select(col("event_type"), col("day"), col("c"),
+        row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("day"))).cast("long").as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("event_type")))
+          .as("n_days"))
+      val v = o.select(col("event_type"), col("rn"), col("day"), col("n_days"), col("c"))
+        .join(o.select(col("event_type"), col("rn").as("rn_b"), col("c").as("c_b")),
+          Seq("event_type"))
+        .filter(col("rn") =!= col("rn_b"))
+        .groupBy(col("event_type"), col("rn"), col("day"), col("n_days"))
+        .agg(sum(when(col("c") > col("c_b"), 1)
+          .when(col("c") < col("c_b"), -1).otherwise(0)).cast("long").as("vv"))
+      val u = v.withColumn("ut",
+        sum(col("vv")).over(Window.partitionBy(col("event_type"))
+          .orderBy(col("rn"))).cast("long"))
+      u.filter(col("rn") < col("n_days"))
+        .withColumn("au", abs(col("ut")))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("au").desc, col("day"))))
+        .filter(col("rk") === 1)
+        .selectExpr("event_type", "n_days", "au AS k_stat",
+          "CAST(day AS STRING) AS cp_day",
+          """round(2 * exp(-6.0 * au * au / (CAST(n_days AS DOUBLE) * n_days * n_days
+               + CAST(n_days AS DOUBLE) * n_days)), 6) AS p_approx""")
+        .orderBy(col("event_type"))
+    }),
+
+    // Theil–Sen robust trend per event type: the median of all
+    // pairwise day-grain slopes (exact small rationals in double —
+    // identical in both engines), then the median intercept at that
+    // slope. Robust to the outlier days that bend q_x_linreg's OLS
+    // line; pair grid is day × day per type, calendar-bounded at any
+    // corpus size. Both medians are the engines' shared exact-median
+    // convention (the q_x_cusum precedent).
+    "q_x_theil_sen" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dc = table(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val o = dc.select(col("event_type"), col("c"),
+        row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("day"))).cast("long").as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("event_type")))
+          .as("n_days"))
+      val sl = o.select(col("event_type"), col("rn"), col("c"), col("n_days"))
+        .join(o.select(col("event_type"), col("rn").as("rn_b"), col("c").as("c_b")),
+          Seq("event_type"))
+        .filter(col("rn") < col("rn_b"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_days")).as("n_days"),
+          count(lit(1)).as("n_pairs"),
+          expr("median(CAST(c_b - c AS DOUBLE) / (rn_b - rn))").as("slope"))
+      val ic = o.join(broadcast(sl.select(col("event_type"), col("slope"))),
+          Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(expr("median(c - slope * rn)").as("icept"))
+      sl.join(ic, "event_type")
+        .select(col("event_type"), col("n_days"), col("n_pairs"),
+          round(col("slope"), 6).as("slope"),
+          round(col("icept"), 6).as("intercept"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -336,6 +413,54 @@ object Round13 {
                 round((p.j2 - CAST(n_days * n_days - sn2 AS DOUBLE) / 2)
                       / (2 * sqrt((CAST(n_days AS DOUBLE) * n_days * (2 * n_days + 3) - sn23) / 72)), 6) AS z
          FROM p JOIN g ON g.event_type = p.event_type
-         ORDER BY p.event_type"""
+         ORDER BY p.event_type""",
+
+    "q_x_pettitt" ->
+      """WITH dc AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         o AS (SELECT event_type, day, c,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY day) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+               FROM dc),
+         v AS (SELECT a.event_type, a.rn, a.day, a.n_days,
+                 CAST(sum(CASE WHEN a.c > b.c THEN 1 WHEN a.c < b.c THEN -1 ELSE 0 END) AS BIGINT) AS vv
+               FROM o a JOIN o b ON a.event_type = b.event_type AND a.rn <> b.rn
+               GROUP BY 1, 2, 3, 4),
+         u AS (SELECT event_type, rn, day, n_days,
+                 CAST(sum(vv) OVER (PARTITION BY event_type ORDER BY rn) AS BIGINT) AS ut
+               FROM v),
+         k AS (SELECT event_type, rn, day, n_days, abs(ut) AS au,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY abs(ut) DESC, day) AS rk
+               FROM u WHERE rn < n_days)
+         SELECT event_type, n_days, au AS k_stat, CAST(day AS VARCHAR) AS cp_day,
+                round(2 * exp(-6.0 * au * au / (CAST(n_days AS DOUBLE) * n_days * n_days
+                  + CAST(n_days AS DOUBLE) * n_days)), 6) AS p_approx
+         FROM k WHERE rk = 1 ORDER BY event_type""",
+
+    "q_x_theil_sen" ->
+      """WITH dc AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         o AS (SELECT event_type, c,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY day) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+               FROM dc),
+         sl AS (SELECT a.event_type, max(a.n_days) AS n_days,
+                  CAST(count(*) AS BIGINT) AS n_pairs,
+                  median(CAST(b.c - a.c AS DOUBLE) / (b.rn - a.rn)) AS slope
+                FROM o a JOIN o b ON a.event_type = b.event_type AND a.rn < b.rn
+                GROUP BY 1),
+         ic AS (SELECT o.event_type, median(o.c - sl.slope * o.rn) AS icept
+                FROM o JOIN sl ON sl.event_type = o.event_type GROUP BY 1)
+         SELECT sl.event_type, sl.n_days, sl.n_pairs,
+                round(sl.slope, 6) AS slope, round(ic.icept, 6) AS intercept
+         FROM sl JOIN ic ON ic.event_type = sl.event_type
+         ORDER BY sl.event_type"""
   )
 }

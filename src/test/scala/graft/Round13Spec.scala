@@ -137,6 +137,62 @@ class Round13Spec extends SparkSuite {
     assert(gotJ2 == maxJ2)
   }
 
+  test("q_x_pettitt matches a brute-force cut scan") {
+    val rows = SparkEntry.queries("q_x_pettitt")(spark, sfDir).collect()
+    val dayRows = Tables.table(spark, sfDir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("event_type"), col("day"))
+      .collect().map(r => (r.getString(0), r.get(1).toString, r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val s = dayRows(r.getString(0)).sortBy(_._2)
+      val cs = s.map(_._3); val days = s.map(_._2)
+      // brute force: U_t summed over the full (i <= t < j) pair set
+      val best = (1 until cs.length).map { t =>
+        val u = (for (i <- 0 until t; j <- t until cs.length)
+          yield java.lang.Long.signum(cs(i) - cs(j)).toLong).sum
+        (math.abs(u), days(t - 1))
+      }.minBy { case (au, d) => (-au, d) }
+      assert(r.getLong(2) == best._1, s"k_stat(${r.getString(0)})")
+      assert(r.getString(3) == best._2, s"cp_day(${r.getString(0)})")
+      val n = cs.length.toDouble
+      val p = math.round(2 * math.exp(-6.0 * best._1 * best._1 /
+        (n * n * n + n * n)) * 1e6) / 1e6
+      assert(math.abs(r.getDouble(4) - p) < 1e-9)
+    }
+  }
+
+  test("q_x_theil_sen matches a driver median-of-slopes; robust to one planted outlier") {
+    val rows = SparkEntry.queries("q_x_theil_sen")(spark, sfDir).collect()
+    val ser = dailySeries()
+    rows.foreach { r =>
+      val cs = ser(r.getString(0))
+      val slopes = (for (i <- cs.indices; j <- i + 1 until cs.length)
+        yield (cs(j) - cs(i)).toDouble / (j - i)).sorted
+      def med(xs: Seq[Double]) =
+        if (xs.length % 2 == 1) xs(xs.length / 2)
+        else (xs(xs.length / 2 - 1) + xs(xs.length / 2)) / 2
+      val slope = med(slopes)
+      val icept = med(cs.indices.map(i => cs(i) - slope * (i + 1)).sorted)
+      def r6(x: Double) = math.round(x * 1e6) / 1e6
+      assert(r.getLong(2) == slopes.length)
+      assert(math.abs(r.getDouble(3) - r6(slope)) < 1e-9, s"slope(${r.getString(0)})")
+      assert(math.abs(r.getDouble(4) - r6(icept)) < 1e-9, s"icept(${r.getString(0)})")
+    }
+    // robustness axiom: one wild outlier moves the Theil-Sen slope of
+    // a clean linear series by little, while the OLS slope jumps
+    val clean = (1 to 20).map(i => 2.0 * i)
+    val dirty = clean.updated(9, 1000.0)
+    def tsSlope(ys: Seq[Double]) = {
+      val sl = (for (i <- ys.indices; j <- i + 1 until ys.length)
+        yield (ys(j) - ys(i)) / (j - i)).sorted
+      if (sl.length % 2 == 1) sl(sl.length / 2)
+      else (sl(sl.length / 2 - 1) + sl(sl.length / 2)) / 2
+    }
+    assert(math.abs(tsSlope(dirty) - 2.0) < 0.2, s"ts slope ${tsSlope(dirty)}")
+  }
+
   test("dtw axioms: zero on identical series, symmetric, <= lag-locked L1") {
     val ser = dailySeries()
     ser.values.foreach(s => assert(dtwRef(s, s) == 0L))
