@@ -268,6 +268,73 @@ object Round13 {
           round(col("slope"), 6).as("slope"),
           round(col("icept"), 6).as("intercept"))
         .orderBy(col("event_type"))
+    }),
+
+    // Mood's median test across sources on document lengths — the
+    // k-sample location test at the opposite robustness extreme from
+    // q_x_anova (only counts above/below the POOLED median enter, so
+    // arbitrary outliers move nothing). Grand median via the engines'
+    // shared exact-median convention; per-source above-counts are
+    // exact integers; expected counts and the χ² fold in one
+    // sorted-single-partition pass (the q_x_kruskal k-row pattern) so
+    // the double sum is ordered identically in both engines.
+    "q_x_mood_median" -> ((s, d) => {
+      val docs = table(s, d, "documents").select(col("source"), col("n_chars"))
+      val m2 = docs.agg(expr("median(n_chars)").as("gm"))
+      val sdf = docs.crossJoin(broadcast(m2))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("n_chars") > col("gm"), 1).otherwise(0))
+            .cast("long").as("a"))
+      val t = sdf.agg(sum(col("n")).as("nt"), sum(col("a")).as("at2"),
+        count(lit(1)).as("k"))
+      val c = sdf.crossJoin(broadcast(t))
+        .withColumn("ea", col("n").cast("double") * col("at2") / col("nt"))
+      val x = c.coalesce(1).sortWithinPartitions(col("source"))
+        .agg(sum(expr(
+          "pow(a - ea, 2) / ea + pow((n - a) - (n - ea), 2) / (n - ea)"))
+          .as("chi2"))
+      c.crossJoin(broadcast(x))
+        .select(col("source"), col("n"), col("a").as("n_above"),
+          round(col("ea"), 6).as("e_above"),
+          round(col("chi2"), 6).as("chi2"),
+          (col("k") - 1).as("df"))
+        .orderBy(col("source"))
+    }),
+
+    // Page's L trend test: are daily counts monotonically ordered
+    // WITHIN the week (treatments = day position 1..7, blocks = full
+    // calendar weeks)? The blocked cousin of q_x_jonckheere — JT
+    // pools across weeks, Page ranks within each week so week-level
+    // shifts cancel. Partial weeks are dropped (declared); midrank
+    // ties keep 2L an exact BIGINT (rank() = low rank, the running
+    // RANGE count = high rank, low+high = 2·midrank); the z uses the
+    // DECLARED no-ties variance b·k²(k+1)(k²−1)/144 at k = 7.
+    "q_x_page_trend" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dc = table(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = dc.withColumn("wk",
+        floor(datediff(col("day"), lit("1970-01-01").cast("date")) / lit(7.0))
+          .cast("long"))
+      val full7 = w.groupBy(col("event_type"), col("wk"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") === 7)
+        .select(col("event_type"), col("wk"))
+      val wkWin = Window.partitionBy(col("event_type"), col("wk"))
+      val wf = w.join(full7, Seq("event_type", "wk"))
+        .withColumn("pos",
+          row_number().over(wkWin.orderBy(col("day"))).cast("long"))
+        .withColumn("rlo", rank().over(wkWin.orderBy(col("c"))).cast("long"))
+        .withColumn("rhi",
+          count(lit(1)).over(wkWin.orderBy(col("c"))).cast("long"))
+      wf.groupBy(col("event_type"))
+        .agg(countDistinct(col("wk")).as("b"),
+          sum(col("pos") * (col("rlo") + col("rhi"))).cast("long").as("l2"))
+        .selectExpr("event_type", "b", "l2",
+          """round((CAST(l2 AS DOUBLE) / 2 - b * 7 * 64.0 / 4)
+               / sqrt(b * 49.0 * 8 * 48 / 144), 6) AS z""")
+        .orderBy(col("event_type"))
     })
   )
 
@@ -461,6 +528,49 @@ object Round13 {
          SELECT sl.event_type, sl.n_days, sl.n_pairs,
                 round(sl.slope, 6) AS slope, round(ic.icept, 6) AS intercept
          FROM sl JOIN ic ON ic.event_type = sl.event_type
-         ORDER BY sl.event_type"""
+         ORDER BY sl.event_type""",
+
+    "q_x_mood_median" ->
+      """WITH m2 AS (SELECT median(n_chars) AS gm FROM documents),
+         s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN n_chars > (SELECT gm FROM m2)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS a
+               FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(a) AS BIGINT) AS at2,
+                 CAST(count(*) AS BIGINT) AS k FROM s),
+         c AS (SELECT s.source, s.n, s.a,
+                 CAST(s.n AS DOUBLE) * t.at2 / t.nt AS ea, t.k
+               FROM s, t),
+         x AS (SELECT CAST(sum(pow(a - ea, 2) / ea
+                 + pow((n - a) - (n - ea), 2) / (n - ea)) AS DOUBLE) AS chi2
+               FROM (SELECT * FROM c ORDER BY source))
+         SELECT c.source, c.n, c.a AS n_above, round(c.ea, 6) AS e_above,
+                round(x.chi2, 6) AS chi2, c.k - 1 AS df
+         FROM c, x ORDER BY c.source""",
+
+    "q_x_page_trend" ->
+      """WITH dc AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, day, c,
+                 CAST(floor(CAST(day - DATE '1970-01-01' AS DOUBLE) / 7) AS BIGINT) AS wk
+               FROM dc),
+         full7 AS (SELECT event_type, wk FROM w GROUP BY 1, 2 HAVING count(*) = 7),
+         wf AS (SELECT w.event_type, w.wk, w.c,
+                  CAST(row_number() OVER (PARTITION BY w.event_type, w.wk
+                    ORDER BY w.day) AS BIGINT) AS pos,
+                  CAST(rank() OVER (PARTITION BY w.event_type, w.wk
+                    ORDER BY w.c) AS BIGINT) AS rlo,
+                  CAST(count(*) OVER (PARTITION BY w.event_type, w.wk
+                    ORDER BY w.c) AS BIGINT) AS rhi
+                FROM w JOIN full7 f ON f.event_type = w.event_type AND f.wk = w.wk),
+         l AS (SELECT event_type, CAST(count(DISTINCT wk) AS BIGINT) AS b,
+                 CAST(sum(pos * (rlo + rhi)) AS BIGINT) AS l2
+               FROM wf GROUP BY 1)
+         SELECT event_type, b, l2,
+                round((CAST(l2 AS DOUBLE) / 2 - b * 7 * 64.0 / 4)
+                      / sqrt(b * 49.0 * 8 * 48 / 144), 6) AS z
+         FROM l ORDER BY event_type"""
   )
 }

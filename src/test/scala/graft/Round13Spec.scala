@@ -193,6 +193,66 @@ class Round13Spec extends SparkSuite {
     assert(math.abs(tsSlope(dirty) - 2.0) < 0.2, s"ts slope ${tsSlope(dirty)}")
   }
 
+  test("q_x_mood_median matches a driver recompute; counts are median-consistent") {
+    val rows = SparkEntry.queries("q_x_mood_median")(spark, sfDir).collect()
+    val raw = Tables.table(spark, sfDir, "documents")
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val sortedV = raw.map(_._2).sorted
+    val gm =
+      if (sortedV.length % 2 == 1) sortedV(sortedV.length / 2).toDouble
+      else (sortedV(sortedV.length / 2 - 1) + sortedV(sortedV.length / 2)) / 2.0
+    val bySrc = raw.groupBy(_._1)
+    val aTot = raw.count(_._2 > gm); val nTot = raw.length
+    var chi2 = 0.0
+    bySrc.keys.toSeq.sorted.foreach { src =>
+      val n = bySrc(src).length; val a = bySrc(src).count(_._2 > gm)
+      val ea = n.toDouble * aTot / nTot
+      chi2 += math.pow(a - ea, 2) / ea + math.pow((n - a) - (n - ea), 2) / (n - ea)
+    }
+    rows.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getLong(1) == bySrc(src).length)
+      assert(r.getLong(2) == bySrc(src).count(_._2 > gm), s"n_above($src)")
+      assert(math.abs(r.getDouble(4) - math.round(chi2 * 1e6) / 1e6) < 1e-9)
+      assert(r.getLong(5) == bySrc.size - 1)
+    }
+  }
+
+  test("q_x_page_trend: 2L matches a driver rank recompute; monotone weeks max the L") {
+    val rows = SparkEntry.queries("q_x_page_trend")(spark, sfDir).collect()
+    val ser = Tables.table(spark, sfDir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.get(1).toString, r.getLong(2)))
+      .groupBy(_._1)
+    val epoch = java.time.LocalDate.parse("1970-01-01")
+    rows.foreach { r =>
+      val weeks = ser(r.getString(0))
+        .groupBy(x => java.time.temporal.ChronoUnit.DAYS
+          .between(epoch, java.time.LocalDate.parse(x._2)) / 7)
+        .filter(_._2.length == 7)
+      var l2 = 0L
+      weeks.values.foreach { wkRows =>
+        val cs = wkRows.sortBy(_._2).map(_._3)
+        cs.zipWithIndex.foreach { case (c, i) =>
+          val lo = 1 + cs.count(_ < c); val hi = cs.count(_ <= c)
+          l2 += (i + 1).toLong * (lo + hi)
+        }
+      }
+      assert(r.getLong(1) == weeks.size, s"b(${r.getString(0)})")
+      assert(r.getLong(2) == l2, s"l2(${r.getString(0)})")
+    }
+    // axiom: strictly increasing within-week series attains the exact
+    // maximum 2L = 2b * sum(j*j) = 2b * 140 at k = 7
+    val inc = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L)
+    val l2max = inc.zipWithIndex.map { case (c, i) =>
+      val lo = 1 + inc.count(_ < c); val hi = inc.count(_ <= c)
+      (i + 1).toLong * (lo + hi)
+    }.sum
+    assert(l2max == 2L * (1 to 7).map(j => j * j).sum)
+  }
+
   test("dtw axioms: zero on identical series, symmetric, <= lag-locked L1") {
     val ser = dailySeries()
     ser.values.foreach(s => assert(dtwRef(s, s) == 0L))
