@@ -335,6 +335,58 @@ object Round13 {
           """round((CAST(l2 AS DOUBLE) / 2 - b * 7 * 64.0 / 4)
                / sqrt(b * 49.0 * 8 * 48 / 144), 6) AS z""")
         .orderBy(col("event_type"))
+    }),
+
+    // Hurst exponent via rescaled range at DECLARED window sizes
+    // {7, 14}: long-range dependence of the daily count series — the
+    // burstiness/memory diagnostic (H ≈ 0.5 random walk, > 0.5
+    // persistent, < 0.5 mean-reverting) complementing q_x_burstiness'
+    // dispersion view. Block stats are EXACT-integer-derived (R from
+    // integer prefix sums minus t·(Σc/w); S² = (Σc² − (Σc)²/w)/w — no
+    // order-sensitive double accumulation inside a block); tail days
+    // beyond the last full block are dropped and zero-variance blocks
+    // excluded (both declared); the cross-block R/S mean folds in the
+    // sorted-single-partition k-row pattern.
+    "q_x_hurst" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val dc = table(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val o = dc.select(col("event_type"), col("c"),
+        row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("day"))).cast("long").as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("event_type")))
+          .as("n_days"))
+      val b0 = o.crossJoin(broadcast(Seq(7L, 14L).toDF("w")))
+        .filter(col("rn") <=
+          floor(col("n_days") / col("w").cast("double")).cast("long") * col("w"))
+        .withColumn("blk",
+          floor((col("rn") - 1) / col("w").cast("double")).cast("long"))
+      val bw = Window.partitionBy(col("event_type"), col("w"), col("blk"))
+      val b = b0
+        .withColumn("pfx", sum(col("c")).over(bw.orderBy(col("rn"))).cast("long"))
+        .withColumn("t", col("rn") - col("blk") * col("w"))
+        .withColumn("sc", sum(col("c")).over(bw).cast("long"))
+        .withColumn("sq", sum(col("c") * col("c")).over(bw).cast("long"))
+      val dev = col("pfx") - col("t") * (col("sc").cast("double") / col("w"))
+      val g = b.groupBy(col("event_type"), col("n_days"), col("w"),
+          col("blk"), col("sc"), col("sq"))
+        .agg((max(dev) - min(dev)).as("r"))
+        .withColumn("s",
+          sqrt((col("sq") - col("sc").cast("double") * col("sc") / col("w")) / col("w")))
+      val rs = g.filter(col("s") > 0)
+        .coalesce(1).sortWithinPartitions(col("event_type"), col("w"), col("blk"))
+        .groupBy(col("event_type"), col("n_days"), col("w"))
+        .agg(count(lit(1)).as("nb"), sum(col("r") / col("s")).as("mrs"))
+      rs.filter(col("w") === 7)
+        .select(col("event_type"), col("n_days"), (col("mrs") / col("nb")).as("rs7"))
+        .join(rs.filter(col("w") === 14)
+          .select(col("event_type"), (col("mrs") / col("nb")).as("rs14")), "event_type")
+        .selectExpr("event_type", "n_days",
+          "round(rs7, 6) AS rs7", "round(rs14, 6) AS rs14",
+          "round((ln(rs14) - ln(rs7)) / (ln(14) - ln(7)), 6) AS hurst")
+        .orderBy(col("event_type"))
     })
   )
 
@@ -571,6 +623,48 @@ object Round13 {
          SELECT event_type, b, l2,
                 round((CAST(l2 AS DOUBLE) / 2 - b * 7 * 64.0 / 4)
                       / sqrt(b * 49.0 * 8 * 48 / 144), 6) AS z
-         FROM l ORDER BY event_type"""
+         FROM l ORDER BY event_type""",
+
+    // Explicit floor() on every block-index division — DuckDB '/' is
+    // float division (the q_x_jonckheere lesson). Block R and S are
+    // exact-integer-derived, so no within-block double accumulation
+    // order exists to disagree on.
+    "q_x_hurst" ->
+      """WITH dc AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         o AS (SELECT event_type, c,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY day) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+               FROM dc),
+         ws AS (SELECT CAST(7 AS BIGINT) AS w UNION ALL SELECT CAST(14 AS BIGINT)),
+         b0 AS (SELECT o.event_type, o.n_days, ws.w, o.c, o.rn,
+                  CAST(floor((o.rn - 1) / CAST(ws.w AS DOUBLE)) AS BIGINT) AS blk
+                FROM o JOIN ws
+                  ON o.rn <= CAST(floor(o.n_days / CAST(ws.w AS DOUBLE)) AS BIGINT) * ws.w),
+         b AS (SELECT *,
+                 CAST(sum(c) OVER (PARTITION BY event_type, w, blk ORDER BY rn) AS BIGINT) AS pfx,
+                 rn - blk * w AS t,
+                 CAST(sum(c) OVER (PARTITION BY event_type, w, blk) AS BIGINT) AS sc,
+                 CAST(sum(c * c) OVER (PARTITION BY event_type, w, blk) AS BIGINT) AS sq
+               FROM b0),
+         g AS (SELECT event_type, n_days, w, blk,
+                 max(pfx - t * (CAST(sc AS DOUBLE) / w))
+                   - min(pfx - t * (CAST(sc AS DOUBLE) / w)) AS r,
+                 sqrt((sq - CAST(sc AS DOUBLE) * sc / w) / w) AS s
+               FROM b GROUP BY event_type, n_days, w, blk, sc, sq),
+         rs AS (SELECT event_type, n_days, w,
+                  CAST(count(*) AS BIGINT) AS nb, sum(r / s) AS mrs
+                FROM (SELECT * FROM g WHERE s > 0 ORDER BY event_type, w, blk)
+                GROUP BY 1, 2, 3),
+         piv AS (SELECT a.event_type, a.n_days,
+                   a.mrs / a.nb AS rs7, b.mrs / b.nb AS rs14
+                 FROM rs a JOIN rs b
+                   ON a.event_type = b.event_type AND a.w = 7 AND b.w = 14)
+         SELECT event_type, n_days, round(rs7, 6) AS rs7, round(rs14, 6) AS rs14,
+                round((ln(rs14) - ln(rs7)) / (ln(14) - ln(7)), 6) AS hurst
+         FROM piv ORDER BY event_type"""
   )
 }

@@ -253,6 +253,37 @@ class Round13Spec extends SparkSuite {
     assert(l2max == 2L * (1 to 7).map(j => j * j).sum)
   }
 
+  test("q_x_hurst matches a driver R/S recompute at both declared windows") {
+    val rows = SparkEntry.queries("q_x_hurst")(spark, sfDir).collect()
+    val ser = dailySeries()
+    rows.foreach { r =>
+      val cs = ser(r.getString(0))
+      def meanRs(w: Int): Double = {
+        val vals = (0 until cs.length / w).flatMap { k =>
+          val blk = cs.slice(k * w, (k + 1) * w)
+          val sc = blk.sum; val sq = blk.map(x => x * x).sum
+          val sDev = math.sqrt((sq - sc.toDouble * sc / w) / w)
+          if (sDev <= 0) None
+          else {
+            var pf = 0L
+            val xs = blk.zipWithIndex.map { case (x, i) =>
+              pf += x; pf - (i + 1) * (sc.toDouble / w)
+            }
+            Some((xs.max - xs.min) / sDev)
+          }
+        }
+        vals.sum / vals.length
+      }
+      val (r7, r14) = (meanRs(7), meanRs(14))
+      val h = (math.log(r14) - math.log(r7)) / (math.log(14) - math.log(7))
+      def r6(x: Double) = math.round(x * 1e6) / 1e6
+      assert(r.getLong(1) == cs.length)
+      assert(math.abs(r.getDouble(2) - r6(r7)) < 1e-9, s"rs7(${r.getString(0)})")
+      assert(math.abs(r.getDouble(3) - r6(r14)) < 1e-9, s"rs14(${r.getString(0)})")
+      assert(math.abs(r.getDouble(4) - r6(h)) < 1e-9, s"hurst(${r.getString(0)})")
+    }
+  }
+
   test("dtw axioms: zero on identical series, symmetric, <= lag-locked L1") {
     val ser = dailySeries()
     ser.values.foreach(s => assert(dtwRef(s, s) == 0L))
