@@ -411,16 +411,21 @@ object Dedup {
 
   /** Corpus row estimate from Catalyst plan statistics — never an
     * eager job at construction (the r10 q_x_ann_lsh advice): exact
-    * CBO rowCount when present, else on-disk bytes over the measured
-    * ~125 B/doc fixture footprint. autoSimhashLayout is log₂-scaled
-    * with ≥ 9-bit steps between layouts, so even a 4× row misestimate
+    * CBO rowCount when present, else on-disk bytes over a declared
+    * 128 B/doc divisor (the fixture footprint measures ~125 B/doc;
+    * the power-of-two divisor is the same estimate to within 3%).
+    * A sizeInBytes that is non-positive or overflows Long (BigInt
+    * stats on huge plans) maps to Long.MaxValue — the widest layout,
+    * the safe direction — rather than running an eager count() at
+    * plan-construction time. autoSimhashLayout is log₂-scaled with
+    * ≥ 9-bit steps between layouts, so even a 4× row misestimate
     * cannot select the wrong layout except at a boundary — where both
     * neighbors are correct designs.
     */
   private def estimatedDocRows(df: DataFrame): Long = {
     val st = df.queryExecution.optimizedPlan.stats
     st.rowCount.map(_.toLong).getOrElse {
-      if (st.sizeInBytes <= 0 || !st.sizeInBytes.isValidLong) df.count()
+      if (st.sizeInBytes <= 0 || !st.sizeInBytes.isValidLong) Long.MaxValue
       else math.max(1L, st.sizeInBytes.toLong / 128L)
     }
   }

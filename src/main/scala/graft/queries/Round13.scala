@@ -116,37 +116,49 @@ object Round13 {
     // Holt–Winters ADDITIVE seasonal smoothing of the per-type daily
     // count series — the seasonal extension of q_x_holt (level+trend)
     // that a weekly-periodic feed needs. Declared before the oracle:
-    // α=0.3, β=0.1, γ=0.2, period 7; init l = mean(c_1..c_7), b = 0,
-    // s_i = c_i − l; types with < 8 days are dropped. Day-grain
-    // sequential fold per type (state = level+trend+7 seasonals); the
-    // recursive-CTE oracle carries the seasonal vector as 7 columns
-    // and repeats the level expression textually — identical
-    // arithmetic order, so the rounded doubles are bit-identical.
+    // α=0.3, β=0.1, γ=0.2, period 7; the seasonal slot is CALENDAR-
+    // keyed — slot(day) = epoch_day mod 7 (not observation index, r13
+    // advice: a missing day no longer phase-shifts the whole tail;
+    // epoch-day mod avoids the Spark-1-based / DuckDB-0-based
+    // dayofweek convention trap, and fixture days are post-1970 so
+    // the mod is nonnegative). Init over the first 7 observations:
+    // l = mean(c_1..c_7), b = 0, sv[slot] = c_i − l (later
+    // observation of a repeated slot overwrites, unseen slots stay
+    // 0); types with < 8 days are dropped; fc_next indexes
+    // sv[slot(last_day + 1)]. Day-grain sequential fold per type
+    // (state = level+trend+7 seasonals); the recursive-CTE oracle
+    // carries the seasonal vector as 7 columns and repeats the level
+    // expression textually — identical arithmetic order, so the
+    // rounded doubles are bit-identical.
     "q_x_holt_winters" -> ((s, d) => {
       import s.implicits._
       val dc = table(s, d, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("c"))
-      val rows = dc.select(col("event_type"), col("day").cast("string"), col("c"))
-        .as[(String, String, Long)]
+      val rows = dc.select(col("event_type"),
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long").as("ed"),
+        col("c"))
+        .as[(String, Long, Long)]
       rows.groupByKey(_._1).flatMapGroups { (typ, it) =>
-        val arr = it.toArray.sortBy(_._2).map(_._3)
+        val arr = it.toArray.sortBy(_._2)
         if (arr.length < 8) Iterator.empty
         else {
-          var l = arr.take(7).sum.toDouble / 7
+          var l = arr.take(7).map(_._3).sum.toDouble / 7
           var b = 0.0
-          val sv = Array.tabulate(7)(i => arr(i) - l)
-          var i = 7
+          val sv = Array.fill(7)(0.0)
+          var i = 0
+          while (i < 7) { sv((arr(i)._2 % 7).toInt) = arr(i)._3 - l; i += 1 }
           while (i < arr.length) {
-            val idx = i % 7 // rn = i+1, slot (rn−1) mod 7
-            val l2 = 0.3 * (arr(i) - sv(idx)) + 0.7 * (l + b)
+            val idx = (arr(i)._2 % 7).toInt
+            val c = arr(i)._3
+            val l2 = 0.3 * (c - sv(idx)) + 0.7 * (l + b)
             b = 0.1 * (l2 - l) + 0.9 * b
-            sv(idx) = 0.2 * (arr(i) - l2) + 0.8 * sv(idx)
+            sv(idx) = 0.2 * (c - l2) + 0.8 * sv(idx)
             l = l2
             i += 1
           }
           Iterator.single((typ, arr.length.toLong, l, b,
-            l + b + sv(arr.length % 7)))
+            l + b + sv(((arr.last._2 + 1) % 7).toInt)))
         }
       }.toDF("event_type", "n_days", "level", "trend", "fc_next")
         .select(col("event_type"), col("n_days"),
@@ -235,34 +247,38 @@ object Round13 {
     }),
 
     // Theil–Sen robust trend per event type: the median of all
-    // pairwise day-grain slopes (exact small rationals in double —
-    // identical in both engines), then the median intercept at that
-    // slope. Robust to the outlier days that bend q_x_linreg's OLS
-    // line; pair grid is day × day per type, calendar-bounded at any
-    // corpus size. Both medians are the engines' shared exact-median
-    // convention (the q_x_cusum precedent).
+    // pairwise CALENDAR-day slopes (x = days since the type's first
+    // day + 1, so the denominator is datediff — per-day slope even
+    // across calendar gaps, r13 advice; on a dense calendar x equals
+    // the old row number, so dense outputs are unchanged). Slopes are
+    // exact small rationals in double — identical in both engines —
+    // then the median intercept at that slope. Robust to the outlier
+    // days that bend q_x_linreg's OLS line; pair grid is day × day
+    // per type, calendar-bounded at any corpus size. Both medians are
+    // the engines' shared exact-median convention (q_x_cusum
+    // precedent).
     "q_x_theil_sen" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val dc = table(s, d, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("c"))
+      val tw = Window.partitionBy(col("event_type"))
       val o = dc.select(col("event_type"), col("c"),
-        row_number().over(Window.partitionBy(col("event_type"))
-          .orderBy(col("day"))).cast("long").as("rn"),
-        count(lit(1)).over(Window.partitionBy(col("event_type")))
-          .as("n_days"))
-      val sl = o.select(col("event_type"), col("rn"), col("c"), col("n_days"))
-        .join(o.select(col("event_type"), col("rn").as("rn_b"), col("c").as("c_b")),
+        (datediff(col("day"), min(col("day")).over(tw)) + 1)
+          .cast("long").as("x"),
+        count(lit(1)).over(tw).as("n_days"))
+      val sl = o.select(col("event_type"), col("x"), col("c"), col("n_days"))
+        .join(o.select(col("event_type"), col("x").as("x_b"), col("c").as("c_b")),
           Seq("event_type"))
-        .filter(col("rn") < col("rn_b"))
+        .filter(col("x") < col("x_b"))
         .groupBy(col("event_type"))
         .agg(max(col("n_days")).as("n_days"),
           count(lit(1)).as("n_pairs"),
-          expr("median(CAST(c_b - c AS DOUBLE) / (rn_b - rn))").as("slope"))
+          expr("median(CAST(c_b - c AS DOUBLE) / (x_b - x))").as("slope"))
       val ic = o.join(broadcast(sl.select(col("event_type"), col("slope"))),
           Seq("event_type"))
         .groupBy(col("event_type"))
-        .agg(expr("median(c - slope * rn)").as("icept"))
+        .agg(expr("median(c - slope * x)").as("icept"))
       sl.join(ic, "event_type")
         .select(col("event_type"), col("n_days"), col("n_pairs"),
           round(col("slope"), 6).as("slope"),
@@ -290,9 +306,14 @@ object Round13 {
         count(lit(1)).as("k"))
       val c = sdf.crossJoin(broadcast(t))
         .withColumn("ea", col("n").cast("double") * col("at2") / col("nt"))
+      // ea = 0 (no document above the pooled median anywhere) forces
+      // a = 0 too, so the 0/0 cell's correct χ² contribution is its
+      // limit 0 — the CASE guard (identical in the oracle) encodes
+      // that instead of letting Spark NaN / DuckDB NULL diverge.
       val x = c.coalesce(1).sortWithinPartitions(col("source"))
         .agg(sum(expr(
-          "pow(a - ea, 2) / ea + pow((n - a) - (n - ea), 2) / (n - ea)"))
+          """CASE WHEN ea > 0 THEN pow(a - ea, 2) / ea ELSE 0 END
+             + CASE WHEN n - ea > 0 THEN pow((n - a) - (n - ea), 2) / (n - ea) ELSE 0 END"""))
           .as("chi2"))
       c.crossJoin(broadcast(x))
         .select(col("source"), col("n"), col("a").as("n_above"),
@@ -379,10 +400,14 @@ object Round13 {
         .coalesce(1).sortWithinPartitions(col("event_type"), col("w"), col("blk"))
         .groupBy(col("event_type"), col("n_days"), col("w"))
         .agg(count(lit(1)).as("nb"), sum(col("r") / col("s")).as("mrs"))
+      // LEFT join: a type with 7 ≤ n_days < 14 (or all-zero-variance
+      // w=14 blocks) surfaces with null rs14/hurst instead of being
+      // silently dropped (r13 advice — no undeclared row-drop rule).
       rs.filter(col("w") === 7)
         .select(col("event_type"), col("n_days"), (col("mrs") / col("nb")).as("rs7"))
         .join(rs.filter(col("w") === 14)
-          .select(col("event_type"), (col("mrs") / col("nb")).as("rs14")), "event_type")
+          .select(col("event_type"), (col("mrs") / col("nb")).as("rs14")),
+          Seq("event_type"), "left")
         .selectExpr("event_type", "n_days",
           "round(rs7, 6) AS rs7", "round(rs14, 6) AS rs14",
           "round((ln(rs14) - ln(rs7)) / (ln(14) - ln(7)), 6) AS hurst")
@@ -463,16 +488,19 @@ object Round13 {
                 round(phmax, 6) AS ph_max, round(m, 6) AS m_final
          FROM r WHERE rn = n_days ORDER BY event_type""",
 
-    // Declared α/β/γ = 0.3/0.1/0.2, period 7, init (mean, 0, c_i−mean);
-    // the seasonal vector rides as 7 columns and the level expression
-    // repeats textually so every double matches the Spark fold's
-    // arithmetic order exactly.
+    // Declared α/β/γ = 0.3/0.1/0.2, period 7; the seasonal slot is
+    // epoch_day % 7 (calendar-keyed, r13 advice) — arg_max(c, rn)
+    // FILTER reproduces the fold's last-observation-wins init and
+    // coalesce(…, 0) its unseen-slot zero; the seasonal vector rides
+    // as 7 columns and the level expression repeats textually so
+    // every double matches the Spark fold's arithmetic order exactly.
     "q_x_holt_winters" ->
       """WITH RECURSIVE dc AS (
            SELECT event_type, CAST(ts AS DATE) AS day,
                   CAST(count(*) AS BIGINT) AS c
            FROM events GROUP BY 1, 2),
          o AS (SELECT event_type, c,
+                 CAST(CAST(day - DATE '1970-01-01' AS BIGINT) % 7 AS INTEGER) AS slot,
                  CAST(row_number() OVER (PARTITION BY event_type
                    ORDER BY day) AS BIGINT) AS rn,
                  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
@@ -480,33 +508,37 @@ object Round13 {
          init AS (
            SELECT event_type, max(n_days) AS n_days,
                   CAST(sum(c) AS DOUBLE) / 7 AS l,
-                  max(CASE WHEN rn = 1 THEN c END) - CAST(sum(c) AS DOUBLE) / 7 AS s0,
-                  max(CASE WHEN rn = 2 THEN c END) - CAST(sum(c) AS DOUBLE) / 7 AS s1,
-                  max(CASE WHEN rn = 3 THEN c END) - CAST(sum(c) AS DOUBLE) / 7 AS s2,
-                  max(CASE WHEN rn = 4 THEN c END) - CAST(sum(c) AS DOUBLE) / 7 AS s3,
-                  max(CASE WHEN rn = 5 THEN c END) - CAST(sum(c) AS DOUBLE) / 7 AS s4,
-                  max(CASE WHEN rn = 6 THEN c END) - CAST(sum(c) AS DOUBLE) / 7 AS s5,
-                  max(CASE WHEN rn = 7 THEN c END) - CAST(sum(c) AS DOUBLE) / 7 AS s6
+                  coalesce(CAST(arg_max(c, rn) FILTER (WHERE slot = 0) AS DOUBLE) - CAST(sum(c) AS DOUBLE) / 7, 0) AS s0,
+                  coalesce(CAST(arg_max(c, rn) FILTER (WHERE slot = 1) AS DOUBLE) - CAST(sum(c) AS DOUBLE) / 7, 0) AS s1,
+                  coalesce(CAST(arg_max(c, rn) FILTER (WHERE slot = 2) AS DOUBLE) - CAST(sum(c) AS DOUBLE) / 7, 0) AS s2,
+                  coalesce(CAST(arg_max(c, rn) FILTER (WHERE slot = 3) AS DOUBLE) - CAST(sum(c) AS DOUBLE) / 7, 0) AS s3,
+                  coalesce(CAST(arg_max(c, rn) FILTER (WHERE slot = 4) AS DOUBLE) - CAST(sum(c) AS DOUBLE) / 7, 0) AS s4,
+                  coalesce(CAST(arg_max(c, rn) FILTER (WHERE slot = 5) AS DOUBLE) - CAST(sum(c) AS DOUBLE) / 7, 0) AS s5,
+                  coalesce(CAST(arg_max(c, rn) FILTER (WHERE slot = 6) AS DOUBLE) - CAST(sum(c) AS DOUBLE) / 7, 0) AS s6
            FROM o WHERE rn <= 7 GROUP BY event_type HAVING max(n_days) >= 8),
+         ld AS (SELECT event_type,
+                  CAST((CAST(max(day) - DATE '1970-01-01' AS BIGINT) + 1) % 7 AS INTEGER) AS slot_next
+                FROM dc GROUP BY 1),
          r AS (
            SELECT event_type, n_days, CAST(7 AS BIGINT) AS rn,
                   l, CAST(0 AS DOUBLE) AS b, s0, s1, s2, s3, s4, s5, s6
            FROM init
            UNION ALL
            SELECT o.event_type, r.n_days, o.rn,
-                  0.3 * (o.c - (CASE CAST((o.rn - 1) % 7 AS INTEGER) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END)) + 0.7 * (r.l + r.b),
-                  0.1 * ((0.3 * (o.c - (CASE CAST((o.rn - 1) % 7 AS INTEGER) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END)) + 0.7 * (r.l + r.b)) - r.l) + 0.9 * r.b,
-                  CASE WHEN CAST((o.rn - 1) % 7 AS INTEGER) = 0 THEN 0.2 * (o.c - (0.3 * (o.c - r.s0) + 0.7 * (r.l + r.b))) + 0.8 * r.s0 ELSE r.s0 END,
-                  CASE WHEN CAST((o.rn - 1) % 7 AS INTEGER) = 1 THEN 0.2 * (o.c - (0.3 * (o.c - r.s1) + 0.7 * (r.l + r.b))) + 0.8 * r.s1 ELSE r.s1 END,
-                  CASE WHEN CAST((o.rn - 1) % 7 AS INTEGER) = 2 THEN 0.2 * (o.c - (0.3 * (o.c - r.s2) + 0.7 * (r.l + r.b))) + 0.8 * r.s2 ELSE r.s2 END,
-                  CASE WHEN CAST((o.rn - 1) % 7 AS INTEGER) = 3 THEN 0.2 * (o.c - (0.3 * (o.c - r.s3) + 0.7 * (r.l + r.b))) + 0.8 * r.s3 ELSE r.s3 END,
-                  CASE WHEN CAST((o.rn - 1) % 7 AS INTEGER) = 4 THEN 0.2 * (o.c - (0.3 * (o.c - r.s4) + 0.7 * (r.l + r.b))) + 0.8 * r.s4 ELSE r.s4 END,
-                  CASE WHEN CAST((o.rn - 1) % 7 AS INTEGER) = 5 THEN 0.2 * (o.c - (0.3 * (o.c - r.s5) + 0.7 * (r.l + r.b))) + 0.8 * r.s5 ELSE r.s5 END,
-                  CASE WHEN CAST((o.rn - 1) % 7 AS INTEGER) = 6 THEN 0.2 * (o.c - (0.3 * (o.c - r.s6) + 0.7 * (r.l + r.b))) + 0.8 * r.s6 ELSE r.s6 END
+                  0.3 * (o.c - (CASE o.slot WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END)) + 0.7 * (r.l + r.b),
+                  0.1 * ((0.3 * (o.c - (CASE o.slot WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END)) + 0.7 * (r.l + r.b)) - r.l) + 0.9 * r.b,
+                  CASE WHEN o.slot = 0 THEN 0.2 * (o.c - (0.3 * (o.c - r.s0) + 0.7 * (r.l + r.b))) + 0.8 * r.s0 ELSE r.s0 END,
+                  CASE WHEN o.slot = 1 THEN 0.2 * (o.c - (0.3 * (o.c - r.s1) + 0.7 * (r.l + r.b))) + 0.8 * r.s1 ELSE r.s1 END,
+                  CASE WHEN o.slot = 2 THEN 0.2 * (o.c - (0.3 * (o.c - r.s2) + 0.7 * (r.l + r.b))) + 0.8 * r.s2 ELSE r.s2 END,
+                  CASE WHEN o.slot = 3 THEN 0.2 * (o.c - (0.3 * (o.c - r.s3) + 0.7 * (r.l + r.b))) + 0.8 * r.s3 ELSE r.s3 END,
+                  CASE WHEN o.slot = 4 THEN 0.2 * (o.c - (0.3 * (o.c - r.s4) + 0.7 * (r.l + r.b))) + 0.8 * r.s4 ELSE r.s4 END,
+                  CASE WHEN o.slot = 5 THEN 0.2 * (o.c - (0.3 * (o.c - r.s5) + 0.7 * (r.l + r.b))) + 0.8 * r.s5 ELSE r.s5 END,
+                  CASE WHEN o.slot = 6 THEN 0.2 * (o.c - (0.3 * (o.c - r.s6) + 0.7 * (r.l + r.b))) + 0.8 * r.s6 ELSE r.s6 END
            FROM o JOIN r ON o.event_type = r.event_type AND o.rn = r.rn + 1)
-         SELECT event_type, n_days, round(l, 6) AS level, round(b, 6) AS trend,
-                round(l + b + (CASE CAST(n_days % 7 AS INTEGER) WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5 ELSE s6 END), 6) AS fc_next
-         FROM r WHERE rn = n_days ORDER BY event_type""",
+         SELECT r.event_type, r.n_days, round(r.l, 6) AS level, round(r.b, 6) AS trend,
+                round(r.l + r.b + (CASE ld.slot_next WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END), 6) AS fc_next
+         FROM r JOIN ld ON ld.event_type = r.event_type
+         WHERE r.rn = r.n_days ORDER BY r.event_type""",
 
     // floor(days/7.0): DuckDB '/' is float division, so the explicit
     // floor is what makes the week bucket integral in BOTH engines.
@@ -566,16 +598,15 @@ object Round13 {
                   CAST(count(*) AS BIGINT) AS c
            FROM events GROUP BY 1, 2),
          o AS (SELECT event_type, c,
-                 CAST(row_number() OVER (PARTITION BY event_type
-                   ORDER BY day) AS BIGINT) AS rn,
+                 CAST(day - min(day) OVER (PARTITION BY event_type) AS BIGINT) + 1 AS x,
                  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
                FROM dc),
          sl AS (SELECT a.event_type, max(a.n_days) AS n_days,
                   CAST(count(*) AS BIGINT) AS n_pairs,
-                  median(CAST(b.c - a.c AS DOUBLE) / (b.rn - a.rn)) AS slope
-                FROM o a JOIN o b ON a.event_type = b.event_type AND a.rn < b.rn
+                  median(CAST(b.c - a.c AS DOUBLE) / (b.x - a.x)) AS slope
+                FROM o a JOIN o b ON a.event_type = b.event_type AND a.x < b.x
                 GROUP BY 1),
-         ic AS (SELECT o.event_type, median(o.c - sl.slope * o.rn) AS icept
+         ic AS (SELECT o.event_type, median(o.c - sl.slope * o.x) AS icept
                 FROM o JOIN sl ON sl.event_type = o.event_type GROUP BY 1)
          SELECT sl.event_type, sl.n_days, sl.n_pairs,
                 round(sl.slope, 6) AS slope, round(ic.icept, 6) AS intercept
@@ -593,8 +624,8 @@ object Round13 {
          c AS (SELECT s.source, s.n, s.a,
                  CAST(s.n AS DOUBLE) * t.at2 / t.nt AS ea, t.k
                FROM s, t),
-         x AS (SELECT CAST(sum(pow(a - ea, 2) / ea
-                 + pow((n - a) - (n - ea), 2) / (n - ea)) AS DOUBLE) AS chi2
+         x AS (SELECT CAST(sum(CASE WHEN ea > 0 THEN pow(a - ea, 2) / ea ELSE 0 END
+                 + CASE WHEN n - ea > 0 THEN pow((n - a) - (n - ea), 2) / (n - ea) ELSE 0 END) AS DOUBLE) AS chi2
                FROM (SELECT * FROM c ORDER BY source))
          SELECT c.source, c.n, c.a AS n_above, round(c.ea, 6) AS e_above,
                 round(x.chi2, 6) AS chi2, c.k - 1 AS df
@@ -661,8 +692,9 @@ object Round13 {
                 GROUP BY 1, 2, 3),
          piv AS (SELECT a.event_type, a.n_days,
                    a.mrs / a.nb AS rs7, b.mrs / b.nb AS rs14
-                 FROM rs a JOIN rs b
-                   ON a.event_type = b.event_type AND a.w = 7 AND b.w = 14)
+                 FROM (SELECT * FROM rs WHERE w = 7) a
+                 LEFT JOIN (SELECT * FROM rs WHERE w = 14) b
+                   ON a.event_type = b.event_type)
          SELECT event_type, n_days, round(rs7, 6) AS rs7, round(rs14, 6) AS rs14,
                 round((ln(rs14) - ln(rs7)) / (ln(14) - ln(7)), 6) AS hurst
          FROM piv ORDER BY event_type"""

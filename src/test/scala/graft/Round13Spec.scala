@@ -20,6 +20,71 @@ class Round13Spec extends SparkSuite {
       .map(r => (r.getString(0), r.getLong(2)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toArray).toMap
 
+  /** (epoch_day, count) series per type — for the calendar-keyed
+    * recomputes (holt_winters slots, theil_sen day denominators).
+    */
+  private def dailySeriesWithDays(dir: String): Map[String, Array[(Long, Long)]] =
+    Tables.table(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long").as("ed"),
+        col("c"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toArray).toMap
+
+  /** Independent epoch-slot Holt–Winters fold (declared constants). */
+  private def hwRef(s: Array[(Long, Long)]): (Double, Double, Double) = {
+    var l = s.take(7).map(_._2).sum.toDouble / 7
+    var b = 0.0
+    val sv = Array.fill(7)(0.0)
+    var i = 0
+    while (i < 7) { sv((s(i)._1 % 7).toInt) = s(i)._2 - l; i += 1 }
+    while (i < s.length) {
+      val idx = (s(i)._1 % 7).toInt
+      val c = s(i)._2
+      val l2 = 0.3 * (c - sv(idx)) + 0.7 * (l + b)
+      b = 0.1 * (l2 - l) + 0.9 * b
+      sv(idx) = 0.2 * (c - l2) + 0.8 * sv(idx)
+      l = l2
+      i += 1
+    }
+    (l, b, l + b + sv(((s.last._1 + 1) % 7).toInt))
+  }
+
+  /** Independent calendar-x Theil–Sen (x = days since first day + 1). */
+  private def tsRef(s: Array[(Long, Long)]): (Long, Double, Double) = {
+    val x0 = s.head._1 - 1
+    val xs = s.map(p => (p._1 - x0, p._2))
+    val slopes = (for (i <- xs.indices; j <- i + 1 until xs.length)
+      yield (xs(j)._2 - xs(i)._2).toDouble / (xs(j)._1 - xs(i)._1)).sorted
+    def med(v: Seq[Double]) =
+      if (v.length % 2 == 1) v(v.length / 2)
+      else (v(v.length / 2 - 1) + v(v.length / 2)) / 2
+    val slope = med(slopes)
+    val icept = med(xs.map(p => p._2 - slope * p._1).sorted)
+    (slopes.length.toLong, slope, icept)
+  }
+
+  /** Synthetic calendar-gap fixture: "gap" = 20 days minus Jan 10
+    * (the missing-day case the r13 advice flagged), "sparse" = 9 days
+    * (one w=7 R/S block, zero w=14 blocks). Per-day counts vary so
+    * every block has nonzero variance.
+    */
+  private lazy val gapDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("r14_gap_sf").toString
+    import spark.implicits._
+    def day(d: String) = java.sql.Timestamp.valueOf(d + " 12:00:00")
+    val rows =
+      (for (i <- 1 to 20 if i != 10; _ <- 1 to (i % 5) + 1)
+        yield ("gap", day(f"2024-01-$i%02d"))) ++
+      (for (i <- 1 to 9; _ <- 1 to (i % 3) + 1)
+        yield ("sparse", day(f"2024-02-$i%02d")))
+    rows.toDF("event_type", "ts").write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
   /** Textbook row-sweep DP, cell at a time — deliberately NOT the
     * prefix-min unroll the query uses.
     */
@@ -80,28 +145,48 @@ class Round13Spec extends SparkSuite {
 
   test("q_x_holt_winters matches an independent driver fold at the declared constants") {
     val rows = SparkEntry.queries("q_x_holt_winters")(spark, sfDir).collect()
-    val ser = dailySeries()
+    val ser = dailySeriesWithDays(sfDir)
     val eligible = ser.filter(_._2.length >= 8)
     assert(rows.length == eligible.size)
     rows.foreach { r =>
-      val cs = ser(r.getString(0))
-      var l = cs.take(7).sum.toDouble / 7
-      var b = 0.0
-      val sv = Array.tabulate(7)(i => cs(i) - l)
-      (7 until cs.length).foreach { i =>
-        val idx = i % 7
-        val l2 = 0.3 * (cs(i) - sv(idx)) + 0.7 * (l + b)
-        b = 0.1 * (l2 - l) + 0.9 * b
-        sv(idx) = 0.2 * (cs(i) - l2) + 0.8 * sv(idx)
-        l = l2
-      }
+      val s = ser(r.getString(0))
+      val (l, b, fc) = hwRef(s)
       def r6(x: Double) = math.round(x * 1e6) / 1e6
-      assert(r.getLong(1) == cs.length)
+      assert(r.getLong(1) == s.length)
       assert(math.abs(r.getDouble(2) - r6(l)) < 1e-9, s"level(${r.getString(0)})")
       assert(math.abs(r.getDouble(3) - r6(b)) < 1e-9, s"trend(${r.getString(0)})")
-      assert(math.abs(r.getDouble(4) - r6(l + b + sv(cs.length % 7))) < 1e-9,
-        s"fc_next(${r.getString(0)})")
+      assert(math.abs(r.getDouble(4) - r6(fc)) < 1e-9, s"fc_next(${r.getString(0)})")
     }
+  }
+
+  test("q_x_holt_winters: a missing day does not phase-shift the seasonal tail (gap fixture)") {
+    val out = SparkEntry.queries("q_x_holt_winters")(spark, gapDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ser = dailySeriesWithDays(gapDir)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    Seq("gap", "sparse").foreach { t =>
+      val (l, b, fc) = hwRef(ser(t))
+      val r = out(t)
+      assert(math.abs(r.getDouble(2) - r6(l)) < 1e-9, s"level($t)")
+      assert(math.abs(r.getDouble(3) - r6(b)) < 1e-9, s"trend($t)")
+      assert(math.abs(r.getDouble(4) - r6(fc)) < 1e-9, s"fc_next($t)")
+    }
+    // the observation-index fold (the r13 bug) disagrees on the gap
+    // series: every post-gap slot shifts by one, so the epoch-keyed
+    // result is genuinely different — this test cannot pass both.
+    val s = ser("gap")
+    var l = s.take(7).map(_._2).sum.toDouble / 7
+    var b = 0.0
+    val sv = Array.tabulate(7)(i => s(i)._2 - l)
+    (7 until s.length).foreach { i =>
+      val idx = i % 7
+      val l2 = 0.3 * (s(i)._2 - sv(idx)) + 0.7 * (l + b)
+      b = 0.1 * (l2 - l) + 0.9 * b
+      sv(idx) = 0.2 * (s(i)._2 - l2) + 0.8 * sv(idx)
+      l = l2
+    }
+    assert(math.abs(out("gap").getDouble(4) - r6(l + b + sv(s.length % 7))) > 1e-9,
+      "gap fixture should distinguish calendar slots from index slots")
   }
 
   test("q_x_jonckheere: j2 matches a driver pair count; monotone series maxes the statistic") {
@@ -165,18 +250,11 @@ class Round13Spec extends SparkSuite {
 
   test("q_x_theil_sen matches a driver median-of-slopes; robust to one planted outlier") {
     val rows = SparkEntry.queries("q_x_theil_sen")(spark, sfDir).collect()
-    val ser = dailySeries()
+    val ser = dailySeriesWithDays(sfDir)
     rows.foreach { r =>
-      val cs = ser(r.getString(0))
-      val slopes = (for (i <- cs.indices; j <- i + 1 until cs.length)
-        yield (cs(j) - cs(i)).toDouble / (j - i)).sorted
-      def med(xs: Seq[Double]) =
-        if (xs.length % 2 == 1) xs(xs.length / 2)
-        else (xs(xs.length / 2 - 1) + xs(xs.length / 2)) / 2
-      val slope = med(slopes)
-      val icept = med(cs.indices.map(i => cs(i) - slope * (i + 1)).sorted)
+      val (nPairs, slope, icept) = tsRef(ser(r.getString(0)))
       def r6(x: Double) = math.round(x * 1e6) / 1e6
-      assert(r.getLong(2) == slopes.length)
+      assert(r.getLong(2) == nPairs)
       assert(math.abs(r.getDouble(3) - r6(slope)) < 1e-9, s"slope(${r.getString(0)})")
       assert(math.abs(r.getDouble(4) - r6(icept)) < 1e-9, s"icept(${r.getString(0)})")
     }
@@ -191,6 +269,19 @@ class Round13Spec extends SparkSuite {
       else (sl(sl.length / 2 - 1) + sl(sl.length / 2)) / 2
     }
     assert(math.abs(tsSlope(dirty) - 2.0) < 0.2, s"ts slope ${tsSlope(dirty)}")
+  }
+
+  test("q_x_theil_sen: slopes are per CALENDAR day across a gap (gap fixture)") {
+    val out = SparkEntry.queries("q_x_theil_sen")(spark, gapDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ser = dailySeriesWithDays(gapDir)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    Seq("gap", "sparse").foreach { t =>
+      val (nPairs, slope, icept) = tsRef(ser(t))
+      assert(out(t).getLong(2) == nPairs)
+      assert(math.abs(out(t).getDouble(3) - r6(slope)) < 1e-9, s"slope($t)")
+      assert(math.abs(out(t).getDouble(4) - r6(icept)) < 1e-9, s"icept($t)")
+    }
   }
 
   test("q_x_mood_median matches a driver recompute; counts are median-consistent") {
@@ -282,6 +373,18 @@ class Round13Spec extends SparkSuite {
       assert(math.abs(r.getDouble(3) - r6(r14)) < 1e-9, s"rs14(${r.getString(0)})")
       assert(math.abs(r.getDouble(4) - r6(h)) < 1e-9, s"hurst(${r.getString(0)})")
     }
+  }
+
+  test("q_x_hurst surfaces 7 <= n_days < 14 types with null rs14/hurst (gap fixture)") {
+    val out = SparkEntry.queries("q_x_hurst")(spark, gapDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // "sparse" (9 days): one w=7 block exists, no w=14 block — the row
+    // must SURFACE with null rs14/hurst, not silently drop (r13 advice)
+    assert(out.contains("sparse"), "sparse type dropped from q_x_hurst output")
+    assert(!out("sparse").isNullAt(2) && out("sparse").isNullAt(3)
+      && out("sparse").isNullAt(4))
+    // "gap" (19 days): both windows populated
+    assert(!out("gap").isNullAt(3) && !out("gap").isNullAt(4))
   }
 
   test("dtw axioms: zero on identical series, symmetric, <= lag-locked L1") {
