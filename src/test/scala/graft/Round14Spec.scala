@@ -148,6 +148,136 @@ class Round14Spec extends SparkSuite {
     }
   }
 
+  // --- Fligner–Killeen / Ansari–Bradley references ---
+
+  /** Acklam Φ⁻¹ — the declared approximation, ported literally. */
+  private def qnormAcklam(u: Double): Double =
+    if (u <= 0.97575) {
+      val q = u - 0.5; val r = q * q
+      (((((-39.69683028665376 * r + 220.9460984245205) * r - 275.9285104469687) * r
+        + 138.357751867269) * r - 30.66479806614716) * r + 2.506628277459239) * q /
+        (((((-54.47609879822406 * r + 161.5858368580409) * r - 155.6989798598866) * r
+          + 66.80131188771972) * r - 13.28068155288572) * r + 1)
+    } else {
+      val q = math.sqrt(-2 * math.log(1 - u))
+      -(((((-0.007784894002430293 * q - 0.3223964580411365) * q - 2.400758277161838) * q
+        - 2.549732539343734) * q + 4.374664141464968) * q + 2.938163982698783) /
+        ((((0.007784695709041462 * q + 0.3224671290700398) * q + 2.445134137142996) * q
+          + 3.754408661907416) * q + 1)
+    }
+
+  /** Independent ground truth for Φ⁻¹: bisection on a Simpson-rule
+    * integral of the normal density (step ~3e-4 ⇒ quadrature error
+    * far below the 2e-8 tolerance being asserted).
+    */
+  private def qnormTrue(u: Double): Double = {
+    def cdf(x: Double): Double = {
+      val lo = -12.0
+      val n = 40000
+      val h = (x - lo) / n
+      var sum = 0.0
+      var i = 0
+      while (i <= n) {
+        val t = lo + i * h
+        val wgt = if (i == 0 || i == n) 1.0 else if (i % 2 == 1) 4.0 else 2.0
+        sum += wgt * math.exp(-t * t / 2)
+        i += 1
+      }
+      sum * h / 3 / math.sqrt(2 * math.Pi)
+    }
+    var lo = 0.0; var hi = 10.0
+    var it = 0
+    while (it < 60) { val m = (lo + hi) / 2; if (cdf(m) < u) lo = m else hi = m; it += 1 }
+    (lo + hi) / 2
+  }
+
+  test("the declared Acklam inverse-normal approximation is within 2e-8 of ground truth") {
+    Seq(0.500001, 0.6, 0.75, 0.9, 0.97, 0.97575, 0.976, 0.99, 0.9999).foreach { u =>
+      assert(math.abs(qnormAcklam(u) - qnormTrue(u)) < 2e-8, s"qnorm($u)")
+    }
+  }
+
+  private def docLens(dir: String): Array[(String, Long)] =
+    Tables.table(spark, dir, "documents")
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+
+  test("q_x_fligner matches a driver FK recompute through the declared Acklam scores") {
+    val rows = SparkEntry.queries("q_x_fligner")(spark, sfDir).collect()
+    val raw = docLens(sfDir)
+    val bySrc = raw.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def med(v: Array[Long]): Double = {
+      val s = v.sorted
+      if (s.length % 2 == 1) s(s.length / 2).toDouble
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val meds = bySrc.map { case (s, v) => s -> med(v) }
+    val pool = raw.map { case (s, x) => (s, math.abs(x - meds(s))) }
+    val n = pool.length
+    val totByD = pool.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val dSorted = totByD.keys.toArray.sorted
+    val cumb = dSorted.scanLeft(0L)((acc, d) => acc + totByD(d)).init
+      .zip(dSorted).map { case (c, d) => d -> c }.toMap
+    def score(d: Double): Double =
+      qnormAcklam(0.5 + (2 * cumb(d) + totByD(d) + 1).toDouble / (4.0 * (n + 1)))
+    val cells = pool.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val srcs = bySrc.keys.toArray.sorted
+    val sa = srcs.map { s =>
+      s -> dSorted.flatMap(d => cells.get((s, d)).map(c => c * score(d))).sum
+    }.toMap
+    val abar = srcs.map(sa).sum / n
+    val v2 = srcs.flatMap(s => dSorted.flatMap(d =>
+      cells.get((s, d)).map(c => c * math.pow(score(d) - abar, 2)))).sum / (n - 1)
+    val chi2 = srcs.map(s => bySrc(s).length * math.pow(sa(s) / bySrc(s).length - abar, 2)).sum / v2
+    assert(rows.length == srcs.length)
+    rows.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getLong(1) == bySrc(s).length)
+      assert(math.abs(r.getDouble(2) - sa(s) / bySrc(s).length) < 1e-6, s"a_mean($s)")
+      assert(math.abs(r.getDouble(3) - chi2) < 1e-4, s"chi2($s): ${r.getDouble(3)} vs $chi2")
+      assert(r.getLong(4) == srcs.length - 1)
+    }
+  }
+
+  test("q_x_ansari matches an exact-integer pooled-midrank recompute") {
+    val rows = SparkEntry.queries("q_x_ansari")(spark, sfDir).collect()
+    val raw = docLens(sfDir)
+    val n = raw.length
+    val tot = raw.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val vs = tot.keys.toArray.sorted
+    val cumb = vs.scanLeft(0L)((acc, v) => acc + tot(v)).init
+      .zip(vs).map { case (c, v) => v -> c }.toMap
+    def a2(v: Long): Long = {
+      val r2 = 2 * cumb(v) + tot(v) + 1
+      math.min(r2, 2L * (n + 1) - r2)
+    }
+    val per = raw.groupBy(_._1).view.mapValues { xs =>
+      (xs.length.toLong, xs.map(p => a2(p._2)).sum)
+    }.toMap
+    assert(rows.length == per.size)
+    rows.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getLong(1) == per(s)._1, s"n($s)")
+      assert(r.getLong(2) == per(s)._2, s"a2($s)")
+      val (ni, aa2) = per(s)
+      val e = ni * (n + 2) / 4.0
+      val vr = ni.toDouble * (n - ni) * (n + 2) * (n - 2) / (48.0 * (n - 1))
+      val zRef = (aa2 / 2.0 - e) / math.sqrt(vr) // fixture N is even
+      assert(n % 2 == 0 && math.abs(r.getDouble(3) - math.round(zRef * 1e6) / 1e6) < 1e-6)
+    }
+  }
+
+  test("ansari axiom: AB scores peak at the pooled middle and fall at both tails") {
+    // a tight-middle sample gets HIGHER total score than an
+    // extreme-tails sample of the same size from the same pool
+    val n = 100
+    // untied midrank of value v over the distinct pool 1..100 is v: 2r = 2v
+    def score(v: Long) = math.min(2 * v, 2L * (n + 1) - 2 * v)
+    val middle = (46L to 55L).map(score).sum
+    val tails = ((1L to 5L) ++ (96L to 100L)).map(score).sum
+    assert(middle > tails)
+  }
+
   test("q_x_esd unmasks: a planted pair of adjacent spikes is fully recovered by rounds 1+2") {
     // two big outliers close in value mask each other for single-pass
     // Grubbs-style max-|z| logic once one inflates the sd; the ESD
