@@ -49,7 +49,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scalars.defs ++ Joins.defs ++ Aggregates.defs ++ Windows.defs ++
       SetOps.defs ++ StreamingBatch.defs ++ Extensions.defs ++ Stats.defs ++
-      Round10.defs ++ Round10b.defs ++ Composites.defs ++ Round11.defs ++ Round11b.defs ++ Round11c.defs ++ Round11d.defs ++ Round11e.defs ++ Round11f.defs ++ Round11g.defs ++ Round11h.defs ++ Round11i.defs ++ Round11j.defs ++ Round11k.defs ++ Round11l.defs ++ Round11m.defs ++ Round12.defs ++ Round13.defs ++ Round14.defs
+      Round10.defs ++ Round10b.defs ++ Composites.defs ++ Round11.defs ++ Round11b.defs ++ Round11c.defs ++ Round11d.defs ++ Round11e.defs ++ Round11f.defs ++ Round11g.defs ++ Round11h.defs ++ Round11i.defs ++ Round11j.defs ++ Round11k.defs ++ Round11l.defs ++ Round11m.defs ++ Round12.defs ++ Round13.defs ++ Round14.defs ++ Round14b.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -58,5 +58,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Scalars.oracle ++ Joins.oracle ++ Aggregates.oracle ++ Windows.oracle ++
       SetOps.oracle ++ StreamingBatch.oracle ++ Extensions.oracle ++ Stats.oracle ++
-      Round10.oracle ++ Round10b.oracle ++ Composites.oracle ++ Round11.oracle ++ Round11b.oracle ++ Round11c.oracle ++ Round11d.oracle ++ Round11e.oracle ++ Round11f.oracle ++ Round11g.oracle ++ Round11h.oracle ++ Round11i.oracle ++ Round11j.oracle ++ Round11k.oracle ++ Round11l.oracle ++ Round11m.oracle ++ Round12.oracle ++ Round13.oracle ++ Round14.oracle
+      Round10.oracle ++ Round10b.oracle ++ Composites.oracle ++ Round11.oracle ++ Round11b.oracle ++ Round11c.oracle ++ Round11d.oracle ++ Round11e.oracle ++ Round11f.oracle ++ Round11g.oracle ++ Round11h.oracle ++ Round11i.oracle ++ Round11j.oracle ++ Round11k.oracle ++ Round11l.oracle ++ Round11m.oracle ++ Round12.oracle ++ Round13.oracle ++ Round14.oracle ++ Round14b.oracle
 }
