@@ -61,6 +61,154 @@ object Round14b {
       (1 to LbLags).map(k => s"${rkTxt(k)} * ${rkTxt(k)} / (n - $k)")
         .mkString(" + ") + "))"
 
+  /** Declared KPSS Bartlett bandwidth (lag window l; weights 1−j/(l+1)). */
+  private val KpssL = 7
+
+  /** Autocovariance γ_j from the same exact lag sums: γ_j =
+    * (Σ x_t·x_{t−j} − x̄·(Σ_{t>j} x_t + Σ_{t≤n−j} x_t) + (n−j)·x̄²)/n.
+    */
+  private def gammaTxt(j: Int): String =
+    s"""((CAST(p$j AS DOUBLE) - $MeanTxt * a$j - $MeanTxt * b$j
+        + (n - $j) * $MeanTxt * $MeanTxt) / n)"""
+
+  /** Bartlett long-run variance: γ0 + 2Σ_{j=1..l}(1−j/(l+1))γ_j, terms
+    * in fixed left-to-right order.
+    */
+  private val LrvTxt: String =
+    s"(($DenTxt / n) + 2 * (" +
+      (1 to KpssL).map(j => s"(1 - $j / ${KpssL + 1}.0) * ${gammaTxt(j)}")
+        .mkString(" + ") + "))"
+
+  /** Σ S_t² via the prefix-sum expansion S_t = C_t − t·x̄:
+    * Σ C_t² − 2x̄·Σ t·C_t + x̄²·n(n+1)(2n+1)/6 — the three sums exact
+    * BIGINTs, the Σt² closed form.
+    */
+  private val SumS2Txt: String =
+    s"""(CAST(scc AS DOUBLE) - 2 * $MeanTxt * stc
+        + $MeanTxt * $MeanTxt * (CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 6))"""
+
+  /** D'Agostino–Pearson moment texts (the jarque_bera convention:
+    * exact BIGINT s1/s2, DECIMAL(18,0)-routed s3/s4, all read through
+    * CAST(... AS DOUBLE) in one shared expression).
+    */
+  private val DaM = "(CAST(s1 AS DOUBLE) / n)"
+  private[graft] val DaM2 = s"(CAST(s2 AS DOUBLE) / n - $DaM * $DaM)"
+  private val DaM3 =
+    s"""(CAST(s3 AS DOUBLE) / n - 3.0 * $DaM * (CAST(s2 AS DOUBLE) / n)
+        + 2.0 * $DaM * $DaM * $DaM)"""
+  private val DaM4 =
+    s"""(CAST(s4 AS DOUBLE) / n - 4.0 * $DaM * (CAST(s3 AS DOUBLE) / n)
+        + 6.0 * $DaM * $DaM * (CAST(s2 AS DOUBLE) / n)
+        - 3.0 * $DaM * $DaM * $DaM * $DaM)"""
+  private val DaG1 = s"($DaM3 / ($DaM2 * sqrt($DaM2)))"
+  private[graft] val DaB2 = s"($DaM4 / ($DaM2 * $DaM2))"
+
+  /** D'Agostino (1970) skewness transform Z1. */
+  private[graft] val DaZ1Txt: String = {
+    val y = s"($DaG1 * sqrt((CAST(n AS DOUBLE) + 1) * (n + 3) / (6.0 * (n - 2))))"
+    val beta2 =
+      s"""(3.0 * (CAST(n AS DOUBLE) * n + 27 * n - 70) * (n + 1) * (n + 3)
+          / ((CAST(n AS DOUBLE) - 2) * (n + 5) * (n + 7) * (n + 9)))"""
+    val w2 = s"(sqrt(2.0 * ($beta2 - 1)) - 1)"
+    val delta = s"(1.0 / sqrt(ln(sqrt($w2))))"
+    val alpha = s"(sqrt(2.0 / ($w2 - 1)))"
+    s"($delta * ln($y / $alpha + sqrt(($y / $alpha) * ($y / $alpha) + 1)))"
+  }
+
+  /** Anscombe–Glynn (1983) kurtosis transform Z2 (sign-preserving cube
+    * root, declared — pow(negative, 1/3) is NaN in both engines).
+    */
+  private[graft] val DaZ2Txt: String = {
+    val eb2 = s"(3.0 * (CAST(n AS DOUBLE) - 1) / (n + 1))"
+    val vb2 =
+      s"""(24.0 * n * (CAST(n AS DOUBLE) - 2) * (n - 3)
+          / ((CAST(n AS DOUBLE) + 1) * (n + 1) * (n + 3) * (n + 5)))"""
+    val xx = s"(($DaB2 - $eb2) / sqrt($vb2))"
+    val sb1 =
+      s"""(6.0 * (CAST(n AS DOUBLE) * n - 5 * n + 2) / ((CAST(n AS DOUBLE) + 7) * (n + 9))
+          * sqrt(6.0 * (CAST(n AS DOUBLE) + 3) * (n + 5)
+              / (CAST(n AS DOUBLE) * (n - 2) * (n - 3))))"""
+    val aa = s"(6.0 + 8.0 / $sb1 * (2.0 / $sb1 + sqrt(1.0 + 4.0 / ($sb1 * $sb1))))"
+    val base = s"((1 - 2.0 / $aa) / (1 + $xx * sqrt(2.0 / ($aa - 4))))"
+    // NOT `1.0 / 3.0`: Spark parses that as DECIMAL ÷ DECIMAL and
+    // truncates the exponent to 0.333333 (DuckDB evaluates it as a
+    // double) — the CAST forces double division in both engines.
+    val cbrt =
+      s"""(CASE WHEN $base >= 0 THEN pow($base, CAST(1 AS DOUBLE) / 3)
+               ELSE -pow(-($base), CAST(1 AS DOUBLE) / 3) END)"""
+    s"(((1 - 2.0 / (9 * $aa)) - $cbrt) / sqrt(2.0 / (9 * $aa)))"
+  }
+
+  /** One-vs-rest pooled midranks at VALUE grain (the ansari/kruskal
+    * cross-join): every (source, distinct n_chars) cell carries the
+    * pooled tot, the source's cnt, the doubled midrank 2r = r2 (exact
+    * BIGINT), and the pooled N — ONE pooled ranking serves every
+    * source.
+    */
+  private def pooledRanks(s: SparkSession, d: String): DataFrame = {
+    val docs = table(s, d, "documents").select(col("source"), col("n_chars"))
+    val gs = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("tot"))
+    val nn = gs.agg(sum(col("tot")).as("n"))
+    val gl = docs.groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("cnt"))
+    val uni = broadcast(docs.select(col("source")).distinct())
+      .crossJoin(gs)
+      .join(gl, Seq("source", "n_chars"), "left").na.fill(0L, Seq("cnt"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    uni.withColumn("r2",
+        lit(2L) * coalesce(sum(col("tot")).over(w), lit(0L)) + col("tot") + 1L)
+      .crossJoin(broadcast(nn))
+  }
+
+  /** The same value-grain midrank CTE prefix for the oracle. */
+  private val PooledRanksSql: String =
+    """gs AS (SELECT n_chars, CAST(count(*) AS BIGINT) AS tot
+             FROM documents GROUP BY n_chars),
+       gl AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt
+              FROM documents GROUP BY source, n_chars),
+       nn AS (SELECT CAST(sum(tot) AS BIGINT) AS n FROM gs),
+       uni AS (SELECT s.source, g.n_chars, g.tot, COALESCE(l.cnt, 0) AS cnt
+               FROM (SELECT DISTINCT source FROM documents) s
+               CROSS JOIN gs g
+               LEFT JOIN gl l ON l.source = s.source AND l.n_chars = g.n_chars),
+       r AS (SELECT u.source, u.n_chars, u.cnt, nn.n,
+               2 * COALESCE(sum(u.tot) OVER (PARTITION BY u.source ORDER BY u.n_chars
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + u.tot + 1 AS r2
+             FROM uni u, nn)"""
+
+  /** Cucconi standardized rank-square sum: U over q = 4ΣR² (so
+    * 6ΣR² = 1.5q, exact BIGINT in), shared for the straight (q4) and
+    * contrary (q4c) directions.
+    */
+  private def cucconiUTxt(q: String): String =
+    s"""((1.5 * CAST($q AS DOUBLE) - CAST(n1 AS DOUBLE) * (n + 1) * (2 * n + 1))
+        / sqrt(CAST(n1 AS DOUBLE) * (n - n1) * (n + 1) * (2 * n + 1)
+            * (8 * CAST(n AS DOUBLE) + 11) / 5))"""
+
+  private val CucconiRhoTxt: String =
+    """((2 * (CAST(n AS DOUBLE) * n - 4)
+        / ((2 * n + 1) * (8 * CAST(n AS DOUBLE) + 11))) - 1)"""
+
+  /** Ansari–Bradley no-ties normal approximation (both N-parity
+    * branches) over the doubled score sum 2A and group size n1 —
+    * the q_x_ansari text, shared here by q_x_lepage.
+    */
+  private val AnsariZTxt: String =
+    """((CAST(a2 AS DOUBLE) / 2 -
+        CASE WHEN n % 2 = 0 THEN CAST(n1 AS DOUBLE) * (n + 2) / 4
+             ELSE CAST(n1 AS DOUBLE) * (n + 1) * (n + 1) / (4 * n) END)
+       / sqrt(CASE WHEN n % 2 = 0
+            THEN CAST(n1 AS DOUBLE) * (n - n1) * (n + 2) * (n - 2) / (48 * (n - 1))
+            ELSE CAST(n1 AS DOUBLE) * (n - n1) * (n + 1) * (3 + n * n) / (48 * CAST(n AS DOUBLE) * n) END))"""
+
+  /** Wilcoxon rank-sum z over the doubled rank sum 2W (no-ties
+    * declared): E[W] = n1(N+1)/2, Var[W] = n1·n2(N+1)/12.
+    */
+  private val WilcoxonZTxt: String =
+    """((CAST(w2 AS DOUBLE) / 2 - CAST(n1 AS DOUBLE) * (n + 1) / 2)
+       / sqrt(CAST(n1 AS DOUBLE) * (n - n1) * (n + 1) / 12))"""
+
   val defs: Map[String, Q] = Map(
 
     // Ljung–Box portmanteau per event type over daily counts
@@ -119,6 +267,134 @@ object Round14b {
                   / sqrt(4.0 * (n - 2) / ((CAST(n AS DOUBLE) - 1) * (n + 1))), 6)
                 ELSE NULL END AS z""")
         .orderBy(col("event_type"))
+    }),
+
+    // KPSS level-stationarity test per event type over daily counts
+    // (DECLARED: level form — no trend term; Bartlett bandwidth
+    // l = 7; observation-index grain): η = (Σ S_t²/n²) / lrv with
+    // S_t the partial sums of the demeaned series. S_t expands as
+    // C_t − t·x̄ (C_t = exact BIGINT prefix sum), so Σ S_t² needs
+    // only Σ C_t², Σ t·C_t (exact BIGINTs from ONE cumulative
+    // window) and the closed-form Σ t²; the Bartlett γ_j reuse the
+    // Ljung–Box lag machinery. Low vn/high η ⇒ a wandering level.
+    // Types with n ≤ l or zero long-run variance surface NULL kpss.
+    // (Scale note: Σ C_t² grows as (Σc)²·n — exact to ~sf100 on this
+    // fixture's BIGINT budget; the declared grain is daily counts,
+    // not raw events, so n stays calendar-bounded.)
+    "q_x_kpss" -> ((s, d) => {
+      val dc = dayCounts(s, d).cut("Round14b.scala:kpss", eager = true)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val base = dc
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      val lagged = (1 to KpssL).foldLeft(base) { (df, j) =>
+        df.withColumn(s"l$j", lag(col("c"), j).over(w))
+      }
+      val aggs =
+        Seq(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+          sum(col("c") * col("c")).as("sq"),
+          sum(col("cum") * col("cum")).as("scc"),
+          sum(col("rn") * col("cum")).as("stc")) ++
+          (1 to KpssL).flatMap { j =>
+            Seq(sum(col("c") * col(s"l$j")).as(s"p$j"),
+              sum(when(col(s"l$j").isNotNull, col("c"))).as(s"a$j"),
+              sum(col(s"l$j")).as(s"b$j"))
+          }
+      lagged.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+        .selectExpr("event_type", "n AS n_days",
+          s"""CASE WHEN n > $KpssL AND $LrvTxt > 0
+                THEN round($LrvTxt, 6) ELSE NULL END AS lrv""",
+          s"""CASE WHEN n > $KpssL AND $LrvTxt > 0
+                THEN round($SumS2Txt / (CAST(n AS DOUBLE) * n) / $LrvTxt, 6)
+                ELSE NULL END AS kpss""")
+        .orderBy(col("event_type"))
+    }),
+
+    // D'Agostino–Pearson K² omnibus normality test per source over
+    // document lengths — the finite-n-calibrated counterpart of
+    // q_x_jarque_bera (which uses the asymptotic χ² form): skewness
+    // through D'Agostino's (1970) Z1 transform, kurtosis through
+    // Anscombe–Glynn's (1983) Z2, K² = Z1² + Z2². Moments follow the
+    // jarque_bera convention exactly (BIGINT s1/s2, DECIMAL-routed
+    // s3/s4, one shared double expression); cube root is the declared
+    // sign-preserving form. DECLARED guard n ≥ 20 (the transforms'
+    // published validity floor) ∧ m2 > 0, NULL otherwise.
+    "q_x_dagostino" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val x2 = col("n_chars") * col("n_chars")
+      table(s, d, "documents")
+        .select(col("source"), col("n_chars"),
+          x2.as("x2"), x2.cast(DecimalType(18, 0)).as("hx"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s1"),
+          sum(col("x2")).as("s2"),
+          sum(col("hx") * col("n_chars")).as("s3"),
+          sum(col("hx") * col("hx")).as("s4"))
+        .selectExpr("source", "n",
+          s"""CASE WHEN n >= 20 AND $DaM2 > 0
+                THEN round($DaZ1Txt, 6) ELSE NULL END AS z1""",
+          s"""CASE WHEN n >= 20 AND $DaM2 > 0
+                THEN round($DaZ2Txt, 6) ELSE NULL END AS z2""",
+          s"""CASE WHEN n >= 20 AND $DaM2 > 0
+                THEN round($DaZ1Txt * $DaZ1Txt + $DaZ2Txt * $DaZ2Txt, 6)
+                ELSE NULL END AS k2""")
+        .orderBy(col("source"))
+    }),
+
+    // Cucconi joint location-scale test, each source vs the pooled
+    // corpus (one-vs-rest, DECLARED midranks): U standardizes ΣR²,
+    // V standardizes the contrary ΣR'² (R' = N+1−R), C = (U² + V²
+    // − 2ρUV)/(2(1−ρ²)) with the exact correlation ρ = 2(N²−4)/
+    // ((2N+1)(8N+11)) − 1. Both rank-square sums ride the doubled
+    // midranks: 4ΣR² = Σcnt·r2² and 4ΣR'² = Σcnt·(2(N+1)−r2)² are
+    // exact BIGINTs from the ONE pooled ranking all sources share.
+    // The older two-statistic cousin of q_x_lepage — it senses
+    // location AND scale in one quadratic form.
+    "q_x_cucconi" -> ((s, d) => {
+      val r2c = lit(2L) * (col("n") + 1L) - col("r2")
+      val u = cucconiUTxt("q4")
+      val v = cucconiUTxt("q4c")
+      pooledRanks(s, d)
+        .groupBy(col("source"), col("n"))
+        .agg(sum(col("cnt")).as("n1"),
+          sum(col("cnt") * col("r2") * col("r2")).as("q4"),
+          sum(col("cnt") * r2c * r2c).as("q4c"))
+        .selectExpr("source", "n1 AS n",
+          s"""CASE WHEN n1 >= 1 AND n - n1 >= 1
+                THEN round($u, 6) ELSE NULL END AS u""",
+          s"""CASE WHEN n1 >= 1 AND n - n1 >= 1
+                THEN round($v, 6) ELSE NULL END AS v""",
+          s"""CASE WHEN n1 >= 1 AND n - n1 >= 1
+                THEN round(($u * $u + $v * $v - 2 * $CucconiRhoTxt * $u * $v)
+                  / (2 * (1 - $CucconiRhoTxt * $CucconiRhoTxt)), 6)
+                ELSE NULL END AS c""")
+        .orderBy(col("source"))
+    }),
+
+    // Lepage joint location-scale test, each source vs the pooled
+    // corpus: L = z_W² + z_A² — the standardized Wilcoxon rank sum
+    // (location) plus the standardized Ansari–Bradley score sum
+    // (scale), both riding exact BIGINT doubled sums (2W = Σcnt·r2,
+    // 2A = Σcnt·min(r2, 2(N+1)−r2)) from the same one pooled
+    // ranking; DECLARED no-ties moments for both components (the
+    // q_x_ansari parity-branch text, shared).
+    "q_x_lepage" -> ((s, d) => {
+      pooledRanks(s, d)
+        .groupBy(col("source"), col("n"))
+        .agg(sum(col("cnt")).as("n1"),
+          sum(col("cnt") * col("r2")).as("w2"),
+          sum(col("cnt") * least(col("r2"), lit(2L) * (col("n") + 1L) - col("r2")))
+            .as("a2"))
+        .selectExpr("source", "n1 AS n",
+          s"""CASE WHEN n1 >= 1 AND n - n1 >= 1
+                THEN round($WilcoxonZTxt, 6) ELSE NULL END AS z_w""",
+          s"""CASE WHEN n1 >= 1 AND n - n1 >= 1
+                THEN round($AnsariZTxt, 6) ELSE NULL END AS z_a""",
+          s"""CASE WHEN n1 >= 1 AND n - n1 >= 1
+                THEN round($WilcoxonZTxt * $WilcoxonZTxt + $AnsariZTxt * $AnsariZTxt, 6)
+                ELSE NULL END AS l""")
+        .orderBy(col("source"))
     })
   )
 
@@ -176,6 +452,100 @@ object Round14b {
                      THEN round((CAST(sd2 AS DOUBLE) / $DenTxt - 2)
                        / sqrt(4.0 * (n - 2) / ((CAST(n AS DOUBLE) - 1) * (n + 1))), 6)
                      ELSE NULL END AS z
+         FROM g ORDER BY event_type""",
+
+    // Same cumulative + 7-lag window pass, same prefix-sum expansion
+    // of Σ S_t², same Bartlett weights in the same term order.
+    "q_x_kpss" -> {
+      val lagCols = (1 to KpssL)
+        .map(j => s"lag(c, $j) OVER (PARTITION BY event_type ORDER BY day) AS l$j")
+        .mkString(",\n                 ")
+      val aggCols = (1 to KpssL).map { j =>
+        s"""CAST(sum(c * l$j) AS BIGINT) AS p$j,
+                 CAST(sum(CASE WHEN l$j IS NOT NULL THEN c END) AS BIGINT) AS a$j,
+                 CAST(sum(l$j) AS BIGINT) AS b$j"""
+      }.mkString(",\n                 ")
+      s"""WITH $OracleDc,
+         lg AS (SELECT event_type, c,
+                 CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS rn,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 $lagCols
+               FROM dc),
+         g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS sc,
+                 CAST(sum(c * c) AS BIGINT) AS sq,
+                 CAST(sum(cum * cum) AS BIGINT) AS scc,
+                 CAST(sum(rn * cum) AS BIGINT) AS stc,
+                 $aggCols
+               FROM lg GROUP BY event_type)
+         SELECT event_type, n AS n_days,
+                CASE WHEN n > $KpssL AND $LrvTxt > 0
+                     THEN round($LrvTxt, 6) ELSE NULL END AS lrv,
+                CASE WHEN n > $KpssL AND $LrvTxt > 0
+                     THEN round($SumS2Txt / (CAST(n AS DOUBLE) * n) / $LrvTxt, 6)
+                     ELSE NULL END AS kpss
          FROM g ORDER BY event_type"""
+    },
+
+    // Same moment routing as the q_x_jarque_bera oracle, same Z1/Z2
+    // expression text.
+    "q_x_dagostino" ->
+      s"""WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(n_chars) AS BIGINT) AS s1,
+                 CAST(sum(n_chars * n_chars) AS BIGINT) AS s2,
+                 sum(CAST(n_chars * n_chars AS DECIMAL(18,0)) * n_chars) AS s3,
+                 sum(CAST(n_chars * n_chars AS DECIMAL(18,0)) *
+                     CAST(n_chars * n_chars AS DECIMAL(18,0))) AS s4
+               FROM documents GROUP BY source)
+         SELECT source, n,
+                CASE WHEN n >= 20 AND $DaM2 > 0
+                     THEN round($DaZ1Txt, 6) ELSE NULL END AS z1,
+                CASE WHEN n >= 20 AND $DaM2 > 0
+                     THEN round($DaZ2Txt, 6) ELSE NULL END AS z2,
+                CASE WHEN n >= 20 AND $DaM2 > 0
+                     THEN round($DaZ1Txt * $DaZ1Txt + $DaZ2Txt * $DaZ2Txt, 6)
+                     ELSE NULL END AS k2
+         FROM g ORDER BY source""",
+
+    // Same pooled-midrank CTE, same exact doubled-rank squares, same
+    // U/V/ρ expression text.
+    "q_x_cucconi" -> {
+      val u = cucconiUTxt("q4")
+      val v = cucconiUTxt("q4c")
+      s"""WITH $PooledRanksSql,
+         ps AS (SELECT source, max(n) AS n, CAST(sum(cnt) AS BIGINT) AS n1,
+                  CAST(sum(cnt * r2 * r2) AS BIGINT) AS q4,
+                  CAST(sum(cnt * (2 * (n + 1) - r2) * (2 * (n + 1) - r2)) AS BIGINT) AS q4c
+                FROM r GROUP BY source)
+         SELECT source, n1 AS n,
+                CASE WHEN n1 >= 1 AND n - n1 >= 1
+                     THEN round($u, 6) ELSE NULL END AS u,
+                CASE WHEN n1 >= 1 AND n - n1 >= 1
+                     THEN round($v, 6) ELSE NULL END AS v,
+                CASE WHEN n1 >= 1 AND n - n1 >= 1
+                     THEN round(($u * $u + $v * $v - 2 * $CucconiRhoTxt * $u * $v)
+                       / (2 * (1 - $CucconiRhoTxt * $CucconiRhoTxt)), 6)
+                     ELSE NULL END AS c
+         FROM ps ORDER BY source"""
+    },
+
+    // Same pooled ranking, same exact 2W/2A sums, same component
+    // texts.
+    "q_x_lepage" ->
+      s"""WITH $PooledRanksSql,
+         ps AS (SELECT source, max(n) AS n, CAST(sum(cnt) AS BIGINT) AS n1,
+                  CAST(sum(cnt * r2) AS BIGINT) AS w2,
+                  CAST(sum(cnt * least(r2, 2 * (n + 1) - r2)) AS BIGINT) AS a2
+                FROM r GROUP BY source)
+         SELECT source, n1 AS n,
+                CASE WHEN n1 >= 1 AND n - n1 >= 1
+                     THEN round($WilcoxonZTxt, 6) ELSE NULL END AS z_w,
+                CASE WHEN n1 >= 1 AND n - n1 >= 1
+                     THEN round($AnsariZTxt, 6) ELSE NULL END AS z_a,
+                CASE WHEN n1 >= 1 AND n - n1 >= 1
+                     THEN round($WilcoxonZTxt * $WilcoxonZTxt + $AnsariZTxt * $AnsariZTxt, 6)
+                     ELSE NULL END AS l
+         FROM ps ORDER BY source"""
   )
 }

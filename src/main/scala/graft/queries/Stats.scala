@@ -185,7 +185,12 @@ object Stats {
     "q_x_isotonic" -> ((s, d) => {
       val wOrd = Window.orderBy(col("sv"))
       val bins = table(s, d, "embeddings")
-        .groupBy(round(element_at(col("embedding"), 2).cast("double"), 2).as("sv"))
+        // + 0.0 normalizes a −0.0 bin key to +0.0 (a score rounding to
+        // zero from below): Spark normalizes signed zeros in grouping
+        // keys, DuckDB keeps the first-seen −0.0 representative —
+        // surfaced by the sf0.001 oracle gate.
+        .groupBy((round(element_at(col("embedding"), 2).cast("double"), 2) + lit(0.0))
+          .as("sv"))
         .agg(count(lit(1)).as("bn"),
           sum(when(col("label") <= 4, 1L).otherwise(0L)).as("bp"))
         // bin table is tiny (≤ ~10² rows): single-partition windows
@@ -430,7 +435,7 @@ object Stats {
          ORDER BY event_type""",
 
     "q_x_isotonic" ->
-      """WITH bins AS (SELECT round(CAST(embedding[2] AS DOUBLE), 2) AS sv,
+      """WITH bins AS (SELECT round(CAST(embedding[2] AS DOUBLE), 2) + 0.0 AS sv,
                   CAST(count(*) AS BIGINT) AS bn,
                   CAST(sum(CASE WHEN label <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS bp
                 FROM embeddings GROUP BY 1),

@@ -78,6 +78,150 @@ class Round14bSpec extends SparkSuite {
     }
   }
 
+  /** Textbook KPSS: demean, literal partial sums, centered-product
+    * autocovariances, Bartlett weights — none of the query's
+    * prefix-sum/moment expansions.
+    */
+  private def kpssRef(x: Array[Long], l: Int): Option[(Double, Double)] = {
+    val n = x.length
+    if (n <= l) return None
+    val mean = x.sum.toDouble / n
+    val e = x.map(_ - mean)
+    val g = (0 to l).map(j => (j until n).map(t => e(t) * e(t - j)).sum / n)
+    val lrv = g(0) + 2 * (1 to l).map(j => (1.0 - j.toDouble / (l + 1)) * g(j)).sum
+    if (!(lrv > 0)) return None
+    val s = e.scanLeft(0.0)(_ + _).drop(1)
+    Some((lrv, s.map(v => v * v).sum / (n.toDouble * n) / lrv))
+  }
+
+  /** Textbook D'Agostino–Pearson: central moments by direct centered
+    * sums, published Z1/Z2 transforms.
+    */
+  private def dagostinoRef(x: Array[Long]): Option[(Double, Double, Double)] = {
+    val n = x.length
+    if (n < 20) return None
+    val nd = n.toDouble
+    val mean = x.sum.toDouble / n
+    def cm(p: Int) = x.map(v => math.pow(v - mean, p)).sum / n
+    val (m2, m3, m4) = (cm(2), cm(3), cm(4))
+    if (!(m2 > 0)) return None
+    val g1 = m3 / math.pow(m2, 1.5)
+    val b2 = m4 / (m2 * m2)
+    val y = g1 * math.sqrt((nd + 1) * (nd + 3) / (6 * (nd - 2)))
+    val beta2 = 3 * (nd * nd + 27 * nd - 70) * (nd + 1) * (nd + 3) /
+      ((nd - 2) * (nd + 5) * (nd + 7) * (nd + 9))
+    val w2 = math.sqrt(2 * (beta2 - 1)) - 1
+    val delta = 1 / math.sqrt(math.log(math.sqrt(w2)))
+    val alpha = math.sqrt(2 / (w2 - 1))
+    val z1 = delta * math.log(y / alpha + math.sqrt(y / alpha * (y / alpha) + 1))
+    val eb2 = 3 * (nd - 1) / (nd + 1)
+    val vb2 = 24 * nd * (nd - 2) * (nd - 3) / ((nd + 1) * (nd + 1) * (nd + 3) * (nd + 5))
+    val xx = (b2 - eb2) / math.sqrt(vb2)
+    val sb1 = 6 * (nd * nd - 5 * nd + 2) / ((nd + 7) * (nd + 9)) *
+      math.sqrt(6 * (nd + 3) * (nd + 5) / (nd * (nd - 2) * (nd - 3)))
+    val aa = 6 + 8 / sb1 * (2 / sb1 + math.sqrt(1 + 4 / (sb1 * sb1)))
+    val base = (1 - 2 / aa) / (1 + xx * math.sqrt(2 / (aa - 4)))
+    val cbrt = if (base >= 0) math.pow(base, 1.0 / 3) else -math.pow(-base, 1.0 / 3)
+    val z2 = ((1 - 2 / (9 * aa)) - cbrt) / math.sqrt(2 / (9 * aa))
+    Some((z1, z2, z1 * z1 + z2 * z2))
+  }
+
+  test("q_x_kpss matches a textbook partial-sum recompute") {
+    val got = SparkEntry.queries("q_x_kpss")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    dailySeries(sfDir).foreach { case (t, x) =>
+      (kpssRef(x, 7), got(t)) match {
+        case (Some((_, exp)), Some(k)) => assert(math.abs(exp - k) < 1e-5, s"type $t")
+        case (None, None)              => ()
+        case other                     => fail(s"type $t guard mismatch: $other")
+      }
+    }
+  }
+
+  test("q_x_dagostino matches a textbook direct-moment recompute") {
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toArray).toMap
+    val got = SparkEntry.queries("q_x_dagostino")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> Option(r.get(4)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(got.keySet == docs.keySet && got.values.exists(_.isDefined))
+    docs.foreach { case (s, x) =>
+      (dagostinoRef(x), got(s)) match {
+        case (Some((_, _, exp)), Some(k2)) =>
+          assert(math.abs(exp - k2) < 1e-4, s"source $s: $exp vs $k2")
+        case (None, None) => ()
+        case other        => fail(s"source $s guard mismatch: $other")
+      }
+    }
+  }
+
+  /** Pooled midranks by direct sort (per-observation, not the
+    * queries' value-grain windows): value -> midrank.
+    */
+  private def midranks(all: Seq[Long]): Map[Long, Double] = {
+    val sorted = all.sorted
+    sorted.zipWithIndex.groupBy(_._1).view
+      .mapValues(g => g.map(_._2 + 1).sum.toDouble / g.size).toMap
+  }
+
+  private def docsBySource(dir: String): Map[String, Array[Long]] =
+    Tables.table(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toArray).toMap
+
+  test("q_x_cucconi matches a direct-sort midrank recompute") {
+    val docs = docsBySource(sfDir)
+    val all = docs.values.flatten.toSeq
+    val rk = midranks(all)
+    val nN = all.size.toDouble
+    val got = SparkEntry.queries("q_x_cucconi")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    docs.foreach { case (s, x) =>
+      val n1 = x.length.toDouble
+      val n2 = nN - n1
+      val den = math.sqrt(n1 * n2 * (nN + 1) * (2 * nN + 1) * (8 * nN + 11) / 5)
+      val u = (6 * x.map(v => rk(v) * rk(v)).sum - n1 * (nN + 1) * (2 * nN + 1)) / den
+      val v = (6 * x.map(v => (nN + 1 - rk(v)) * (nN + 1 - rk(v))).sum -
+        n1 * (nN + 1) * (2 * nN + 1)) / den
+      val rho = 2 * (nN * nN - 4) / ((2 * nN + 1) * (8 * nN + 11)) - 1
+      val c = (u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho))
+      val (gu, gv, gc) = got(s)
+      assert(math.abs(u - gu) < 1e-5 && math.abs(v - gv) < 1e-5 &&
+        math.abs(c - gc) < 1e-5, s"source $s: ($u,$v,$c) vs ($gu,$gv,$gc)")
+    }
+  }
+
+  test("q_x_lepage matches a direct-sort midrank recompute") {
+    val docs = docsBySource(sfDir)
+    val all = docs.values.flatten.toSeq
+    val rk = midranks(all)
+    val nN = all.size.toDouble
+    val got = SparkEntry.queries("q_x_lepage")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    docs.foreach { case (s, x) =>
+      val n1 = x.length.toDouble
+      val w = x.map(rk).sum
+      val zw = (w - n1 * (nN + 1) / 2) / math.sqrt(n1 * (nN - n1) * (nN + 1) / 12)
+      val a = x.map(v => math.min(rk(v), nN + 1 - rk(v))).sum
+      val (ea, va) =
+        if (nN.toLong % 2 == 0)
+          (n1 * (nN + 2) / 4,
+            n1 * (nN - n1) * (nN + 2) * (nN - 2) / (48 * (nN - 1)))
+        else
+          (n1 * (nN + 1) * (nN + 1) / (4 * nN),
+            n1 * (nN - n1) * (nN + 1) * (3 + nN * nN) / (48 * nN * nN))
+      val za = (a - ea) / math.sqrt(va)
+      val l = zw * zw + za * za
+      assert(math.abs(l - got(s)) < 1e-5, s"source $s: $l vs ${got(s)}")
+    }
+  }
+
   test("observation-index grain: a calendar gap closes ranks (declared)") {
     // Series over days 1,2,3,10,11 — lag-1 pairs (3,10) across the
     // 7-day gap. The declared-grain VN numerator includes (c[10]-c[3])²;
