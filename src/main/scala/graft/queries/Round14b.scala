@@ -209,6 +209,25 @@ object Round14b {
     """((CAST(w2 AS DOUBLE) / 2 - CAST(n1 AS DOUBLE) * (n + 1) / 2)
        / sqrt(CAST(n1 AS DOUBLE) * (n - n1) * (n + 1) / 12))"""
 
+  /** Dunn pairwise z (tie-corrected): mean-rank difference over the
+    * pooled standard error. Mean ranks ride exact doubled rank sums
+    * (w2 = 2·ΣR); tsum = Σ(t³−t) over pooled tie groups.
+    */
+  private val DunnZTxt: String =
+    s"""((CAST(w2_a AS DOUBLE) / 2 / n1_a - CAST(w2_b AS DOUBLE) / 2 / n1_b)
+        / sqrt((CAST(n AS DOUBLE) * (n + 1) / 12
+            - CAST(tsum AS DOUBLE) / (12 * (n - 1)))
+          * (CAST(1 AS DOUBLE) / n1_a + CAST(1 AS DOUBLE) / n1_b)))"""
+
+  /** Brunner–Munzel variance of one group from exact moments: with
+    * D = 2R − 2R_int per value (exact BIGINT) and K = (n_g+1)/2 − m_g,
+    * Σcnt(D/2 + K)² = D²-sum/4 + K·D-sum + K²·n_g.
+    */
+  private def bmVTxt(d1: String, d2: String, ng: String, m: String): String = {
+    val k = s"((CAST($ng AS DOUBLE) + 1) / 2 - $m)"
+    s"""((0.25 * CAST($d2 AS DOUBLE) + $k * $d1 + $k * $k * $ng) / ($ng - 1))"""
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Ljung–Box portmanteau per event type over daily counts
@@ -395,6 +414,77 @@ object Round14b {
                 THEN round($WilcoxonZTxt * $WilcoxonZTxt + $AnsariZTxt * $AnsariZTxt, 6)
                 ELSE NULL END AS l""")
         .orderBy(col("source"))
+    }),
+
+    // Dunn's post-hoc pairwise test across sources — the follow-up a
+    // pipeline runs after q_x_kruskal rejects: z_ij = (R̄_i − R̄_j) /
+    // sqrt((N(N+1)/12 − ΣT/(12(N−1)))·(1/n_i + 1/n_j)) with the
+    // standard tie correction ΣT = Σ(t³−t). Mean ranks ride exact
+    // BIGINT doubled rank sums from the ONE pooled ranking; the
+    // all-pairs grid is k² source rows (dims-bounded — the corpus
+    // never enters the pair join).
+    "q_x_dunn" -> ((s, d) => {
+      val ps = pooledRanks(s, d)
+        .groupBy(col("source"), col("n"))
+        .agg(sum(col("cnt")).as("n1"), sum(col("cnt") * col("r2")).as("w2"))
+        .cut("Round14b.scala:dunn", eager = true)
+      val ties = table(s, d, "documents")
+        .groupBy(col("n_chars")).agg(count(lit(1)).as("tot"))
+        .agg(sum(col("tot") * col("tot") * col("tot") - col("tot")).as("tsum"))
+      val a = ps.select(col("source").as("source_a"), col("n"),
+        col("n1").as("n1_a"), col("w2").as("w2_a"))
+      val b = ps.select(col("source").as("source_b"),
+        col("n1").as("n1_b"), col("w2").as("w2_b"))
+      a.join(broadcast(b), col("source_a") < col("source_b"))
+        .crossJoin(broadcast(ties))
+        .selectExpr("source_a", "source_b",
+          s"""CASE WHEN n1_a >= 1 AND n1_b >= 1 AND n >= 2
+                THEN round($DunnZTxt, 6) ELSE NULL END AS z""")
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // Brunner–Munzel test, each source vs the pooled rest
+    // (DECLARED orientation: group 1 = the source, group 2 = the
+    // complement; p̂ = P(X₁ < X₂) + ½P(X₁ = X₂)). The variance terms
+    // need pooled AND internal midranks — both fall out of the same
+    // value-grain frame (internal doubled midranks are per-source
+    // windows over cnt and tot−cnt), and the per-observation squared
+    // deviations collapse to exact BIGINT moments via the D = 2R−2R_int
+    // expansion, so no double accumulates across rows. W follows
+    // Brunner–Munzel (2000): n1·n2·(m2−m1)/(N·sqrt(n1·v1 + n2·v2)).
+    "q_x_brunner_munzel" -> ((s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val rk = pooledRanks(s, d)
+        .withColumn("rcnt", col("tot") - col("cnt"))
+        .withColumn("q2o",
+          lit(2L) * coalesce(sum(col("cnt")).over(w), lit(0L)) + col("cnt") + 1L)
+        .withColumn("q2r",
+          lit(2L) * coalesce(sum(col("rcnt")).over(w), lit(0L)) + col("rcnt") + 1L)
+      val ps = rk.groupBy(col("source"), col("n"))
+        .agg(sum(col("cnt")).as("n1"),
+          sum(col("cnt") * col("r2")).as("w2o"),
+          sum(col("cnt") * (col("r2") - col("q2o"))).as("d1"),
+          sum(col("cnt") * (col("r2") - col("q2o")) * (col("r2") - col("q2o")))
+            .as("d2"),
+          sum(col("rcnt") * col("r2")).as("w2r"),
+          sum(col("rcnt") * (col("r2") - col("q2r"))).as("e1"),
+          sum(col("rcnt") * (col("r2") - col("q2r")) * (col("r2") - col("q2r")))
+            .as("e2"))
+      val m1 = "(CAST(w2o AS DOUBLE) / 2 / n1)"
+      val m2 = "(CAST(w2r AS DOUBLE) / 2 / (n - n1))"
+      val v1 = bmVTxt("d1", "d2", "n1", m1)
+      val v2 = bmVTxt("e1", "e2", "(n - n1)", m2)
+      val guard = s"n1 >= 2 AND n - n1 >= 2 AND (n1 * $v1 + (n - n1) * $v2) > 0"
+      ps.selectExpr("source", "n1 AS n",
+        s"""CASE WHEN $guard
+              THEN round(($m2 - (CAST(n AS DOUBLE) - n1 + 1) / 2) / n1, 6)
+              ELSE NULL END AS p_hat""",
+        s"""CASE WHEN $guard
+              THEN round(CAST(n1 AS DOUBLE) * (n - n1) * ($m2 - $m1)
+                / n / sqrt(n1 * $v1 + (n - n1) * $v2), 6)
+              ELSE NULL END AS w_bm""")
+        .orderBy(col("source"))
     })
   )
 
@@ -546,6 +636,63 @@ object Round14b {
                 CASE WHEN n1 >= 1 AND n - n1 >= 1
                      THEN round($WilcoxonZTxt * $WilcoxonZTxt + $AnsariZTxt * $AnsariZTxt, 6)
                      ELSE NULL END AS l
+         FROM ps ORDER BY source""",
+
+    // Same pooled ranking, same exact doubled rank sums, same
+    // tie-corrected z text over the k² pair grid.
+    "q_x_dunn" ->
+      s"""WITH $PooledRanksSql,
+         ps AS (SELECT source, max(n) AS n, CAST(sum(cnt) AS BIGINT) AS n1,
+                  CAST(sum(cnt * r2) AS BIGINT) AS w2
+                FROM r GROUP BY source),
+         ties AS (SELECT CAST(sum(tot * tot * tot - tot) AS BIGINT) AS tsum FROM gs),
+         pr AS (SELECT a.source AS source_a, b.source AS source_b, a.n AS n,
+                  a.n1 AS n1_a, a.w2 AS w2_a, b.n1 AS n1_b, b.w2 AS w2_b
+                FROM ps a JOIN ps b ON a.source < b.source)
+         SELECT source_a, source_b,
+                CASE WHEN n1_a >= 1 AND n1_b >= 1 AND n >= 2
+                     THEN round($DunnZTxt, 6) ELSE NULL END AS z
+         FROM pr, ties
+         ORDER BY source_a, source_b""",
+
+    // Same value-grain pooled + internal midranks, same exact-moment
+    // variance expansion, same W/p̂ text.
+    "q_x_brunner_munzel" -> {
+      val m1 = "(CAST(w2o AS DOUBLE) / 2 / n1)"
+      val m2 = "(CAST(w2r AS DOUBLE) / 2 / (n - n1))"
+      val v1 = bmVTxt("d1", "d2", "n1", m1)
+      val v2 = bmVTxt("e1", "e2", "(n - n1)", m2)
+      val guard = s"n1 >= 2 AND n - n1 >= 2 AND (n1 * $v1 + (n - n1) * $v2) > 0"
+      s"""WITH $PooledRanksSql,
+         rk AS (SELECT source, n, cnt, r2, tot - cnt AS rcnt,
+                  2 * COALESCE(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + cnt + 1 AS q2o,
+                  2 * COALESCE(sum(tot - cnt) OVER (PARTITION BY source ORDER BY n_chars
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + (tot - cnt) + 1 AS q2r
+                FROM (SELECT u.source, u.n_chars, u.tot, u.cnt, nn.n,
+                        2 * COALESCE(sum(u.tot) OVER (PARTITION BY u.source ORDER BY u.n_chars
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                          + u.tot + 1 AS r2
+                      FROM uni u, nn)),
+         ps AS (SELECT source, max(n) AS n, CAST(sum(cnt) AS BIGINT) AS n1,
+                  CAST(sum(cnt * r2) AS BIGINT) AS w2o,
+                  CAST(sum(cnt * (r2 - q2o)) AS BIGINT) AS d1,
+                  CAST(sum(cnt * (r2 - q2o) * (r2 - q2o)) AS BIGINT) AS d2,
+                  CAST(sum(rcnt * r2) AS BIGINT) AS w2r,
+                  CAST(sum(rcnt * (r2 - q2r)) AS BIGINT) AS e1,
+                  CAST(sum(rcnt * (r2 - q2r) * (r2 - q2r)) AS BIGINT) AS e2
+                FROM rk GROUP BY source)
+         SELECT source, n1 AS n,
+                CASE WHEN $guard
+                     THEN round(($m2 - (CAST(n AS DOUBLE) - n1 + 1) / 2) / n1, 6)
+                     ELSE NULL END AS p_hat,
+                CASE WHEN $guard
+                     THEN round(CAST(n1 AS DOUBLE) * (n - n1) * ($m2 - $m1)
+                       / n / sqrt(n1 * $v1 + (n - n1) * $v2), 6)
+                     ELSE NULL END AS w_bm
          FROM ps ORDER BY source"""
+    }
   )
 }

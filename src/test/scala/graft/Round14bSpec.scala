@@ -222,6 +222,48 @@ class Round14bSpec extends SparkSuite {
     }
   }
 
+  test("q_x_dunn matches a direct-sort midrank recompute") {
+    val docs = docsBySource(sfDir)
+    val all = docs.values.flatten.toSeq
+    val rk = midranks(all)
+    val nN = all.size.toDouble
+    val tsum = all.groupBy(identity).values
+      .map(g => g.size.toDouble).map(t => t * t * t - t).sum
+    val se2base = nN * (nN + 1) / 12 - tsum / (12 * (nN - 1))
+    val got = SparkEntry.queries("q_x_dunn")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val srcs = docs.keys.toSeq.sorted
+    for (a <- srcs; b <- srcs if a < b) {
+      val (xa, xb) = (docs(a), docs(b))
+      val z = (xa.map(rk).sum / xa.length - xb.map(rk).sum / xb.length) /
+        math.sqrt(se2base * (1.0 / xa.length + 1.0 / xb.length))
+      assert(math.abs(z - got((a, b))) < 1e-5, s"pair ($a,$b)")
+    }
+  }
+
+  test("q_x_brunner_munzel matches a per-observation recompute") {
+    val docs = docsBySource(sfDir)
+    val all = docs.values.flatten.toSeq
+    val rkAll = midranks(all)
+    val got = SparkEntry.queries("q_x_brunner_munzel")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    docs.foreach { case (s, x) =>
+      val y = docs.filter(_._1 != s).values.flatten.toArray
+      val (n1, n2) = (x.length.toDouble, y.length.toDouble)
+      val rkX = midranks(x.toSeq)
+      val rkY = midranks(y.toSeq)
+      val m1 = x.map(rkAll).sum / n1
+      val m2 = y.map(rkAll).sum / n2
+      val v1 = x.map(v => math.pow(rkAll(v) - rkX(v) - m1 + (n1 + 1) / 2, 2)).sum / (n1 - 1)
+      val v2 = y.map(v => math.pow(rkAll(v) - rkY(v) - m2 + (n2 + 1) / 2, 2)).sum / (n2 - 1)
+      val w = n1 * n2 * (m2 - m1) / (n1 + n2) / math.sqrt(n1 * v1 + n2 * v2)
+      val pHat = (m2 - (n2 + 1) / 2) / n1
+      val (gp, gw) = got(s)
+      assert(math.abs(pHat - gp) < 1e-5 && math.abs(w - gw) < 1e-5,
+        s"source $s: ($pHat,$w) vs ($gp,$gw)")
+    }
+  }
+
   test("observation-index grain: a calendar gap closes ranks (declared)") {
     // Series over days 1,2,3,10,11 — lag-1 pairs (3,10) across the
     // 7-day gap. The declared-grain VN numerator includes (c[10]-c[3])²;
