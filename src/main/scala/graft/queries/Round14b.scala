@@ -485,6 +485,77 @@ object Round14b {
                 / n / sqrt(n1 * $v1 + (n - n1) * $v2), 6)
               ELSE NULL END AS w_bm""")
         .orderBy(col("source"))
+    }),
+
+    // Fleiss' kappa over the event stream: DECLARED framing — each
+    // day is a subject, each event that day is one "rating", the
+    // event type is the category; the varying-raters form P_i =
+    // (Σ_j n_ij² − n_i)/(n_i(n_i−1)) (days with n_i < 2 are excluded
+    // from EVERYTHING — declared). P_i is a ratio of exact integers;
+    // the only cross-row double folds (P̄ over days, P̄_e over
+    // categories) run as sorted-single-partition k-row folds over
+    // calendar-/dims-bounded frames, matching the oracle's running
+    // windows term for term. Measures "are days internally
+    // consistent in their type mix beyond chance".
+    "q_x_fleiss_kappa" -> ((s, d) => {
+      val cell = table(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .cut("Round14b.scala:fleiss", eager = true)
+      val di = cell.groupBy(col("day"))
+        .agg(sum(col("c")).as("ni"), sum(col("c") * col("c")).as("sq"))
+        .filter(col("ni") >= 2)
+      val qualDays = di.select(col("day"))
+      val pbar = di.coalesce(1).sortWithinPartitions(col("day"))
+        .agg(count(lit(1)).as("n_days"),
+          avg((col("sq") - col("ni")).cast("double")
+            / (col("ni") * (col("ni") - 1))).as("pbar"))
+      val tot = di.agg(sum(col("ni")).as("nn"))
+      val pj = cell.join(qualDays, "day")
+        .groupBy(col("event_type")).agg(sum(col("c")).as("cj"))
+        .crossJoin(broadcast(tot))
+        .coalesce(1).sortWithinPartitions(col("event_type"))
+        .agg(sum((col("cj").cast("double") / col("nn"))
+          * (col("cj").cast("double") / col("nn"))).as("pe"))
+      pbar.crossJoin(broadcast(pj))
+        .selectExpr("n_days", "round(pbar, 6) AS pbar", "round(pe, 6) AS pe",
+          """CASE WHEN pe < 1 THEN round((pbar - pe) / (1 - pe), 6)
+               ELSE NULL END AS kappa""")
+    }),
+
+    // Cronbach's alpha over the event stream: DECLARED framing —
+    // event types are the k items, days are subjects, the item score
+    // is the daily count with missing (type, day) cells = 0 on the
+    // calendar spine of ALL observed days (a type that skips a day
+    // genuinely scored 0). α = k/(k−1)·(1 − Σᵢσ²ᵢ/σ²_tot), sample
+    // variances; per-item Σc/Σc² are exact BIGINTs (zero cells add
+    // zero, so observed-row sums ARE spine sums — only D changes),
+    // daily totals fold at day grain, and the single cross-item
+    // double sum runs as a sorted k-row fold.
+    "q_x_cronbach" -> ((s, d) => {
+      val dc = dayCounts(s, d).cut("Round14b.scala:cronbach", eager = true)
+      val spine = dc.agg(countDistinct(col("day")).as("dd"),
+        countDistinct(col("event_type")).as("k"))
+      val items = dc.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("sc"), sum(col("c") * col("c")).as("sq"))
+        .crossJoin(broadcast(spine))
+        .coalesce(1).sortWithinPartitions(col("event_type"))
+        .agg(max(col("dd")).as("dd"), max(col("k")).as("k"),
+          sum((col("sq") - col("sc").cast("double") * col("sc") / col("dd"))
+            / (col("dd") - 1)).as("svi"))
+      val totals = dc.groupBy(col("day")).agg(sum(col("c")).as("t"))
+        .agg(sum(col("t")).as("st"), sum(col("t") * col("t")).as("stq"))
+      items.crossJoin(broadcast(totals))
+        .selectExpr("k", "dd AS n_days",
+          """CASE WHEN dd >= 2
+              THEN round((CAST(stq AS DOUBLE) - CAST(st AS DOUBLE) * st / dd) / (dd - 1), 6)
+              ELSE NULL END AS var_total""",
+          """CASE WHEN k >= 2 AND dd >= 2
+                   AND (CAST(stq AS DOUBLE) - CAST(st AS DOUBLE) * st / dd) > 0
+              THEN round(CAST(k AS DOUBLE) / (k - 1)
+                * (1 - svi / ((CAST(stq AS DOUBLE) - CAST(st AS DOUBLE) * st / dd)
+                    / (dd - 1))), 6)
+              ELSE NULL END AS alpha""")
     })
   )
 
@@ -693,6 +764,70 @@ object Round14b {
                        / n / sqrt(n1 * $v1 + (n - n1) * $v2), 6)
                      ELSE NULL END AS w_bm
          FROM ps ORDER BY source"""
-    }
+    },
+
+    // Same declared framing; the two double folds run as running
+    // windows over the same sorted day/category order as Spark's
+    // sorted-single-partition folds.
+    "q_x_fleiss_kappa" ->
+      """WITH cell AS (SELECT CAST(ts AS DATE) AS day, event_type,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+         di AS (SELECT day, CAST(sum(c) AS BIGINT) AS ni,
+                  CAST(sum(c * c) AS BIGINT) AS sq
+                FROM cell GROUP BY day
+                HAVING CAST(sum(c) AS BIGINT) >= 2),
+         pbar AS (SELECT max(cnt) AS n_days, max(run) / max(cnt) AS pbar FROM
+                    (SELECT count(*) OVER () AS cnt,
+                       sum(CAST(sq - ni AS DOUBLE) / (ni * (ni - 1)))
+                         OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+                     FROM di)),
+         tot AS (SELECT CAST(sum(ni) AS BIGINT) AS nn FROM di),
+         pj AS (SELECT max(run) AS pe FROM
+                  (SELECT sum((CAST(cj AS DOUBLE) / nn) * (CAST(cj AS DOUBLE) / nn))
+                     OVER (ORDER BY event_type
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+                   FROM (SELECT c2.event_type, CAST(sum(c2.c) AS BIGINT) AS cj
+                         FROM cell c2 JOIN di ON di.day = c2.day
+                         GROUP BY c2.event_type), tot))
+         SELECT n_days, round(pbar, 6) AS pbar, round(pe, 6) AS pe,
+                CASE WHEN pe < 1 THEN round((pbar - pe) / (1 - pe), 6)
+                     ELSE NULL END AS kappa
+         FROM pbar, pj""",
+
+    // Same declared spine framing; the cross-item variance sum runs
+    // as a running window in the same item order.
+    "q_x_cronbach" ->
+      """WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+         spine AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS dd,
+                     CAST(count(DISTINCT event_type) AS BIGINT) AS k
+                   FROM dc),
+         items AS (SELECT max(dd) AS dd, max(k) AS k, max(run) AS svi FROM
+                     (SELECT s.dd, s.k,
+                        sum((CAST(sq AS DOUBLE) - CAST(sc AS DOUBLE) * sc / s.dd)
+                              / (s.dd - 1))
+                          OVER (ORDER BY event_type
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+                      FROM (SELECT event_type, CAST(sum(c) AS BIGINT) AS sc,
+                              CAST(sum(c * c) AS BIGINT) AS sq
+                            FROM dc GROUP BY event_type), spine s)),
+         totals AS (SELECT CAST(sum(t) AS BIGINT) AS st,
+                      CAST(sum(t * t) AS BIGINT) AS stq
+                    FROM (SELECT day, CAST(sum(c) AS BIGINT) AS t
+                          FROM dc GROUP BY day))
+         SELECT k, dd AS n_days,
+                CASE WHEN dd >= 2
+                 THEN round((CAST(stq AS DOUBLE) - CAST(st AS DOUBLE) * st / dd) / (dd - 1), 6)
+                 ELSE NULL END AS var_total,
+                CASE WHEN k >= 2 AND dd >= 2
+                      AND (CAST(stq AS DOUBLE) - CAST(st AS DOUBLE) * st / dd) > 0
+                 THEN round(CAST(k AS DOUBLE) / (k - 1)
+                   * (1 - svi / ((CAST(stq AS DOUBLE) - CAST(st AS DOUBLE) * st / dd)
+                       / (dd - 1))), 6)
+                 ELSE NULL END AS alpha
+         FROM items, totals"""
   )
 }

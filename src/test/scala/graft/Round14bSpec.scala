@@ -264,6 +264,56 @@ class Round14bSpec extends SparkSuite {
     }
   }
 
+  test("q_x_fleiss_kappa matches a literal varying-raters recompute") {
+    val cells = Tables.table(spark, sfDir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+    val byDay = cells.groupBy(_._1).filter(_._2.map(_._3).sum >= 2)
+    val pis = byDay.toSeq.sortBy(_._1).map { case (_, rows) =>
+      val ni = rows.map(_._3).sum.toDouble
+      (rows.map(r => r._3.toDouble * r._3).sum - ni) / (ni * (ni - 1))
+    }
+    val pbar = pis.sum / pis.size
+    val nn = byDay.values.flatten.map(_._3).sum.toDouble
+    val pj = byDay.values.flatten.groupBy(_._2).view
+      .mapValues(_.map(_._3).sum / nn).values
+    val pe = pj.map(p => p * p).sum
+    val kappa = (pbar - pe) / (1 - pe)
+    val got = SparkEntry.queries("q_x_fleiss_kappa")(spark, sfDir).collect()(0)
+    assert(got.getLong(0) == byDay.size &&
+      math.abs(got.getDouble(1) - pbar) < 1e-5 &&
+      math.abs(got.getDouble(3) - kappa) < 1e-5)
+  }
+
+  test("q_x_cronbach matches a literal spine recompute (zeros filled)") {
+    val dc = dailyWithDaysAll(sfDir)
+    val days = dc.values.flatten.map(_._1).toSet.toSeq.sorted
+    val k = dc.size
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    val svi = dc.toSeq.sortBy(_._1).map { case (_, rows) =>
+      val byDay = rows.toMap
+      variance(days.map(d => byDay.getOrElse(d, 0L).toDouble))
+    }.sum
+    val totals = days.map(d => dc.values.flatten.filter(_._1 == d).map(_._2).sum.toDouble)
+    val alpha = k.toDouble / (k - 1) * (1 - svi / variance(totals))
+    val got = SparkEntry.queries("q_x_cronbach")(spark, sfDir).collect()(0)
+    assert(got.getLong(0) == k && got.getLong(1) == days.size &&
+      math.abs(got.getDouble(3) - alpha) < 1e-5,
+      s"$alpha vs ${got.getDouble(3)}")
+  }
+
+  private def dailyWithDaysAll(dir: String): Map[String, Array[(String, Long)]] =
+    Tables.table(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), (r.get(1).toString, r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
   test("observation-index grain: a calendar gap closes ranks (declared)") {
     // Series over days 1,2,3,10,11 — lag-1 pairs (3,10) across the
     // 7-day gap. The declared-grain VN numerator includes (c[10]-c[3])²;
