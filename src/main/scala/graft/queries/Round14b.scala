@@ -228,6 +228,29 @@ object Round14b {
     s"""((0.25 * CAST($d2 AS DOUBLE) + $k * $d1 + $k * $k * $ng) / ($ng - 1))"""
   }
 
+  /** The declared-ordinal-bucketing contingency + doubled pair sums
+    * (2C/2D/2T_y/2T_x) CTE shared by the gamma/somers_d oracles.
+    */
+  private val OrdinalCellsSql: String =
+    """cells AS (SELECT source,
+             CAST(floor(n_chars / 500.0) AS BIGINT) AS x,
+             CAST(floor(len(string_split(text, ' ')) / 100.0) AS BIGINT) AS y,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM documents GROUP BY 1, 2, 3),
+       ps AS (SELECT a.source,
+                CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+                               OR (a.x > b.x AND a.y > b.y)
+                          THEN a.cnt * b.cnt ELSE 0 END) AS BIGINT) AS c2,
+                CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+                               OR (a.x > b.x AND a.y < b.y)
+                          THEN a.cnt * b.cnt ELSE 0 END) AS BIGINT) AS d2,
+                CAST(sum(CASE WHEN a.y = b.y AND a.x <> b.x
+                          THEN a.cnt * b.cnt ELSE 0 END) AS BIGINT) AS ty2,
+                CAST(sum(CASE WHEN a.x = b.x AND a.y <> b.y
+                          THEN a.cnt * b.cnt ELSE 0 END) AS BIGINT) AS tx2
+              FROM cells a JOIN cells b ON a.source = b.source
+              GROUP BY a.source)"""
+
   val defs: Map[String, Q] = Map(
 
     // Ljung–Box portmanteau per event type over daily counts
@@ -556,8 +579,68 @@ object Round14b {
                 * (1 - svi / ((CAST(stq AS DOUBLE) - CAST(st AS DOUBLE) * st / dd)
                     / (dd - 1))), 6)
               ELSE NULL END AS alpha""")
+    }),
+
+    // Goodman–Kruskal gamma per source between two DECLARED ordinal
+    // bucketings of documents — x = ⌊n_chars/500⌋ (length class),
+    // y = ⌊whitespace-token count/100⌋ (token class): γ = (C−D)/(C+D)
+    // ignoring all ties. One corpus pass builds the (source, x, y)
+    // contingency cells; the ordered pair grid (each unordered pair
+    // twice — 2C/2D stay exact BIGINTs) is cells², bounded by the
+    // bucket alphabet, never the corpus.
+    "q_x_gamma" -> ((s, d) => {
+      ordinalPairSums(s, d)
+        .selectExpr("source", "c2", "d2",
+          """CASE WHEN c2 + d2 > 0
+              THEN round(CAST(c2 - d2 AS DOUBLE) / (c2 + d2), 6)
+              ELSE NULL END AS gamma""")
+        .orderBy(col("source"))
+    }),
+
+    // Somers' D (y | x) per source over the same declared ordinal
+    // bucketings: D_yx = (C−D)/(C+D+T_y) — gamma's asymmetric cousin
+    // that charges pairs tied on the dependent y (but split on x)
+    // against the association. Same exact doubled pair sums.
+    "q_x_somers_d" -> ((s, d) => {
+      ordinalPairSums(s, d)
+        .selectExpr("source", "c2", "d2", "ty2",
+          """CASE WHEN c2 + d2 + ty2 > 0
+              THEN round(CAST(c2 - d2 AS DOUBLE) / (c2 + d2 + ty2), 6)
+              ELSE NULL END AS somers_d""")
+        .orderBy(col("source"))
     })
   )
+
+  /** Shared pair-concordance sums for the declared ordinal bucketing:
+    * per source, 2C (concordant), 2D (discordant), 2T_y (tied on y,
+    * split on x), 2T_x — all exact BIGINTs from the cells² ordered
+    * pair grid.
+    */
+  private def ordinalPairSums(s: SparkSession, d: String): DataFrame = {
+    val cells = table(s, d, "documents")
+      // floor(), not a bare cast: Spark CAST(double AS BIGINT)
+      // truncates where DuckDB rounds — floor is the shared text.
+      .select(col("source"), floor(col("n_chars") / 500).cast("long").as("x"),
+        floor(size(split(col("text"), " ")) / 100).cast("long").as("y"))
+      .groupBy(col("source"), col("x"), col("y"))
+      .agg(count(lit(1)).as("cnt"))
+      .cut("Round14b.scala:ordpairs", eager = true)
+    val a = cells.toDF("source", "xa", "ya", "na")
+    val b = cells.toDF("source", "xb", "yb", "nb")
+    a.join(b, Seq("source"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when((col("xa") < col("xb") && col("ya") < col("yb")) ||
+          (col("xa") > col("xb") && col("ya") > col("yb")),
+          col("na") * col("nb")).otherwise(0L)).as("c2"),
+        sum(when((col("xa") < col("xb") && col("ya") > col("yb")) ||
+          (col("xa") > col("xb") && col("ya") < col("yb")),
+          col("na") * col("nb")).otherwise(0L)).as("d2"),
+        sum(when(col("ya") === col("yb") && col("xa") =!= col("xb"),
+          col("na") * col("nb")).otherwise(0L)).as("ty2"),
+        sum(when(col("xa") === col("xb") && col("ya") =!= col("yb"),
+          col("na") * col("nb")).otherwise(0L)).as("tx2"))
+  }
 
   private val OracleDc =
     """dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
@@ -828,6 +911,24 @@ object Round14b {
                    * (1 - svi / ((CAST(stq AS DOUBLE) - CAST(st AS DOUBLE) * st / dd)
                        / (dd - 1))), 6)
                  ELSE NULL END AS alpha
-         FROM items, totals"""
+         FROM items, totals""",
+
+    // Same declared bucketing, same doubled pair-grid sums.
+    "q_x_gamma" ->
+      s"""WITH $OrdinalCellsSql
+         SELECT source, c2, d2,
+                CASE WHEN c2 + d2 > 0
+                     THEN round(CAST(c2 - d2 AS DOUBLE) / (c2 + d2), 6)
+                     ELSE NULL END AS gamma
+         FROM ps ORDER BY source""",
+
+    // Same sums plus the tied-on-y charge.
+    "q_x_somers_d" ->
+      s"""WITH $OrdinalCellsSql
+         SELECT source, c2, d2, ty2,
+                CASE WHEN c2 + d2 + ty2 > 0
+                     THEN round(CAST(c2 - d2 AS DOUBLE) / (c2 + d2 + ty2), 6)
+                     ELSE NULL END AS somers_d
+         FROM ps ORDER BY source"""
   )
 }

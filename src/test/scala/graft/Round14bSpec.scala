@@ -314,6 +314,39 @@ class Round14bSpec extends SparkSuite {
       .map(r => (r.getString(0), (r.get(1).toString, r.getLong(2))))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
 
+  test("q_x_gamma / q_x_somers_d match a per-document pair recompute") {
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("source"), floor(col("n_chars") / 500).cast("long"),
+        floor(size(split(col("text"), " ")) / 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+    val gotG = SparkEntry.queries("q_x_gamma")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    val gotS = SparkEntry.queries("q_x_somers_d")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> Option(r.get(4)).map(_.asInstanceOf[Double]))
+      .toMap
+    def check(exp: Option[Double], got: Option[Double], tag: String): Unit =
+      (exp, got) match {
+        case (Some(e), Some(g)) => assert(math.abs(e - g) < 1e-5, tag)
+        case (None, None)       => ()
+        case other              => fail(s"$tag guard mismatch: $other")
+      }
+    docs.foreach { case (s, xs) =>
+      var (c, dd, ty) = (0L, 0L, 0L)
+      for (i <- xs.indices; j <- (i + 1) until xs.length) {
+        val ((xa, ya), (xb, yb)) = (xs(i), xs(j))
+        if ((xa < xb && ya < yb) || (xa > xb && ya > yb)) c += 1
+        else if ((xa < xb && ya > yb) || (xa > xb && ya < yb)) dd += 1
+        else if (ya == yb && xa != xb) ty += 1
+      }
+      check(if (c + dd > 0) Some((c - dd).toDouble / (c + dd)) else None,
+        gotG(s), s"gamma $s")
+      check(if (c + dd + ty > 0) Some((c - dd).toDouble / (c + dd + ty)) else None,
+        gotS(s), s"somers $s")
+    }
+  }
+
   test("observation-index grain: a calendar gap closes ranks (declared)") {
     // Series over days 1,2,3,10,11 — lag-1 pairs (3,10) across the
     // 7-day gap. The declared-grain VN numerator includes (c[10]-c[3])²;
