@@ -608,6 +608,88 @@ object Round14b {
               THEN round(CAST(c2 - d2 AS DOUBLE) / (c2 + d2 + ty2), 6)
               ELSE NULL END AS somers_d""")
         .orderBy(col("source"))
+    }),
+
+    // Cox–Stuart trend sign test per event type over daily counts
+    // (observation-index grain, DECLARED conventions: offset
+    // c = ceil(n/2) — an odd series drops its middle observation —
+    // tied pairs discarded, and the plain no-continuity normal form
+    // z = (2S⁺ − n')/√n'). The nonparametric "is the second half
+    // bigger" complement of q_x_mann_kendall (which weighs ALL
+    // pairs): one pass to day grain, one rn-offset self-join at
+    // calendar-bounded size.
+    "q_x_cox_stuart" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val dc = dayCounts(s, d).cut("Round14b.scala:cox_stuart", eager = true)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("nd", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+      val a = dc.select(col("event_type"), col("rn"), col("nd"), col("c").as("ca"))
+      val b = dc.select(col("event_type"), col("rn").as("rn_b"), col("c").as("cb"))
+      val pairs = a.join(b, a("event_type") === b("event_type") &&
+          col("rn_b") === col("rn") + ceil(col("nd") / 2).cast("long"))
+        .drop(b("event_type"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("cb") > col("ca"), 1L).otherwise(0L)).as("sp"),
+          sum(when(col("cb") < col("ca"), 1L).otherwise(0L)).as("sm"))
+      // left join: a one-observation type has no pairs — it surfaces
+      // with s_plus = s_minus = 0 and NULL z, never a dropped row.
+      dc.groupBy(col("event_type")).agg(max(col("nd")).as("n_days"))
+        .join(pairs, Seq("event_type"), "left")
+        .withColumn("sp", coalesce(col("sp"), lit(0L)))
+        .withColumn("sm", coalesce(col("sm"), lit(0L)))
+        .selectExpr("event_type", "n_days", "sp AS s_plus", "sm AS s_minus",
+          """CASE WHEN sp + sm > 0
+              THEN round(CAST(2 * sp - (sp + sm) AS DOUBLE) / sqrt(CAST(sp + sm AS DOUBLE)), 6)
+              ELSE NULL END AS z""")
+        .orderBy(col("event_type"))
+    }),
+
+    // Seasonal Mann–Kendall per event type (DECLARED season =
+    // epoch_day mod 7 — the calendar-keyed weekday, the holt_winters
+    // device): S = Σ_seasons S_s and Var = Σ_seasons [n_s(n_s−1)
+    // (2n_s+5) − Σt(t−1)(2t+5)]/18 with per-season tie corrections —
+    // pairs are only compared WITHIN a season, so a strong weekly
+    // cycle no longer drowns the monotone trend q_x_mann_kendall
+    // sees through it. Same sign-corrected z as mann_kendall; all
+    // sums exact BIGINT, one division at the end.
+    "q_x_mk_seasonal" -> ((s, d) => {
+      val dc = dayCounts(s, d)
+        .withColumn("slot",
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long") % 7)
+        .cut("Round14b.scala:mk_seasonal", eager = true)
+      val a = dc.select(col("event_type"), col("slot"), col("day").as("da"),
+        col("c").as("ca"))
+      val b = dc.select(col("event_type"), col("slot"), col("day").as("db"),
+        col("c").as("cb"))
+      val sTab = a.join(b, Seq("event_type", "slot"))
+        .filter(col("da") < col("db"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("cb") > col("ca"), 1L)
+          .when(col("cb") < col("ca"), -1L).otherwise(0L)).as("s"))
+      val nTab = dc.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"))
+      val varTab = dc.groupBy(col("event_type"), col("slot"))
+        .agg(count(lit(1)).as("ns"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("ns") * (col("ns") - 1) * (lit(2L) * col("ns") + 5)).as("vn"))
+      val tieTab = dc.groupBy(col("event_type"), col("slot"), col("c"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).as("vt"))
+      // left join + coalesce: a type whose every season has ≤ 1 day
+      // has NO comparable pairs — it surfaces with s = 0 (and z from
+      // the variance guard), never a dropped row.
+      nTab.join(varTab, "event_type").join(tieTab, "event_type")
+        .join(sTab, Seq("event_type"), "left")
+        .withColumn("s", coalesce(col("s"), lit(0L)))
+        .selectExpr("event_type", "n_days", "s",
+          """CASE WHEN vn - vt > 0
+              THEN round(CAST(CASE WHEN s > 0 THEN s - 1
+                                   WHEN s < 0 THEN s + 1 ELSE 0 END AS DOUBLE)
+                / sqrt(CAST(vn - vt AS DOUBLE) / 18), 6)
+              ELSE NULL END AS z""")
+        .orderBy(col("event_type"))
     })
   )
 
@@ -929,6 +1011,70 @@ object Round14b {
                 CASE WHEN c2 + d2 + ty2 > 0
                      THEN round(CAST(c2 - d2 AS DOUBLE) / (c2 + d2 + ty2), 6)
                      ELSE NULL END AS somers_d
-         FROM ps ORDER BY source"""
+         FROM ps ORDER BY source""",
+
+    // Same declared offset/tie/z conventions over the same rn-offset
+    // pair join.
+    "q_x_cox_stuart" ->
+      s"""WITH $OracleDc,
+         o AS (SELECT event_type, c,
+                 CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+               FROM dc),
+         pr AS (SELECT a.event_type,
+                  CASE WHEN b.c > a.c THEN 1 ELSE 0 END AS up,
+                  CASE WHEN b.c < a.c THEN 1 ELSE 0 END AS dn
+                FROM o a JOIN o b ON b.event_type = a.event_type
+                  AND b.rn = a.rn + CAST(ceil(a.nd / 2) AS BIGINT)),
+         pg AS (SELECT event_type,
+                  CAST(sum(up) AS BIGINT) AS sp, CAST(sum(dn) AS BIGINT) AS sm
+                FROM pr GROUP BY event_type),
+         g AS (SELECT n.event_type, n.n_days,
+                 COALESCE(pg.sp, 0) AS sp, COALESCE(pg.sm, 0) AS sm
+               FROM (SELECT event_type, max(nd) AS n_days FROM o GROUP BY 1) n
+               LEFT JOIN pg ON pg.event_type = n.event_type)
+         SELECT event_type, n_days, sp AS s_plus, sm AS s_minus,
+                CASE WHEN sp + sm > 0
+                 THEN round(CAST(2 * sp - (sp + sm) AS DOUBLE) / sqrt(CAST(sp + sm AS DOUBLE)), 6)
+                 ELSE NULL END AS z
+         FROM g ORDER BY event_type""",
+
+    // Same within-season pair grid, per-season tie corrections, and
+    // sign-corrected z text.
+    "q_x_mk_seasonal" ->
+      s"""WITH $OracleDc,
+         ds AS (SELECT event_type, day, c,
+                  CAST(day - DATE '1970-01-01' AS BIGINT) % 7 AS slot
+                FROM dc),
+         s AS (SELECT a.event_type,
+                 CAST(sum(CASE WHEN b.c > a.c THEN 1
+                               WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s
+               FROM ds a JOIN ds b
+                 ON a.event_type = b.event_type AND a.slot = b.slot
+                  AND a.day < b.day
+               GROUP BY a.event_type),
+         n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+               FROM ds GROUP BY 1),
+         vn AS (SELECT event_type,
+                  CAST(sum(ns * (ns - 1) * (2 * ns + 5)) AS BIGINT) AS vn
+                FROM (SELECT event_type, slot, CAST(count(*) AS BIGINT) AS ns
+                      FROM ds GROUP BY 1, 2)
+                GROUP BY event_type),
+         vt AS (SELECT event_type,
+                  CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS vt
+                FROM (SELECT event_type, slot, c, CAST(count(*) AS BIGINT) AS t
+                      FROM ds GROUP BY 1, 2, 3)
+                GROUP BY event_type)
+         SELECT n.event_type, n.n_days, COALESCE(s.s, 0) AS s,
+                CASE WHEN vn.vn - vt.vt > 0
+                 THEN round(CAST(CASE WHEN COALESCE(s.s, 0) > 0 THEN COALESCE(s.s, 0) - 1
+                                      WHEN COALESCE(s.s, 0) < 0 THEN COALESCE(s.s, 0) + 1
+                                      ELSE 0 END AS DOUBLE)
+                   / sqrt(CAST(vn.vn - vt.vt AS DOUBLE) / 18), 6)
+                 ELSE NULL END AS z
+         FROM n JOIN vn ON vn.event_type = n.event_type
+           JOIN vt ON vt.event_type = n.event_type
+           LEFT JOIN s ON s.event_type = n.event_type
+         ORDER BY n.event_type"""
   )
 }

@@ -347,6 +347,62 @@ class Round14bSpec extends SparkSuite {
     }
   }
 
+  test("q_x_cox_stuart matches a literal half-pairing recompute") {
+    val got = SparkEntry.queries("q_x_cox_stuart")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    dailySeries(sfDir).foreach { case (t, x) =>
+      val c = (x.length + 1) / 2 // ceil(n/2)
+      val pairs = (0 until x.length - c).map(i => (x(i), x(i + c)))
+      val sp = pairs.count(p => p._2 > p._1).toLong
+      val sm = pairs.count(p => p._2 < p._1).toLong
+      val z = if (sp + sm > 0)
+        Some((2.0 * sp - (sp + sm)) / math.sqrt((sp + sm).toDouble)) else None
+      val (gp, gm, gz) = got(t)
+      assert(gp == sp && gm == sm, s"type $t counts")
+      (z, gz) match {
+        case (Some(e), Some(g)) => assert(math.abs(e - g) < 1e-5, s"type $t z")
+        case (None, None)       => ()
+        case other              => fail(s"type $t guard: $other")
+      }
+    }
+  }
+
+  test("q_x_mk_seasonal matches a literal within-season recompute") {
+    val dc = dailyWithDaysAll(sfDir)
+    val got = SparkEntry.queries("q_x_mk_seasonal")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    dc.foreach { case (t, rows) =>
+      val bySlot = rows.groupBy { case (day, _) =>
+        java.time.LocalDate.parse(day).toEpochDay % 7
+      }
+      var s = 0L
+      var vn = 0L
+      var vt = 0L
+      bySlot.values.foreach { g =>
+        val sorted = g.sortBy(_._1).map(_._2)
+        for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+          s += java.lang.Long.signum(sorted(j) - sorted(i))
+        val ns = sorted.length.toLong
+        vn += ns * (ns - 1) * (2 * ns + 5)
+        sorted.groupBy(identity).values.map(_.length.toLong)
+          .foreach(tt => vt += tt * (tt - 1) * (2 * tt + 5))
+      }
+      val z = if (vn - vt > 0) {
+        val num = if (s > 0) s - 1 else if (s < 0) s + 1 else 0L
+        Some(num / math.sqrt((vn - vt) / 18.0))
+      } else None
+      val (gs, gz) = got(t)
+      assert(gs == s, s"type $t S: $s vs $gs")
+      (z, gz) match {
+        case (Some(e), Some(g)) => assert(math.abs(e - g) < 1e-5, s"type $t z")
+        case (None, None)       => ()
+        case other              => fail(s"type $t guard: $other")
+      }
+    }
+  }
+
   test("observation-index grain: a calendar gap closes ranks (declared)") {
     // Series over days 1,2,3,10,11 — lag-1 pairs (3,10) across the
     // 7-day gap. The declared-grain VN numerator includes (c[10]-c[3])²;
