@@ -690,6 +690,185 @@ object Round14b {
                 / sqrt(CAST(vn - vt AS DOUBLE) / 18), 6)
               ELSE NULL END AS z""")
         .orderBy(col("event_type"))
+    }),
+
+    // Wilcoxon signed-rank test per event type on week-over-week
+    // paired differences (DECLARED: pairs are calendar days exactly 7
+    // apart, d = c_t − c_{t−7}, zero differences discarded — the
+    // standard convention — and midranks of |d|). The doubled-rank
+    // device keeps EVERYTHING exact BIGINT: 2W = Σ sign·2r, and under
+    // sign-flips Var(2W) = Σ(2r)² exactly EVEN WITH TIES, so
+    // z = 2W/√Σcnt·(2r)² needs no tie-correction approximation.
+    // Pairless types surface with 0/NULL via left join.
+    "q_x_wilcoxon_signed" -> ((s, d) => {
+      val dc = dayCounts(s, d).cut("Round14b.scala:wilcoxon", eager = true)
+      val a = dc.select(col("event_type"), col("day").as("da"), col("c").as("ca"))
+      val b = dc.select(col("event_type"), col("day").as("db"), col("c").as("cb"))
+      val diffs = a.join(b, Seq("event_type"))
+        .filter(col("db") === date_add(col("da"), 7))
+        .select(col("event_type"), (col("cb") - col("ca")).as("dv"))
+        .filter(col("dv") =!= 0L)
+      val cells = diffs
+        .groupBy(col("event_type"), abs(col("dv")).as("av"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(signum(col("dv")).cast("long")).as("sgn"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("av"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = cells.withColumn("r2",
+        lit(2L) * coalesce(sum(col("cnt")).over(w), lit(0L)) + col("cnt") + 1L)
+      val ps = ranked.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("np"),
+          sum(col("sgn") * col("r2")).as("w2"),
+          sum(col("cnt") * col("r2") * col("r2")).as("v4"))
+      dc.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+        .join(ps, Seq("event_type"), "left")
+        .withColumn("np", coalesce(col("np"), lit(0L)))
+        .withColumn("w2", coalesce(col("w2"), lit(0L)))
+        .selectExpr("event_type", "n_days", "np AS n_pairs", "w2",
+          """CASE WHEN np >= 1 AND v4 > 0
+              THEN round(CAST(w2 AS DOUBLE) / sqrt(CAST(v4 AS DOUBLE)), 6)
+              ELSE NULL END AS z""")
+        .orderBy(col("event_type"))
+    }),
+
+    // Theil's uncertainty coefficient between source and lang — the
+    // ASYMMETRIC, normalized cousin of q_x_mi (which is symmetric MI
+    // over length buckets) and q_x_chisq (χ²/Cramérs V on this same
+    // pair): U(Y|X) = (H(Y) − H(Y|X))/H(Y) answers "what fraction of
+    // lang-uncertainty does knowing source remove", in both
+    // directions. Everything reduces to three n·ln(n) sums over the
+    // bounded category/cell alphabets (zero cells add their 0 limit
+    // by omission), each folded sorted-single-partition; DECLARED
+    // natural log.
+    "q_x_theil_u" -> ((s, d) => {
+      val docs = table(s, d, "documents").select(col("source"), col("lang"))
+      val nn = docs.agg(count(lit(1)).as("n"))
+      def nlogn(df: DataFrame, keys: Seq[String], alias: String): DataFrame =
+        df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+          .coalesce(1).sortWithinPartitions(keys.map(col): _*)
+          .agg(sum(col("cnt") * log(col("cnt"))).as(alias))
+      val sx = nlogn(docs, Seq("source"), "sx")
+      val sy = nlogn(docs, Seq("lang"), "sy")
+      val sxy = nlogn(docs, Seq("source", "lang"), "sxy")
+      val hY = "(ln(CAST(n AS DOUBLE)) - sy / n)"
+      val hX = "(ln(CAST(n AS DOUBLE)) - sx / n)"
+      val miT = s"($hY - (sx / CAST(n AS DOUBLE) - sxy / n))"
+      sx.crossJoin(broadcast(sy)).crossJoin(broadcast(sxy))
+        .crossJoin(broadcast(nn))
+        .selectExpr("n",
+          s"round($hY, 6) AS h_lang", s"round($hX, 6) AS h_source",
+          s"round($miT, 6) AS mi",
+          s"""CASE WHEN $hY > 0 THEN round($miT / $hY, 6)
+               ELSE NULL END AS u_lang_given_source""",
+          s"""CASE WHEN $hX > 0 THEN round($miT / $hX, 6)
+               ELSE NULL END AS u_source_given_lang""")
+    }),
+
+    // Kendall's coefficient of concordance W across full calendar
+    // weeks (blocks) rating the 7 weekday positions (treatments) —
+    // "do weeks agree on the weekday ordering of activity", the
+    // normalized effect size next to q_x_page_trend's directional L:
+    // with doubled within-week midranks, S4 = Σ_j(2R_j − m·2(k+1)/2)²
+    // = Σ_j(R2_j − 8m)² is exact BIGINT, and the tie term Σ(t³−t)
+    // folds per week, so W = 3·S4/(m²k(k²−1) − m·ΣT)·(1/4)·... — one
+    // exact division at the end. DECLARED k = 7, full weeks only.
+    "q_x_kendall_w" -> ((s, d) => {
+      val dc = dayCounts(s, d)
+        .withColumn("wk",
+          floor(datediff(col("day"), lit("1970-01-01").cast("date")) / lit(7.0))
+            .cast("long"))
+        .withColumn("slot",
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long") % 7)
+        .cut("Round14b.scala:kendall_w", eager = true)
+      val agg = dc.groupBy(col("event_type"), col("wk"), col("slot"))
+        .agg(sum(col("c")).as("v"))
+      val full = agg.groupBy(col("event_type"), col("wk"))
+        .agg(count(lit(1)).as("nslots"))
+        .filter(col("nslots") === 7).select(col("event_type"), col("wk"))
+      val cells = agg.join(full, Seq("event_type", "wk"))
+      // within-week doubled midranks of the 7 slot values
+      val wv = Window.partitionBy(col("event_type"), col("wk")).orderBy(col("v"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val we = Window.partitionBy(col("event_type"), col("wk")).orderBy(col("v"))
+        .rangeBetween(0, 0)
+      val ranked = cells
+        .withColumn("below", coalesce(count(lit(1)).over(wv), lit(0L)))
+        .withColumn("tied", count(lit(1)).over(we))
+        .withColumn("r2", lit(2L) * col("below") + col("tied") + 1L)
+      val rj = ranked.groupBy(col("event_type"), col("slot"))
+        .agg(sum(col("r2")).as("r2j"), count(lit(1)).as("m"))
+      val ties = ranked.groupBy(col("event_type"), col("wk"), col("v"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+      val s4 = rj.groupBy(col("event_type"))
+        .agg(max(col("m")).as("m"),
+          sum((col("r2j") - lit(8L) * col("m")) * (col("r2j") - lit(8L) * col("m")))
+            .as("s4"))
+      s4.join(ties, "event_type")
+        .selectExpr("event_type", "m AS n_weeks",
+          """CASE WHEN m >= 1
+               AND (CAST(m AS DOUBLE) * m * 336 - CAST(m AS DOUBLE) * tsum) > 0
+              THEN round(3 * CAST(s4 AS DOUBLE)
+                / (CAST(m AS DOUBLE) * m * 336 - CAST(m AS DOUBLE) * tsum), 6)
+              ELSE NULL END AS w""")
+        .orderBy(col("event_type"))
+    }),
+
+    // Turning-point randomness test per event type (observation-index
+    // grain): T = #{t : x_t is a strict local max or min among
+    // (x_{t−1}, x_t, x_{t+1})} — DECLARED strict (any tie in the
+    // triple contributes nothing, the classic convention), with the
+    // textbook moments E[T] = 2(n−2)/3, Var[T] = (16n−29)/90. One
+    // two-lag window pass; counts exact; one shared z expression.
+    "q_x_turning_points" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      dayCounts(s, d).cut("Round14b.scala:turning", eager = true)
+        .withColumn("p", lag(col("c"), 1).over(w))
+        .withColumn("f", lead(col("c"), 1).over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when((col("c") > col("p") && col("c") > col("f")) ||
+            (col("c") < col("p") && col("c") < col("f")), 1L)
+            .otherwise(0L)).as("t"))
+        .selectExpr("event_type", "n AS n_days", "t AS turning",
+          """CASE WHEN n >= 4
+              THEN round((CAST(t AS DOUBLE) - 2 * (CAST(n AS DOUBLE) - 2) / 3)
+                / sqrt((16 * CAST(n AS DOUBLE) - 29) / 90), 6)
+              ELSE NULL END AS z""")
+        .orderBy(col("event_type"))
+    }),
+
+    // Bartels' rank von Neumann ratio per event type — q_x_von_neumann
+    // run on MIDRANKS of the daily counts, the distribution-robust
+    // form: rvn = Σ(r_t − r_{t+1})²/Σ(r − r̄)². Doubled midranks keep
+    // both sums exact BIGINT (r̄ doubles to exactly n+1); z uses the
+    // DECLARED asymptotic Var = 4/n. Constant series (denominator 0)
+    // surface NULL.
+    "q_x_bartels" -> ((s, d) => {
+      val dc = dayCounts(s, d).cut("Round14b.scala:bartels", eager = true)
+      val wv = Window.partitionBy(col("event_type")).orderBy(col("c"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val we = Window.partitionBy(col("event_type")).orderBy(col("c"))
+        .rangeBetween(0, 0)
+      val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      dc.withColumn("r2", lit(2L) * count(lit(1)).over(wv)
+          + count(lit(1)).over(we) + 1L)
+        .withColumn("r2n", lead(col("r2"), 1).over(wd))
+        .withColumn("nn", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("r2") - col("r2n")) * (col("r2") - col("r2n"))).as("nm4"),
+          sum((col("r2") - (col("nn") + 1L)) * (col("r2") - (col("nn") + 1L)))
+            .as("dn4"))
+        .selectExpr("event_type", "n AS n_days",
+          """CASE WHEN n >= 2 AND dn4 > 0
+              THEN round(CAST(nm4 AS DOUBLE) / dn4, 6) ELSE NULL END AS rvn""",
+          """CASE WHEN n >= 2 AND dn4 > 0
+              THEN round((CAST(nm4 AS DOUBLE) / dn4 - 2) / sqrt(4.0 / n), 6)
+              ELSE NULL END AS z""")
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1075,6 +1254,153 @@ object Round14b {
          FROM n JOIN vn ON vn.event_type = n.event_type
            JOIN vt ON vt.event_type = n.event_type
            LEFT JOIN s ON s.event_type = n.event_type
-         ORDER BY n.event_type"""
+         ORDER BY n.event_type""",
+
+    // Same declared pairing/zero-discard/midrank conventions; the
+    // doubled-rank device keeps both engines in exact integers.
+    "q_x_wilcoxon_signed" ->
+      s"""WITH $OracleDc,
+         df AS (SELECT a.event_type, b.c - a.c AS dv
+                FROM dc a JOIN dc b ON b.event_type = a.event_type
+                  AND b.day = a.day + 7
+                WHERE b.c <> a.c),
+         cells AS (SELECT event_type, abs(dv) AS av,
+                     CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(sum(CASE WHEN dv > 0 THEN 1 ELSE -1 END) AS BIGINT) AS sgn
+                   FROM df GROUP BY 1, 2),
+         rk AS (SELECT event_type, cnt, sgn,
+                  2 * COALESCE(sum(cnt) OVER (PARTITION BY event_type ORDER BY av
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + cnt + 1 AS r2
+                FROM cells),
+         ps AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS np,
+                  CAST(sum(sgn * r2) AS BIGINT) AS w2,
+                  CAST(sum(cnt * r2 * r2) AS BIGINT) AS v4
+                FROM rk GROUP BY event_type),
+         n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+               FROM dc GROUP BY 1)
+         SELECT n.event_type, n.n_days, COALESCE(ps.np, 0) AS n_pairs,
+                COALESCE(ps.w2, 0) AS w2,
+                CASE WHEN COALESCE(ps.np, 0) >= 1 AND ps.v4 > 0
+                 THEN round(CAST(COALESCE(ps.w2, 0) AS DOUBLE) / sqrt(CAST(ps.v4 AS DOUBLE)), 6)
+                 ELSE NULL END AS z
+         FROM n LEFT JOIN ps ON ps.event_type = n.event_type
+         ORDER BY n.event_type""",
+
+    // Same three n·ln(n) folds (running windows in the same category
+    // order) and shared entropy/U text.
+    "q_x_theil_u" -> {
+      val hY = "(ln(CAST(n AS DOUBLE)) - sy / n)"
+      val hX = "(ln(CAST(n AS DOUBLE)) - sx / n)"
+      val miT = s"($hY - (sx / CAST(n AS DOUBLE) - sxy / n))"
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         sx AS (SELECT max(run) AS sx FROM
+                  (SELECT sum(cnt * ln(cnt)) OVER (ORDER BY source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+                   FROM (SELECT source, CAST(count(*) AS BIGINT) AS cnt
+                         FROM documents GROUP BY source))),
+         sy AS (SELECT max(run) AS sy FROM
+                  (SELECT sum(cnt * ln(cnt)) OVER (ORDER BY lang
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+                   FROM (SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+                         FROM documents GROUP BY lang))),
+         sxy AS (SELECT max(run) AS sxy FROM
+                  (SELECT sum(cnt * ln(cnt)) OVER (ORDER BY source, lang
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+                   FROM (SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+                         FROM documents GROUP BY source, lang)))
+         SELECT n,
+                round($hY, 6) AS h_lang, round($hX, 6) AS h_source,
+                round($miT, 6) AS mi,
+                CASE WHEN $hY > 0 THEN round($miT / $hY, 6)
+                     ELSE NULL END AS u_lang_given_source,
+                CASE WHEN $hX > 0 THEN round($miT / $hX, 6)
+                     ELSE NULL END AS u_source_given_lang
+         FROM sx, sy, sxy, nn"""
+    },
+
+    // Same full-week blocks, within-week doubled midranks, exact S4
+    // and tie folds, and the k = 7 closed form.
+    "q_x_kendall_w" ->
+      s"""WITH $OracleDc,
+         ds AS (SELECT event_type,
+                  CAST(floor(CAST(day - DATE '1970-01-01' AS DOUBLE) / 7) AS BIGINT) AS wk,
+                  CAST(day - DATE '1970-01-01' AS BIGINT) % 7 AS slot, c
+                FROM dc),
+         agg AS (SELECT event_type, wk, slot, CAST(sum(c) AS BIGINT) AS v
+                 FROM ds GROUP BY 1, 2, 3),
+         full_wk AS (SELECT event_type, wk FROM agg
+                     GROUP BY 1, 2 HAVING count(*) = 7),
+         cells AS (SELECT a.* FROM agg a
+                   JOIN full_wk f ON f.event_type = a.event_type AND f.wk = a.wk),
+         rk AS (SELECT event_type, wk, slot, v,
+                  2 * CAST(count(*) OVER (PARTITION BY event_type, wk ORDER BY v
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+                    + CAST(count(*) OVER (PARTITION BY event_type, wk ORDER BY v
+                        RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) + 1 AS r2
+                FROM cells),
+         rj AS (SELECT event_type, slot, CAST(sum(r2) AS BIGINT) AS r2j,
+                  CAST(count(*) AS BIGINT) AS m
+                FROM rk GROUP BY 1, 2),
+         ties AS (SELECT event_type,
+                    CAST(sum(t * t * t - t) AS BIGINT) AS tsum
+                  FROM (SELECT event_type, wk, v, CAST(count(*) AS BIGINT) AS t
+                        FROM rk GROUP BY 1, 2, 3)
+                  GROUP BY event_type),
+         s4 AS (SELECT event_type, max(m) AS m,
+                  CAST(sum((r2j - 8 * m) * (r2j - 8 * m)) AS BIGINT) AS s4
+                FROM rj GROUP BY event_type)
+         SELECT s4.event_type, s4.m AS n_weeks,
+                CASE WHEN s4.m >= 1
+                      AND (CAST(s4.m AS DOUBLE) * s4.m * 336 - CAST(s4.m AS DOUBLE) * ties.tsum) > 0
+                 THEN round(3 * CAST(s4.s4 AS DOUBLE)
+                   / (CAST(s4.m AS DOUBLE) * s4.m * 336 - CAST(s4.m AS DOUBLE) * ties.tsum), 6)
+                 ELSE NULL END AS w
+         FROM s4 JOIN ties ON ties.event_type = s4.event_type
+         ORDER BY s4.event_type""",
+
+    // Same strict-triple convention and textbook moments.
+    "q_x_turning_points" ->
+      s"""WITH $OracleDc,
+         lg AS (SELECT event_type, c,
+                 lag(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS p,
+                 lead(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS f
+               FROM dc),
+         g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN (c > p AND c > f) OR (c < p AND c < f)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS t
+               FROM lg GROUP BY event_type)
+         SELECT event_type, n AS n_days, t AS turning,
+                CASE WHEN n >= 4
+                 THEN round((CAST(t AS DOUBLE) - 2 * (CAST(n AS DOUBLE) - 2) / 3)
+                   / sqrt((16 * CAST(n AS DOUBLE) - 29) / 90), 6)
+                 ELSE NULL END AS z
+         FROM g ORDER BY event_type""",
+
+    // Same doubled-midrank sums (RANGE-frame rank windows) and
+    // declared asymptotic variance.
+    "q_x_bartels" ->
+      s"""WITH $OracleDc,
+         rk AS (SELECT event_type, day,
+                  2 * CAST(count(*) OVER (PARTITION BY event_type ORDER BY c
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+                    + CAST(count(*) OVER (PARTITION BY event_type ORDER BY c
+                        RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) + 1 AS r2,
+                  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+                FROM dc),
+         lg AS (SELECT event_type, r2, nn,
+                 lead(r2, 1) OVER (PARTITION BY event_type ORDER BY day) AS r2n
+               FROM rk),
+         g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum((r2 - r2n) * (r2 - r2n)) AS BIGINT) AS nm4,
+                 CAST(sum((r2 - (nn + 1)) * (r2 - (nn + 1))) AS BIGINT) AS dn4
+               FROM lg GROUP BY event_type)
+         SELECT event_type, n AS n_days,
+                CASE WHEN n >= 2 AND dn4 > 0
+                 THEN round(CAST(nm4 AS DOUBLE) / dn4, 6) ELSE NULL END AS rvn,
+                CASE WHEN n >= 2 AND dn4 > 0
+                 THEN round((CAST(nm4 AS DOUBLE) / dn4 - 2) / sqrt(4.0 / n), 6)
+                 ELSE NULL END AS z
+         FROM g ORDER BY event_type"""
   )
 }

@@ -403,6 +403,133 @@ class Round14bSpec extends SparkSuite {
     }
   }
 
+  test("q_x_wilcoxon_signed matches a literal paired-midrank recompute") {
+    val dc = dailyWithDaysAll(sfDir)
+    val got = SparkEntry.queries("q_x_wilcoxon_signed")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    dc.foreach { case (t, rows) =>
+      val byDay = rows.toMap.map { case (d, c) =>
+        java.time.LocalDate.parse(d).toEpochDay -> c
+      }
+      val diffs = byDay.toSeq.flatMap { case (ed, c) =>
+        byDay.get(ed + 7).map(_ - c)
+      }.filter(_ != 0L)
+      val rk = midranks(diffs.map(math.abs))
+      val wStat = diffs.map(d => math.signum(d.toDouble) * rk(math.abs(d))).sum
+      val v = diffs.map(d => rk(math.abs(d))).map(r => r * r).sum
+      val z = if (diffs.nonEmpty && v > 0) Some(wStat / math.sqrt(v)) else None
+      val (gn, gw2, gz) = got(t)
+      assert(gn == diffs.size && math.abs(gw2 - 2 * wStat) < 1e-9, s"type $t sums")
+      (z, gz) match {
+        case (Some(e), Some(g)) => assert(math.abs(e - g) < 1e-5, s"type $t z")
+        case (None, None)       => ()
+        case other              => fail(s"type $t guard: $other")
+      }
+    }
+  }
+
+  test("q_x_theil_u matches a direct entropy recompute") {
+    val pairs = Tables.table(spark, sfDir, "documents")
+      .select(col("source"), col("lang")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = pairs.length.toDouble
+    def h(keys: Seq[String]): Double =
+      -keys.groupBy(identity).values
+        .map(g => g.size / n).map(p => p * math.log(p)).sum
+    val hx = h(pairs.map(_._1).toSeq)
+    val hy = h(pairs.map(_._2).toSeq)
+    val hxy = h(pairs.map(p => p._1 + " " + p._2).toSeq)
+    val mi = hx + hy - hxy
+    val r = SparkEntry.queries("q_x_theil_u")(spark, sfDir).collect()(0)
+    assert(math.abs(r.getDouble(1) - hy) < 1e-5 &&
+      math.abs(r.getDouble(2) - hx) < 1e-5 &&
+      math.abs(r.getDouble(3) - mi) < 1e-5 &&
+      math.abs(r.getDouble(4) - mi / hy) < 1e-5 &&
+      math.abs(r.getDouble(5) - mi / hx) < 1e-5)
+  }
+
+  test("q_x_kendall_w matches a literal full-week block recompute") {
+    val dc = dailyWithDaysAll(sfDir)
+    val got = SparkEntry.queries("q_x_kendall_w")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    dc.foreach { case (t, rows) =>
+      val cells = rows.groupBy { case (d, _) =>
+        java.time.LocalDate.parse(d).toEpochDay / 7
+      }.view.mapValues(_.map { case (d, c) =>
+        (java.time.LocalDate.parse(d).toEpochDay % 7, c)
+      }).toMap.filter(_._2.length == 7)
+      val m = cells.size.toLong
+      if (m >= 1) {
+        var tsum = 0L
+        val rankRows = cells.values.toSeq.flatMap { wkRows =>
+          val rk = midranks(wkRows.map(_._2).toSeq)
+          wkRows.map(_._2).groupBy(identity).values
+            .map(_.length.toLong).foreach(tt => tsum += tt * tt * tt - tt)
+          wkRows.map { case (slot, v) => (slot, rk(v)) }
+        }
+        val s = rankRows.groupBy(_._1).values.map { g =>
+          val rj = g.map(_._2).sum
+          (rj - m * 4.0) * (rj - m * 4.0)
+        }.sum
+        val den = m.toDouble * m * 336 - m.toDouble * tsum
+        val wExp = if (den > 0) Some(12 * s / den) else None
+        val (gm, gw) = got(t)
+        assert(gm == m, s"type $t weeks")
+        (wExp, gw) match {
+          case (Some(e), Some(g)) => assert(math.abs(e - g) < 1e-5, s"type $t W")
+          case (None, None)       => ()
+          case other              => fail(s"type $t guard: $other")
+        }
+      }
+    }
+  }
+
+  test("q_x_turning_points matches a literal triple scan") {
+    val got = SparkEntry.queries("q_x_turning_points")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    dailySeries(sfDir).foreach { case (ty, x) =>
+      val t = (1 until x.length - 1).count(i =>
+        (x(i) > x(i - 1) && x(i) > x(i + 1)) ||
+          (x(i) < x(i - 1) && x(i) < x(i + 1))).toLong
+      val n = x.length
+      val z = if (n >= 4)
+        Some((t - 2 * (n - 2.0) / 3) / math.sqrt((16.0 * n - 29) / 90)) else None
+      val (gt, gz) = got(ty)
+      assert(gt == t, s"type $ty T")
+      (z, gz) match {
+        case (Some(e), Some(g)) => assert(math.abs(e - g) < 1e-5, s"type $ty z")
+        case (None, None)       => ()
+        case other              => fail(s"type $ty guard: $other")
+      }
+    }
+  }
+
+  test("q_x_bartels matches a literal rank von Neumann recompute") {
+    val got = SparkEntry.queries("q_x_bartels")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    dailySeries(sfDir).foreach { case (ty, x) =>
+      val rk = midranks(x.toSeq)
+      val r = x.map(rk)
+      val n = x.length
+      val rbar = (n + 1) / 2.0
+      val den = r.map(v => (v - rbar) * (v - rbar)).sum
+      val exp = if (n >= 2 && den > 0) {
+        val num = (1 until n).map(i => (r(i) - r(i - 1)) * (r(i) - r(i - 1))).sum
+        Some((num / den, (num / den - 2) / math.sqrt(4.0 / n)))
+      } else None
+      (exp, got(ty)) match {
+        case (Some((ev, ez)), (Some(gv), Some(gz))) =>
+          assert(math.abs(ev - gv) < 1e-5 && math.abs(ez - gz) < 1e-5, s"type $ty")
+        case (None, (None, None)) => ()
+        case other                => fail(s"type $ty guard: $other")
+      }
+    }
+  }
+
   test("observation-index grain: a calendar gap closes ranks (declared)") {
     // Series over days 1,2,3,10,11 — lag-1 pairs (3,10) across the
     // 7-day gap. The declared-grain VN numerator includes (c[10]-c[3])²;
