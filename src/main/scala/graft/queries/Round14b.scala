@@ -869,6 +869,134 @@ object Round14b {
               THEN round((CAST(nm4 AS DOUBLE) / dn4 - 2) / sqrt(4.0 / n), 6)
               ELSE NULL END AS z""")
         .orderBy(col("event_type"))
+    }),
+
+    // Quade test per event type — the block-weighted Friedman over
+    // full calendar weeks (blocks) × 7 weekday positions: blocks with
+    // a larger within-week RANGE carry proportionally more weight
+    // (Friedman treats a flat week and a wild week equally). With
+    // doubled midranks in BOTH directions (Q2 = doubled block-range
+    // midrank across weeks, r2 = doubled within-week midrank),
+    // S16_bj = Q2_b·(r2_bj − 8) is exact BIGINT, so A16 = ΣS16² and
+    // SN = Σ_j(Σ_b S16)² are exact and F = (m−1)·(SN/m)/(A16 − SN/m)
+    // is one shared expression. DECLARED k = 7, full weeks only;
+    // degenerate A = B surfaces NULL.
+    "q_x_quade" -> ((s, d) => {
+      val dc = dayCounts(s, d)
+        .withColumn("wk",
+          floor(datediff(col("day"), lit("1970-01-01").cast("date")) / lit(7.0))
+            .cast("long"))
+        .withColumn("slot",
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long") % 7)
+        .cut("Round14b.scala:quade", eager = true)
+      val agg = dc.groupBy(col("event_type"), col("wk"), col("slot"))
+        .agg(sum(col("c")).as("v"))
+      val full = agg.groupBy(col("event_type"), col("wk"))
+        .agg(count(lit(1)).as("nslots"),
+          (max(col("v")) - min(col("v"))).as("rng"))
+        .filter(col("nslots") === 7)
+      // doubled midranks of the block ranges across weeks (per type)
+      val bv = Window.partitionBy(col("event_type")).orderBy(col("rng"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val be = Window.partitionBy(col("event_type")).orderBy(col("rng"))
+        .rangeBetween(0, 0)
+      val blocks = full.withColumn("q2",
+        lit(2L) * count(lit(1)).over(bv) + count(lit(1)).over(be) + 1L)
+      val cells = agg.join(blocks.select(col("event_type"), col("wk"), col("q2")),
+        Seq("event_type", "wk"))
+      val wv = Window.partitionBy(col("event_type"), col("wk")).orderBy(col("v"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val we = Window.partitionBy(col("event_type"), col("wk")).orderBy(col("v"))
+        .rangeBetween(0, 0)
+      val ranked = cells
+        .withColumn("r2", lit(2L) * count(lit(1)).over(wv)
+          + count(lit(1)).over(we) + 1L)
+        .withColumn("s16", col("q2") * (col("r2") - 8L))
+      val perSlot = ranked.groupBy(col("event_type"), col("slot"))
+        .agg(sum(col("s16")).as("n16"), count(lit(1)).as("m"))
+      val sn = perSlot.groupBy(col("event_type"))
+        .agg(max(col("m")).as("m"), sum(col("n16") * col("n16")).as("sn"))
+      val a16 = ranked.groupBy(col("event_type"))
+        .agg(sum(col("s16") * col("s16")).as("a16"))
+      sn.join(a16, "event_type")
+        .selectExpr("event_type", "m AS n_weeks",
+          """CASE WHEN m >= 2
+               AND (CAST(a16 AS DOUBLE) - CAST(sn AS DOUBLE) / m) > 0
+              THEN round((CAST(m AS DOUBLE) - 1) * (CAST(sn AS DOUBLE) / m)
+                / (CAST(a16 AS DOUBLE) - CAST(sn AS DOUBLE) / m), 6)
+              ELSE NULL END AS f""")
+        .orderBy(col("event_type"))
+    }),
+
+    // Bowker's test of symmetry on each user's modal event type,
+    // first corpus half vs second (DECLARED: halves split at the
+    // midpoint micros (min+max)/2 of the event window, modal-type
+    // ties break to the lexicographically smallest type, and only
+    // users active in BOTH halves enter — the k×k generalization of
+    // q_x_mcnemar): χ² = Σ_{i<j}(n_ij−n_ji)²/(n_ij+n_ji) over pairs
+    // with traffic, df = #such pairs. Corpus work is one per-
+    // (user, half, type) aggregate; the χ² folds over ≤ k(k−1)/2
+    // cells, sorted.
+    "q_x_bowker" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tm"))
+      val mid = ev.agg(((min(col("tm")) + max(col("tm"))) / lit(2L)).as("mid"))
+      val halves = ev.crossJoin(broadcast(mid))
+        .withColumn("half", when(col("tm") <= col("mid"), lit("h1")).otherwise(lit("h2")))
+        .groupBy(col("user_id"), col("half"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val wm = Window.partitionBy(col("user_id"), col("half"))
+        .orderBy(col("cnt").desc, col("event_type"))
+      val modal = halves.withColumn("rn", row_number().over(wm))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("half"), col("event_type"))
+      val both = modal.groupBy(col("user_id"))
+        .pivot("half", Seq("h1", "h2")).agg(first(col("event_type")))
+        .filter(col("h1").isNotNull && col("h2").isNotNull)
+        .select(col("user_id"), col("h1").as("ta"), col("h2").as("tb"))
+        .cut("Round14b.scala:bowker", eager = true)
+      val nu = both.agg(count(lit(1)).as("n_users"))
+      val cellCnt = both.groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n"))
+      val up = cellCnt.filter(col("ta") < col("tb"))
+        .select(col("ta").as("i"), col("tb").as("j"), col("n").as("nij"))
+      val dn = cellCnt.filter(col("ta") > col("tb"))
+        .select(col("tb").as("i"), col("ta").as("j"), col("n").as("nji"))
+      val pairs = up.join(dn, Seq("i", "j"), "full")
+        .na.fill(0L, Seq("nij", "nji"))
+      pairs.coalesce(1).sortWithinPartitions(col("i"), col("j"))
+        .agg(count(lit(1)).as("df"),
+          sum((col("nij") - col("nji")).cast("double")
+            * (col("nij") - col("nji"))
+            / (col("nij") + col("nji"))).as("chi2"))
+        .crossJoin(broadcast(nu))
+        .selectExpr("n_users", "df", "round(chi2, 6) AS chi2")
+    }),
+
+    // Cohen's h between every source pair — the effect size for the
+    // PROPORTION of long documents (DECLARED: p_i = share of docs
+    // with n_chars strictly above the pooled median, the engines'
+    // shared exact-median convention): h = 2·asin(√p_a) − 2·asin(√p_b),
+    // the arcsine-stabilized difference q_x_cohens_d is for means.
+    // Proportions are exact-count ratios; h is one shared expression
+    // over the k² dims-bounded pair grid.
+    "q_x_cohen_h" -> ((s, d) => {
+      val docs = table(s, d, "documents").select(col("source"), col("n_chars"))
+      val med = docs.agg(expr("median(n_chars)").as("med"))
+      val ps = docs.crossJoin(broadcast(med))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("n_chars") > col("med"), 1L).otherwise(0L)).as("k"))
+      val a = ps.select(col("source").as("source_a"), col("n").as("n_a"),
+        col("k").as("k_a"))
+      val b = ps.select(col("source").as("source_b"), col("n").as("n_b"),
+        col("k").as("k_b"))
+      a.join(broadcast(b), col("source_a") < col("source_b"))
+        .selectExpr("source_a", "source_b",
+          "round(CAST(k_a AS DOUBLE) / n_a, 6) AS p_a",
+          "round(CAST(k_b AS DOUBLE) / n_b, 6) AS p_b",
+          """round(2 * asin(sqrt(CAST(k_a AS DOUBLE) / n_a))
+             - 2 * asin(sqrt(CAST(k_b AS DOUBLE) / n_b)), 6) AS h""")
+        .orderBy(col("source_a"), col("source_b"))
     })
   )
 
@@ -1401,6 +1529,104 @@ object Round14b {
                 CASE WHEN n >= 2 AND dn4 > 0
                  THEN round((CAST(nm4 AS DOUBLE) / dn4 - 2) / sqrt(4.0 / n), 6)
                  ELSE NULL END AS z
-         FROM g ORDER BY event_type"""
+         FROM g ORDER BY event_type""",
+
+    // Same full-week blocks, doubled midranks in both directions,
+    // exact A16/SN sums, same F text.
+    "q_x_quade" ->
+      s"""WITH $OracleDc,
+         ds AS (SELECT event_type,
+                  CAST(floor(CAST(day - DATE '1970-01-01' AS DOUBLE) / 7) AS BIGINT) AS wk,
+                  CAST(day - DATE '1970-01-01' AS BIGINT) % 7 AS slot, c
+                FROM dc),
+         agg AS (SELECT event_type, wk, slot, CAST(sum(c) AS BIGINT) AS v
+                 FROM ds GROUP BY 1, 2, 3),
+         full_wk AS (SELECT event_type, wk,
+                       CAST(max(v) - min(v) AS BIGINT) AS rng
+                     FROM agg GROUP BY 1, 2 HAVING count(*) = 7),
+         blocks AS (SELECT event_type, wk,
+                      2 * CAST(count(*) OVER (PARTITION BY event_type ORDER BY rng
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+                        + CAST(count(*) OVER (PARTITION BY event_type ORDER BY rng
+                            RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) + 1 AS q2
+                    FROM full_wk),
+         cells AS (SELECT a.event_type, a.wk, a.slot, a.v, b.q2
+                   FROM agg a JOIN blocks b
+                     ON b.event_type = a.event_type AND b.wk = a.wk),
+         rk AS (SELECT event_type, wk, slot, q2,
+                  q2 * ((2 * CAST(count(*) OVER (PARTITION BY event_type, wk ORDER BY v
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+                      + CAST(count(*) OVER (PARTITION BY event_type, wk ORDER BY v
+                          RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) + 1) - 8) AS s16
+                FROM cells),
+         per_slot AS (SELECT event_type, slot, CAST(sum(s16) AS BIGINT) AS n16,
+                        CAST(count(*) AS BIGINT) AS m
+                      FROM rk GROUP BY 1, 2),
+         sn AS (SELECT event_type, max(m) AS m,
+                  CAST(sum(n16 * n16) AS BIGINT) AS sn
+                FROM per_slot GROUP BY event_type),
+         a16 AS (SELECT event_type, CAST(sum(s16 * s16) AS BIGINT) AS a16
+                 FROM rk GROUP BY event_type)
+         SELECT sn.event_type, sn.m AS n_weeks,
+                CASE WHEN sn.m >= 2
+                      AND (CAST(a16.a16 AS DOUBLE) - CAST(sn.sn AS DOUBLE) / sn.m) > 0
+                 THEN round((CAST(sn.m AS DOUBLE) - 1) * (CAST(sn.sn AS DOUBLE) / sn.m)
+                   / (CAST(a16.a16 AS DOUBLE) - CAST(sn.sn AS DOUBLE) / sn.m), 6)
+                 ELSE NULL END AS f
+         FROM sn JOIN a16 ON a16.event_type = sn.event_type
+         ORDER BY sn.event_type""",
+
+    // Same declared midpoint/modal-tie/both-halves conventions; the
+    // χ² folds over the same sorted pair order.
+    "q_x_bowker" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tm FROM events),
+         mid AS (SELECT (min(tm) + max(tm)) / 2 AS mid FROM ev),
+         halves AS (SELECT user_id,
+                      CASE WHEN tm <= mid THEN 'h1' ELSE 'h2' END AS half,
+                      event_type, CAST(count(*) AS BIGINT) AS cnt
+                    FROM ev, mid GROUP BY 1, 2, 3),
+         modal AS (SELECT user_id, half, event_type FROM
+                     (SELECT user_id, half, event_type,
+                        row_number() OVER (PARTITION BY user_id, half
+                          ORDER BY cnt DESC, event_type) AS rn
+                      FROM halves)
+                   WHERE rn = 1),
+         bh AS (SELECT user_id,
+                    max(CASE WHEN half = 'h1' THEN event_type END) AS ta,
+                    max(CASE WHEN half = 'h2' THEN event_type END) AS tb
+                  FROM modal GROUP BY user_id
+                  HAVING max(CASE WHEN half = 'h1' THEN event_type END) IS NOT NULL
+                     AND max(CASE WHEN half = 'h2' THEN event_type END) IS NOT NULL),
+         nu AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM bh),
+         cell AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS n
+                  FROM bh GROUP BY 1, 2),
+         up AS (SELECT ta AS i, tb AS j, n AS nij FROM cell WHERE ta < tb),
+         dn AS (SELECT tb AS i, ta AS j, n AS nji FROM cell WHERE ta > tb),
+         pairs AS (SELECT COALESCE(up.i, dn.i) AS i, COALESCE(up.j, dn.j) AS j,
+                     COALESCE(up.nij, 0) AS nij, COALESCE(dn.nji, 0) AS nji
+                   FROM up FULL JOIN dn ON dn.i = up.i AND dn.j = up.j),
+         agg AS (SELECT max(cnt) AS df, max(run) AS chi2 FROM
+                   (SELECT count(*) OVER () AS cnt,
+                      sum(CAST(nij - nji AS DOUBLE) * (nij - nji) / (nij + nji))
+                        OVER (ORDER BY i, j
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+                    FROM pairs))
+         SELECT nu.n_users, agg.df, round(agg.chi2, 6) AS chi2
+         FROM agg, nu""",
+
+    // Same pooled-median proportion and shared arcsine text over the
+    // pair grid.
+    "q_x_cohen_h" ->
+      """WITH med AS (SELECT median(n_chars) AS med FROM documents),
+         ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN n_chars > med THEN 1 ELSE 0 END) AS BIGINT) AS k
+                FROM documents, med GROUP BY source)
+         SELECT a.source AS source_a, b.source AS source_b,
+                round(CAST(a.k AS DOUBLE) / a.n, 6) AS p_a,
+                round(CAST(b.k AS DOUBLE) / b.n, 6) AS p_b,
+                round(2 * asin(sqrt(CAST(a.k AS DOUBLE) / a.n))
+                  - 2 * asin(sqrt(CAST(b.k AS DOUBLE) / b.n)), 6) AS h
+         FROM ps a JOIN ps b ON a.source < b.source
+         ORDER BY source_a, source_b"""
   )
 }

@@ -530,6 +530,84 @@ class Round14bSpec extends SparkSuite {
     }
   }
 
+  test("q_x_quade matches a literal block-weighted recompute") {
+    val dc = dailyWithDaysAll(sfDir)
+    val got = SparkEntry.queries("q_x_quade")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    dc.foreach { case (t, rows) =>
+      val weeks = rows.groupBy { case (d, _) =>
+        java.time.LocalDate.parse(d).toEpochDay / 7
+      }.view.mapValues(_.map { case (d, c) =>
+        (java.time.LocalDate.parse(d).toEpochDay % 7, c)
+      }).toMap.filter(_._2.length == 7)
+      val m = weeks.size
+      if (m >= 2) {
+        val ranges = weeks.view.mapValues(ws => ws.map(_._2).max - ws.map(_._2).min)
+        val qRk = midranks(ranges.values.toSeq)
+        // per (week, slot): S = Q_b * (r_bj - 4)
+        val sMat = weeks.toSeq.map { case (wk, ws) =>
+          val rk = midranks(ws.map(_._2).toSeq)
+          ws.map { case (slot, v) => (slot, qRk(ranges(wk)) * (rk(v) - 4.0)) }
+        }
+        val a = sMat.flatten.map(_._2).map(x => x * x).sum
+        val bSum = sMat.flatten.groupBy(_._1).values
+          .map(g => { val sj = g.map(_._2).sum; sj * sj }).sum / m
+        val f = if (a - bSum > 0) Some((m - 1) * bSum / (a - bSum)) else None
+        val (gm, gf) = got(t)
+        assert(gm == m, s"type $t weeks")
+        (f, gf) match {
+          case (Some(e), Some(g)) => assert(math.abs(e - g) < 1e-4, s"type $t F: $e vs $g")
+          case (None, None)       => ()
+          case other              => fail(s"type $t guard: $other")
+        }
+      }
+    }
+  }
+
+  test("q_x_bowker matches a literal modal-half recompute") {
+    val ev = Tables.table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val mid = (ev.map(_._3).min + ev.map(_._3).max) / 2.0
+    val modal = ev.groupBy(_._1).view.mapValues { rows =>
+      def pick(half: Array[(Long, String, Long)]): Option[String] =
+        if (half.isEmpty) None
+        else Some(half.groupBy(_._2).view.mapValues(_.length).toSeq
+          .minBy { case (ty, c) => (-c, ty) }._1)
+      (pick(rows.filter(_._3 <= mid)), pick(rows.filter(_._3 > mid)))
+    }.collect { case (_, (Some(a), Some(b))) => (a, b) }.toSeq
+    val types = modal.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    var chi2 = 0.0
+    var df = 0L
+    for (i <- types.indices; j <- (i + 1) until types.length) {
+      val nij = modal.count(p => p._1 == types(i) && p._2 == types(j)).toDouble
+      val nji = modal.count(p => p._1 == types(j) && p._2 == types(i)).toDouble
+      if (nij + nji > 0) { df += 1; chi2 += (nij - nji) * (nij - nji) / (nij + nji) }
+    }
+    val r = SparkEntry.queries("q_x_bowker")(spark, sfDir).collect()(0)
+    assert(r.getLong(0) == modal.size && r.getLong(1) == df &&
+      math.abs(r.getDouble(2) - chi2) < 1e-5,
+      s"(${modal.size},$df,$chi2) vs $r")
+  }
+
+  test("q_x_cohen_h matches a direct arcsine recompute") {
+    val docs = docsBySource(sfDir)
+    val all = docs.values.flatten.toSeq.sorted
+    val med =
+      if (all.size % 2 == 1) all(all.size / 2).toDouble
+      else (all(all.size / 2 - 1) + all(all.size / 2)) / 2.0
+    val got = SparkEntry.queries("q_x_cohen_h")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    val srcs = docs.keys.toSeq.sorted
+    for (a <- srcs; b <- srcs if a < b) {
+      def phi(x: Array[Long]) =
+        2 * math.asin(math.sqrt(x.count(_ > med).toDouble / x.length))
+      val h = phi(docs(a)) - phi(docs(b))
+      assert(math.abs(h - got((a, b))) < 1e-5, s"pair ($a,$b)")
+    }
+  }
+
   test("observation-index grain: a calendar gap closes ranks (declared)") {
     // Series over days 1,2,3,10,11 — lag-1 pairs (3,10) across the
     // 7-day gap. The declared-grain VN numerator includes (c[10]-c[3])²;
