@@ -997,6 +997,106 @@ object Round14b {
           """round(2 * asin(sqrt(CAST(k_a AS DOUBLE) / n_a))
              - 2 * asin(sqrt(CAST(k_b AS DOUBLE) / n_b)), 6) AS h""")
         .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // Log-rank test, each cohort vs the pooled rest — THE companion
+    // of q_x_survival's Kaplan–Meier curves (same cohort convention:
+    // the user's first event type), on time-to-first-'purchase'
+    // (DECLARED: duration = (first purchase ts − first event ts) div
+    // 86400000000 days; users who never purchase are right-censored
+    // at their LAST event — q_x_survival's churn framing is
+    // degenerate here because the fixture keeps every user active
+    // through the window's final week): O_g = Σ d_gt, E_g =
+    // Σ d_t·n_gt/n_t, V_g = Σ d_t(n_gt/n_t)(1−n_gt/n_t)(n_t−d_t)/
+    // (n_t−1) over pooled death times with n_t > 1; z = (O−E)/√V.
+    // All counts/at-risk numbers exact BIGINT on the cohort ×
+    // duration grid (duration-grain, corpus-independent); the E/V
+    // folds are monotone running windows per cohort (nonneg terms ⇒
+    // max = last), matching the oracle's running windows term for
+    // term.
+    "q_x_log_rank" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      val firstType = ev
+        .withColumn("rk", row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type").as("cohort"))
+      val users = ev.groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t1"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+            .as("tp"))
+        .join(firstType, "user_id")
+        .select(col("cohort"),
+          expr("(coalesce(tp, t1) - t0) div 86400000000").as("dur"),
+          col("tp").isNull.as("censored"))
+        .cut("Round14b.scala:log_rank", eager = true)
+      val byDur = users.groupBy(col("cohort"), col("dur"))
+        .agg(count(lit(1)).as("ending"),
+          sum(when(col("censored"), 0L).otherwise(1L)).as("dg"))
+      val pooled = byDur.groupBy(col("dur"))
+        .agg(sum(col("ending")).as("endp"), sum(col("dg")).as("dp"))
+      val tot = byDur.groupBy(col("cohort")).agg(sum(col("ending")).as("nn"))
+      val nnAll = pooled.agg(sum(col("endp")).as("nt_all"))
+      // cohort × every pooled duration (death or censor — at-risk
+      // counts need BOTH kinds of endings)
+      val grid = broadcast(tot).crossJoin(pooled)
+        .join(byDur, Seq("cohort", "dur"), "left")
+        .na.fill(0L, Seq("ending", "dg"))
+        .crossJoin(broadcast(nnAll))
+      val w = Window.partitionBy(col("cohort")).orderBy(col("dur"))
+      val wp = w.rowsBetween(Window.unboundedPreceding, -1)
+      val atRisk = grid
+        .withColumn("ng", col("nn") - coalesce(sum(col("ending")).over(wp), lit(0L)))
+        .withColumn("np", col("nt_all") - coalesce(sum(col("endp")).over(wp), lit(0L)))
+      val terms = atRisk.filter(col("dp") > 0)
+        .withColumn("e_run", sum(col("dp").cast("double") * col("ng") / col("np"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("v_run", sum(when(col("np") > 1,
+          col("dp").cast("double") * (col("ng").cast("double") / col("np"))
+            * (lit(1.0) - col("ng").cast("double") / col("np"))
+            * (col("np") - col("dp")) / (col("np") - 1)).otherwise(lit(0.0)))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      terms.groupBy(col("cohort"))
+        .agg(max(col("nn")).as("n"), sum(col("dg")).as("o"),
+          max(col("e_run")).as("e"), max(col("v_run")).as("v"))
+        .selectExpr("cohort", "n", "o", "round(e, 6) AS e",
+          """CASE WHEN v > 0 THEN round((CAST(o AS DOUBLE) - e) / sqrt(v), 6)
+              ELSE NULL END AS z""",
+          """CASE WHEN v > 0
+              THEN round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / v, 6)
+              ELSE NULL END AS chi2""")
+        .orderBy(col("cohort"))
+    }),
+
+    // Hodges–Lehmann shift per event type between the series' two
+    // halves (DECLARED: first half = first ⌊n/2⌋ observations, second
+    // = last ⌊n/2⌋, odd middle dropped — the q_x_cox_stuart split):
+    // HL = median{c_j − c_i} over the cross-half pair grid — the
+    // robust "how much did the level move" estimator cox_stuart only
+    // signs. Differences are exact BIGINTs; the median is the
+    // engines' shared exact-median convention (integer or .5 — never
+    // an approximation). Pair grid ≤ ⌊n/2⌋² at calendar-bounded n.
+    "q_x_hl_shift" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val dc = dayCounts(s, d).cut("Round14b.scala:hl_shift", eager = true)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("nd", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+      val a = dc.filter(col("rn") <= expr("nd div 2"))
+        .select(col("event_type"), col("c").as("ca"))
+      val b = dc.filter(col("rn") > col("nd") - expr("nd div 2"))
+        .select(col("event_type"), col("c").as("cb"))
+      val hl = a.join(b, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("median(cb - ca)").as("hl"))
+      dc.groupBy(col("event_type")).agg(max(col("nd")).as("n_days"))
+        .join(hl, Seq("event_type"), "left")
+        .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+        .selectExpr("event_type", "n_days", "n_pairs",
+          "round(hl, 6) AS hl")
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1627,6 +1727,86 @@ object Round14b {
                 round(2 * asin(sqrt(CAST(a.k AS DOUBLE) / a.n))
                   - 2 * asin(sqrt(CAST(b.k AS DOUBLE) / b.n)), 6) AS h
          FROM ps a JOIN ps b ON a.source < b.source
-         ORDER BY source_a, source_b"""
+         ORDER BY source_a, source_b""",
+
+    // Same declared time-to-first-purchase framing, same cohort ×
+    // pooled-duration grid, same monotone running E/V folds.
+    "q_x_log_rank" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id, ts,
+                  epoch_us(ts) AS tm FROM events),
+         ft AS (SELECT user_id, event_type AS cohort FROM
+                  (SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rk
+                   FROM ev)
+                WHERE rk = 1),
+         users AS (SELECT ft.cohort,
+                     (COALESCE(u.tp, u.t1) - u.t0) // 86400000000 AS dur,
+                     u.tp IS NULL AS censored
+                   FROM (SELECT user_id, min(tm) AS t0, max(tm) AS t1,
+                           min(CASE WHEN event_type = 'purchase' THEN tm END) AS tp
+                         FROM ev GROUP BY user_id) u
+                   JOIN ft ON ft.user_id = u.user_id),
+         by_dur AS (SELECT cohort, dur, CAST(count(*) AS BIGINT) AS ending,
+                      CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS dg
+                    FROM users GROUP BY 1, 2),
+         pooled AS (SELECT dur, CAST(sum(ending) AS BIGINT) AS endp,
+                      CAST(sum(dg) AS BIGINT) AS dp
+                    FROM by_dur GROUP BY dur),
+         tot AS (SELECT cohort, CAST(sum(ending) AS BIGINT) AS nn
+                 FROM by_dur GROUP BY cohort),
+         nn_all AS (SELECT CAST(sum(endp) AS BIGINT) AS nt_all FROM pooled),
+         grid AS (SELECT t.cohort, t.nn, p.dur, p.endp, p.dp,
+                    COALESCE(b.ending, 0) AS ending, COALESCE(b.dg, 0) AS dg,
+                    a.nt_all
+                  FROM tot t CROSS JOIN pooled p
+                  LEFT JOIN by_dur b ON b.cohort = t.cohort AND b.dur = p.dur,
+                  nn_all a),
+         at_risk AS (SELECT *,
+                       nn - COALESCE(sum(ending) OVER (PARTITION BY cohort ORDER BY dur
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ng,
+                       nt_all - COALESCE(sum(endp) OVER (PARTITION BY cohort ORDER BY dur
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS np
+                     FROM grid),
+         terms AS (SELECT cohort, nn, dg,
+                     sum(CAST(dp AS DOUBLE) * ng / np)
+                       OVER (PARTITION BY cohort ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e_run,
+                     sum(CASE WHEN np > 1
+                          THEN CAST(dp AS DOUBLE) * (CAST(ng AS DOUBLE) / np)
+                            * (1.0 - CAST(ng AS DOUBLE) / np)
+                            * (np - dp) / (np - 1) ELSE 0.0 END)
+                       OVER (PARTITION BY cohort ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_run
+                   FROM at_risk WHERE dp > 0),
+         g AS (SELECT cohort, max(nn) AS n, CAST(sum(dg) AS BIGINT) AS o,
+                 max(e_run) AS e, max(v_run) AS v
+               FROM terms GROUP BY cohort)
+         SELECT cohort, n, o, round(e, 6) AS e,
+                CASE WHEN v > 0 THEN round((CAST(o AS DOUBLE) - e) / sqrt(v), 6)
+                     ELSE NULL END AS z,
+                CASE WHEN v > 0
+                     THEN round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / v, 6)
+                     ELSE NULL END AS chi2
+         FROM g ORDER BY cohort""",
+
+    // Same half split and the shared exact-median convention over the
+    // same cross-half pair grid.
+    "q_x_hl_shift" ->
+      s"""WITH $OracleDc,
+         o AS (SELECT event_type, c,
+                 CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+               FROM dc),
+         hl AS (SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+                  median(b.c - a.c) AS hl
+                FROM o a JOIN o b ON b.event_type = a.event_type
+                  AND a.rn <= a.nd // 2 AND b.rn > b.nd - b.nd // 2
+                GROUP BY a.event_type),
+         n AS (SELECT event_type, max(nd) AS n_days FROM o GROUP BY 1)
+         SELECT n.event_type, n.n_days, COALESCE(hl.n_pairs, 0) AS n_pairs,
+                round(hl.hl, 6) AS hl
+         FROM n LEFT JOIN hl ON hl.event_type = n.event_type
+         ORDER BY n.event_type"""
   )
 }

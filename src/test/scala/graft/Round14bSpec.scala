@@ -608,6 +608,99 @@ class Round14bSpec extends SparkSuite {
     }
   }
 
+  /** Literal log-rank over (cohort, dur, censored) rows. */
+  private def logRankRef(users: Seq[(String, Long, Boolean)])
+      : Map[String, (Long, Double, Double)] = {
+    val durs = users.map(_._2).distinct.sorted
+    users.map(_._1).distinct.map { g =>
+      var (o, e, v) = (0L, 0.0, 0.0)
+      durs.foreach { t =>
+        val atRisk = users.filter(_._2 >= t)
+        val nt = atRisk.size.toDouble
+        val ngt = atRisk.count(_._1 == g).toDouble
+        val deaths = users.filter(u => u._2 == t && !u._3)
+        val dt = deaths.size.toDouble
+        if (dt > 0) {
+          o += deaths.count(_._1 == g)
+          e += dt * ngt / nt
+          if (nt > 1) v += dt * (ngt / nt) * (1 - ngt / nt) * (nt - dt) / (nt - 1)
+        }
+      }
+      g -> (o, e, v)
+    }.toMap
+  }
+
+  test("q_x_log_rank matches a literal at-risk recompute") {
+    val ev = Tables.table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val users = ev.groupBy(_._1).values.map { rows =>
+      val first = rows.minBy(r => (r._4, r._3))
+      val t0 = rows.map(_._4).min
+      val tp = rows.filter(_._2 == "purchase").map(_._4).minOption
+      (first._2, (tp.getOrElse(rows.map(_._4).max) - t0) / 86400000000L, tp.isEmpty)
+    }.toSeq
+    val exp = logRankRef(users)
+    val got = SparkEntry.queries("q_x_log_rank")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3),
+        Option(r.get(5)).map(_.asInstanceOf[Double]))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (g, (go, ge, gchi)) =>
+      val (o, e, v) = exp(g)
+      assert(go == o && math.abs(ge - e) < 1e-5, s"cohort $g O/E")
+      gchi.foreach(c => assert(math.abs(c - (o - e) * (o - e) / v) < 1e-4,
+        s"cohort $g chi2"))
+    }
+  }
+
+  test("q_x_log_rank censors never-purchasers (fixture)") {
+    // Two cohorts; one user never purchases → right-censored at last
+    // event, counted at-risk through dur 5 but never as a death.
+    val dir = java.nio.file.Files.createTempDirectory("r14b_lr").toString
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 00:00:00")
+    val rows = Seq(
+      (1L, ts(1), 10L, "signup", 0.0), (2L, ts(3), 10L, "purchase", 0.0),
+      (3L, ts(1), 20L, "click", 0.0), (4L, ts(2), 20L, "purchase", 0.0),
+      (5L, ts(1), 30L, "signup", 0.0), (6L, ts(6), 30L, "view", 0.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_x_log_rank")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // signup cohort: users 10 (death at dur 2) + 30 (censored, dur 5)
+    assert(got("signup") == ((2L, 1L)) && got("click") == ((1L, 1L)))
+    val exp = logRankRef(Seq(("signup", 2L, false), ("click", 1L, false),
+      ("signup", 5L, true)))
+    val z = SparkEntry.queries("q_x_log_rank")(spark, dir).collect()
+      .map(r => r.getString(0) -> Option(r.get(4)).map(_.asInstanceOf[Double]))
+      .toMap
+    val (o, e, v) = exp("signup")
+    z("signup").foreach(g => assert(math.abs(g - (o - e) / math.sqrt(v)) < 1e-5))
+  }
+
+  test("q_x_hl_shift matches a literal cross-half median recompute") {
+    val got = SparkEntry.queries("q_x_hl_shift")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    dailySeries(sfDir).foreach { case (t, x) =>
+      val h = x.length / 2
+      val diffs = (for (i <- 0 until h; j <- (x.length - h) until x.length)
+        yield x(j) - x(i)).sorted
+      val exp =
+        if (diffs.isEmpty) None
+        else if (diffs.size % 2 == 1) Some(diffs(diffs.size / 2).toDouble)
+        else Some((diffs(diffs.size / 2 - 1) + diffs(diffs.size / 2)) / 2.0)
+      val (gn, ghl) = got(t)
+      assert(gn == diffs.size, s"type $t pairs")
+      (exp, ghl) match {
+        case (Some(e), Some(g)) => assert(math.abs(e - g) < 1e-9, s"type $t HL")
+        case (None, None)       => ()
+        case other              => fail(s"type $t guard: $other")
+      }
+    }
+  }
+
   test("observation-index grain: a calendar gap closes ranks (declared)") {
     // Series over days 1,2,3,10,11 — lag-1 pairs (3,10) across the
     // 7-day gap. The declared-grain VN numerator includes (c[10]-c[3])²;
