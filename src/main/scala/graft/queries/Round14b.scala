@@ -251,6 +251,48 @@ object Round14b {
               FROM cells a JOIN cells b ON a.source = b.source
               GROUP BY a.source)"""
 
+  /** The time-to-first-purchase at-risk grid CTE shared by the
+    * log_rank / gehan_wilcoxon / rmst oracles — mirrors
+    * logRankAtRisk.
+    */
+  private val LogRankGridSql: String =
+    """ev AS (SELECT user_id, event_type, event_id, ts,
+             epoch_us(ts) AS tm FROM events),
+       ft AS (SELECT user_id, event_type AS cohort FROM
+                (SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS rk
+                 FROM ev)
+              WHERE rk = 1),
+       users AS (SELECT ft.cohort,
+                   (COALESCE(u.tp, u.t1) - u.t0) // 86400000000 AS dur,
+                   u.tp IS NULL AS censored
+                 FROM (SELECT user_id, min(tm) AS t0, max(tm) AS t1,
+                         min(CASE WHEN event_type = 'purchase' THEN tm END) AS tp
+                       FROM ev GROUP BY user_id) u
+                 JOIN ft ON ft.user_id = u.user_id),
+       by_dur AS (SELECT cohort, dur, CAST(count(*) AS BIGINT) AS ending,
+                    CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS dg
+                  FROM users GROUP BY 1, 2),
+       pooled AS (SELECT dur, CAST(sum(ending) AS BIGINT) AS endp,
+                    CAST(sum(dg) AS BIGINT) AS dp
+                  FROM by_dur GROUP BY dur),
+       tot AS (SELECT cohort, CAST(sum(ending) AS BIGINT) AS nn
+               FROM by_dur GROUP BY cohort),
+       nn_all AS (SELECT CAST(sum(endp) AS BIGINT) AS nt_all FROM pooled),
+       grid AS (SELECT t.cohort, t.nn, p.dur, p.endp, p.dp,
+                  COALESCE(b.ending, 0) AS ending, COALESCE(b.dg, 0) AS dg,
+                  a.nt_all
+                FROM tot t CROSS JOIN pooled p
+                LEFT JOIN by_dur b ON b.cohort = t.cohort AND b.dur = p.dur,
+                nn_all a),
+       at_risk AS (SELECT *,
+                     nn - COALESCE(sum(ending) OVER (PARTITION BY cohort ORDER BY dur
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ng,
+                     nt_all - COALESCE(sum(endp) OVER (PARTITION BY cohort ORDER BY dur
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS np
+                   FROM grid)"""
+
   val defs: Map[String, Q] = Map(
 
     // Ljung–Box portmanteau per event type over daily counts
@@ -1015,41 +1057,9 @@ object Round14b {
     // max = last), matching the oracle's running windows term for
     // term.
     "q_x_log_rank" -> ((s, d) => {
-      val ev = table(s, d, "events")
-      val firstType = ev
-        .withColumn("rk", row_number().over(Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))))
-        .filter(col("rk") === 1)
-        .select(col("user_id"), col("event_type").as("cohort"))
-      val users = ev.groupBy(col("user_id"))
-        .agg(min(unix_micros(col("ts"))).as("t0"),
-          max(unix_micros(col("ts"))).as("t1"),
-          min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
-            .as("tp"))
-        .join(firstType, "user_id")
-        .select(col("cohort"),
-          expr("(coalesce(tp, t1) - t0) div 86400000000").as("dur"),
-          col("tp").isNull.as("censored"))
-        .cut("Round14b.scala:log_rank", eager = true)
-      val byDur = users.groupBy(col("cohort"), col("dur"))
-        .agg(count(lit(1)).as("ending"),
-          sum(when(col("censored"), 0L).otherwise(1L)).as("dg"))
-      val pooled = byDur.groupBy(col("dur"))
-        .agg(sum(col("ending")).as("endp"), sum(col("dg")).as("dp"))
-      val tot = byDur.groupBy(col("cohort")).agg(sum(col("ending")).as("nn"))
-      val nnAll = pooled.agg(sum(col("endp")).as("nt_all"))
-      // cohort × every pooled duration (death or censor — at-risk
-      // counts need BOTH kinds of endings)
-      val grid = broadcast(tot).crossJoin(pooled)
-        .join(byDur, Seq("cohort", "dur"), "left")
-        .na.fill(0L, Seq("ending", "dg"))
-        .crossJoin(broadcast(nnAll))
+      val terms = logRankAtRisk(s, d).filter(col("dp") > 0)
       val w = Window.partitionBy(col("cohort")).orderBy(col("dur"))
-      val wp = w.rowsBetween(Window.unboundedPreceding, -1)
-      val atRisk = grid
-        .withColumn("ng", col("nn") - coalesce(sum(col("ending")).over(wp), lit(0L)))
-        .withColumn("np", col("nt_all") - coalesce(sum(col("endp")).over(wp), lit(0L)))
-      val terms = atRisk.filter(col("dp") > 0)
+      val t2 = terms
         .withColumn("e_run", sum(col("dp").cast("double") * col("ng") / col("np"))
           .over(w.rowsBetween(Window.unboundedPreceding, 0)))
         .withColumn("v_run", sum(when(col("np") > 1,
@@ -1057,7 +1067,7 @@ object Round14b {
             * (lit(1.0) - col("ng").cast("double") / col("np"))
             * (col("np") - col("dp")) / (col("np") - 1)).otherwise(lit(0.0)))
           .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      terms.groupBy(col("cohort"))
+      t2.groupBy(col("cohort"))
         .agg(max(col("nn")).as("n"), sum(col("dg")).as("o"),
           max(col("e_run")).as("e"), max(col("v_run")).as("v"))
         .selectExpr("cohort", "n", "o", "round(e, 6) AS e",
@@ -1097,8 +1107,142 @@ object Round14b {
         .selectExpr("event_type", "n_days", "n_pairs",
           "round(hl, 6) AS hl")
         .orderBy(col("event_type"))
+    }),
+
+    // Gehan–Breslow–Wilcoxon weighted log-rank (weight w_t = pooled
+    // at-risk n_t — early deaths count more, the standard complement
+    // when hazards cross late): same declared time-to-first-purchase
+    // frame as q_x_log_rank. The weighted O−E numerator
+    // Σ(n_t·d_gt − d_t·n_gt) is EXACT BIGINT (the weights cancel the
+    // division); only V_w = Σ n_t²·v_t folds doubles, as the same
+    // monotone per-cohort running window.
+    "q_x_gehan_wilcoxon" -> ((s, d) => {
+      val terms = logRankAtRisk(s, d).filter(col("dp") > 0)
+      val w = Window.partitionBy(col("cohort")).orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val t2 = terms
+        .withColumn("v_run", sum(when(col("np") > 1,
+          col("np").cast("double") * col("np")
+            * (col("dp").cast("double") * (col("ng").cast("double") / col("np"))
+              * (lit(1.0) - col("ng").cast("double") / col("np"))
+              * (col("np") - col("dp")) / (col("np") - 1))).otherwise(lit(0.0)))
+          .over(w))
+      t2.groupBy(col("cohort"))
+        .agg(max(col("nn")).as("n"),
+          sum(col("np") * col("dg") - col("dp") * col("ng")).as("num"),
+          max(col("v_run")).as("v"))
+        .selectExpr("cohort", "n", "num AS w_num",
+          """CASE WHEN v > 0 THEN round(CAST(num AS DOUBLE) / sqrt(v), 6)
+              ELSE NULL END AS z""")
+        .orderBy(col("cohort"))
+    }),
+
+    // Restricted mean survival time per cohort at DECLARED τ = 30
+    // days — "average days to first purchase, capped at a month":
+    // the area under q_x_survival-style KM steps, RMST =
+    // Σ S(t_{k-1})·(min(t_k,τ)−min(t_{k-1},τ)) + S(last)·(τ −
+    // min(t_last,τ)), S via the survival device (exp∘cumsum∘ln with
+    // the d = n death-out guard). Duration-grain windows per cohort;
+    // the ln/area folds are running windows matching the oracle.
+    "q_x_rmst" -> ((s, d) => {
+      val tau = 30L
+      val deaths = logRankAtRisk(s, d).filter(col("dp") > 0 && col("dg") > 0)
+      val w = Window.partitionBy(col("cohort")).orderBy(col("dur"))
+      val wr = w.rowsBetween(Window.unboundedPreceding, 0)
+      val km = deaths
+        .withColumn("lnf", when(col("dg") < col("ng"),
+          log(lit(1.0) - col("dg").cast("double") / col("ng"))).otherwise(lit(0.0)))
+        .withColumn("dead_run",
+          sum(when(col("dg") >= col("ng"), 1L).otherwise(0L)).over(wr))
+        .withColumn("s_cur", when(col("dead_run") > 0, lit(0.0))
+          .otherwise(exp(sum(col("lnf")).over(wr))))
+        .withColumn("s_prev", coalesce(lag(col("s_cur"), 1).over(w), lit(1.0)))
+        .withColumn("t_prev", coalesce(lag(col("dur"), 1).over(w), lit(0L)))
+        .withColumn("contrib", col("s_prev") *
+          (least(col("dur"), lit(tau)) - least(col("t_prev"), lit(tau))))
+        // area as a monotone running fold (contrib ≥ 0 ⇒ max = last),
+        // never an unordered double group-sum
+        .withColumn("area_run", sum(col("contrib")).over(wr))
+      val agg = km.groupBy(col("cohort"))
+        .agg(max(col("area_run")).as("area"),
+          min(col("s_cur")).as("s_last"), max(col("dur")).as("t_last"))
+      // left join: a cohort with NO deaths keeps S = 1 throughout —
+      // RMST = τ exactly, never a dropped row.
+      logRankAtRisk(s, d).groupBy(col("cohort")).agg(max(col("nn")).as("n"))
+        .join(agg, Seq("cohort"), "left")
+        .na.fill(Map("area" -> 0.0, "s_last" -> 1.0, "t_last" -> 0L))
+        .selectExpr("cohort", "n",
+          s"""round(area + s_last * ($tau - least(t_last, $tau)), 6) AS rmst""")
+        .orderBy(col("cohort"))
+    }),
+
+    // Paired sign test per event type on the week-over-week pairs
+    // (DECLARED: days exactly 7 apart, zero differences discarded,
+    // no-continuity z = (2S⁺ − n')/√n' — the q_x_cox_stuart form):
+    // the assumption-free companion of q_x_wilcoxon_signed (which
+    // also weighs magnitudes). Counts only; pairless types surface
+    // 0/0/NULL.
+    "q_x_sign_test" -> ((s, d) => {
+      val dc = dayCounts(s, d).cut("Round14b.scala:sign_test", eager = true)
+      val a = dc.select(col("event_type"), col("day").as("da"), col("c").as("ca"))
+      val b = dc.select(col("event_type"), col("day").as("db"), col("c").as("cb"))
+      val ps = a.join(b, Seq("event_type"))
+        .filter(col("db") === date_add(col("da"), 7))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("cb") > col("ca"), 1L).otherwise(0L)).as("sp"),
+          sum(when(col("cb") < col("ca"), 1L).otherwise(0L)).as("sm"))
+      dc.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+        .join(ps, Seq("event_type"), "left")
+        .withColumn("sp", coalesce(col("sp"), lit(0L)))
+        .withColumn("sm", coalesce(col("sm"), lit(0L)))
+        .selectExpr("event_type", "n_days", "sp AS s_plus", "sm AS s_minus",
+          """CASE WHEN sp + sm > 0
+              THEN round(CAST(2 * sp - (sp + sm) AS DOUBLE) / sqrt(CAST(sp + sm AS DOUBLE)), 6)
+              ELSE NULL END AS z""")
+        .orderBy(col("event_type"))
     })
   )
+
+  /** Shared time-to-first-purchase at-risk frame for the survival
+    * tests (q_x_log_rank / q_x_gehan_wilcoxon / q_x_rmst): cohort ×
+    * pooled-duration grid with per-cohort (ng) and pooled (np)
+    * at-risk counts, cohort deaths dg, pooled deaths dp — all exact
+    * BIGINTs at duration grain.
+    */
+  private def logRankAtRisk(s: SparkSession, d: String): DataFrame = {
+    val ev = table(s, d, "events")
+    val firstType = ev
+      .withColumn("rk", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("cohort"))
+    val users = ev.groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("t0"),
+        max(unix_micros(col("ts"))).as("t1"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("tp"))
+      .join(firstType, "user_id")
+      .select(col("cohort"),
+        expr("(coalesce(tp, t1) - t0) div 86400000000").as("dur"),
+        col("tp").isNull.as("censored"))
+      .cut("Round14b.scala:logRankAtRisk", eager = true)
+    val byDur = users.groupBy(col("cohort"), col("dur"))
+      .agg(count(lit(1)).as("ending"),
+        sum(when(col("censored"), 0L).otherwise(1L)).as("dg"))
+    val pooled = byDur.groupBy(col("dur"))
+      .agg(sum(col("ending")).as("endp"), sum(col("dg")).as("dp"))
+    val tot = byDur.groupBy(col("cohort")).agg(sum(col("ending")).as("nn"))
+    val nnAll = pooled.agg(sum(col("endp")).as("nt_all"))
+    val grid = broadcast(tot).crossJoin(pooled)
+      .join(byDur, Seq("cohort", "dur"), "left")
+      .na.fill(0L, Seq("ending", "dg"))
+      .crossJoin(broadcast(nnAll))
+    val wp = Window.partitionBy(col("cohort")).orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .withColumn("ng", col("nn") - coalesce(sum(col("ending")).over(wp), lit(0L)))
+      .withColumn("np", col("nt_all") - coalesce(sum(col("endp")).over(wp), lit(0L)))
+  }
 
   /** Shared pair-concordance sums for the declared ordinal bucketing:
     * per source, 2C (concordant), 2D (discordant), 2T_y (tied on y,
@@ -1732,42 +1876,7 @@ object Round14b {
     // Same declared time-to-first-purchase framing, same cohort ×
     // pooled-duration grid, same monotone running E/V folds.
     "q_x_log_rank" ->
-      """WITH ev AS (SELECT user_id, event_type, event_id, ts,
-                  epoch_us(ts) AS tm FROM events),
-         ft AS (SELECT user_id, event_type AS cohort FROM
-                  (SELECT user_id, event_type,
-                     row_number() OVER (PARTITION BY user_id
-                       ORDER BY ts, event_id) AS rk
-                   FROM ev)
-                WHERE rk = 1),
-         users AS (SELECT ft.cohort,
-                     (COALESCE(u.tp, u.t1) - u.t0) // 86400000000 AS dur,
-                     u.tp IS NULL AS censored
-                   FROM (SELECT user_id, min(tm) AS t0, max(tm) AS t1,
-                           min(CASE WHEN event_type = 'purchase' THEN tm END) AS tp
-                         FROM ev GROUP BY user_id) u
-                   JOIN ft ON ft.user_id = u.user_id),
-         by_dur AS (SELECT cohort, dur, CAST(count(*) AS BIGINT) AS ending,
-                      CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS dg
-                    FROM users GROUP BY 1, 2),
-         pooled AS (SELECT dur, CAST(sum(ending) AS BIGINT) AS endp,
-                      CAST(sum(dg) AS BIGINT) AS dp
-                    FROM by_dur GROUP BY dur),
-         tot AS (SELECT cohort, CAST(sum(ending) AS BIGINT) AS nn
-                 FROM by_dur GROUP BY cohort),
-         nn_all AS (SELECT CAST(sum(endp) AS BIGINT) AS nt_all FROM pooled),
-         grid AS (SELECT t.cohort, t.nn, p.dur, p.endp, p.dp,
-                    COALESCE(b.ending, 0) AS ending, COALESCE(b.dg, 0) AS dg,
-                    a.nt_all
-                  FROM tot t CROSS JOIN pooled p
-                  LEFT JOIN by_dur b ON b.cohort = t.cohort AND b.dur = p.dur,
-                  nn_all a),
-         at_risk AS (SELECT *,
-                       nn - COALESCE(sum(ending) OVER (PARTITION BY cohort ORDER BY dur
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ng,
-                       nt_all - COALESCE(sum(endp) OVER (PARTITION BY cohort ORDER BY dur
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS np
-                     FROM grid),
+      s"""WITH $LogRankGridSql,
          terms AS (SELECT cohort, nn, dg,
                      sum(CAST(dp AS DOUBLE) * ng / np)
                        OVER (PARTITION BY cohort ORDER BY dur
@@ -1789,6 +1898,82 @@ object Round14b {
                      THEN round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / v, 6)
                      ELSE NULL END AS chi2
          FROM g ORDER BY cohort""",
+
+    // Same grid; the weighted numerator is exact BIGINT, V_w the same
+    // monotone running fold with the n_t^2 weight.
+    "q_x_gehan_wilcoxon" ->
+      s"""WITH $LogRankGridSql,
+         terms AS (SELECT cohort, nn, np * dg - dp * ng AS num,
+                     sum(CASE WHEN np > 1
+                          THEN CAST(np AS DOUBLE) * np
+                            * (CAST(dp AS DOUBLE) * (CAST(ng AS DOUBLE) / np)
+                              * (1.0 - CAST(ng AS DOUBLE) / np)
+                              * (np - dp) / (np - 1)) ELSE 0.0 END)
+                       OVER (PARTITION BY cohort ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_run
+                   FROM at_risk WHERE dp > 0),
+         g AS (SELECT cohort, max(nn) AS n, CAST(sum(num) AS BIGINT) AS num,
+                 max(v_run) AS v
+               FROM terms GROUP BY cohort)
+         SELECT cohort, n, num AS w_num,
+                CASE WHEN v > 0 THEN round(CAST(num AS DOUBLE) / sqrt(v), 6)
+                     ELSE NULL END AS z
+         FROM g ORDER BY cohort""",
+
+    // Same grid + the survival exp-cumsum-ln device; cohorts with no
+    // deaths keep S = 1 and RMST = tau via the left join.
+    "q_x_rmst" ->
+      s"""WITH $LogRankGridSql,
+         deaths AS (SELECT cohort, nn, dur, dg, ng FROM at_risk
+                    WHERE dp > 0 AND dg > 0),
+         km AS (SELECT cohort, nn, dur, dg, ng,
+                  CASE WHEN sum(CASE WHEN dg >= ng THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY cohort ORDER BY dur
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+                       THEN 0.0
+                       ELSE exp(sum(CASE WHEN dg < ng
+                              THEN ln(1.0 - CAST(dg AS DOUBLE) / ng) ELSE 0.0 END)
+                            OVER (PARTITION BY cohort ORDER BY dur
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END AS s_cur,
+                  COALESCE(lag(dur, 1) OVER (PARTITION BY cohort ORDER BY dur), 0) AS t_prev
+                FROM deaths),
+         km2 AS (SELECT cohort, dur, s_cur, t_prev,
+                   COALESCE(lag(s_cur, 1) OVER (PARTITION BY cohort ORDER BY dur), 1.0) AS s_prev
+                 FROM km),
+         km3 AS (SELECT cohort, dur, s_cur,
+                   sum(s_prev * (least(dur, 30) - least(t_prev, 30)))
+                     OVER (PARTITION BY cohort ORDER BY dur
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS area_run
+                 FROM km2),
+         agg AS (SELECT cohort, max(area_run) AS area,
+                   min(s_cur) AS s_last, max(dur) AS t_last
+                 FROM km3 GROUP BY cohort),
+         cs AS (SELECT cohort, max(nn) AS n FROM at_risk GROUP BY cohort)
+         SELECT cs.cohort, cs.n,
+                round(COALESCE(agg.area, 0.0)
+                  + COALESCE(agg.s_last, 1.0) * (30 - least(COALESCE(agg.t_last, 0), 30)), 6) AS rmst
+         FROM cs LEFT JOIN agg ON agg.cohort = cs.cohort
+         ORDER BY cs.cohort""",
+
+    // Same lag-7 pairing, zero-discard, and no-continuity z text.
+    "q_x_sign_test" ->
+      s"""WITH $OracleDc,
+         pg AS (SELECT a.event_type,
+                  CAST(sum(CASE WHEN b.c > a.c THEN 1 ELSE 0 END) AS BIGINT) AS sp,
+                  CAST(sum(CASE WHEN b.c < a.c THEN 1 ELSE 0 END) AS BIGINT) AS sm
+                FROM dc a JOIN dc b ON b.event_type = a.event_type
+                  AND b.day = a.day + 7
+                GROUP BY a.event_type),
+         n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+               FROM dc GROUP BY 1),
+         g AS (SELECT n.event_type, n.n_days,
+                 COALESCE(pg.sp, 0) AS sp, COALESCE(pg.sm, 0) AS sm
+               FROM n LEFT JOIN pg ON pg.event_type = n.event_type)
+         SELECT event_type, n_days, sp AS s_plus, sm AS s_minus,
+                CASE WHEN sp + sm > 0
+                 THEN round(CAST(2 * sp - (sp + sm) AS DOUBLE) / sqrt(CAST(sp + sm AS DOUBLE)), 6)
+                 ELSE NULL END AS z
+         FROM g ORDER BY event_type""",
 
     // Same half split and the shared exact-median convention over the
     // same cross-half pair grid.

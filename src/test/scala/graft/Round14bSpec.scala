@@ -701,6 +701,84 @@ class Round14bSpec extends SparkSuite {
     }
   }
 
+  /** The declared time-to-first-purchase duration rows at sfDir. */
+  private def survUsers(dir: String): Seq[(String, Long, Boolean)] = {
+    val ev = Tables.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    ev.groupBy(_._1).values.map { rows =>
+      val first = rows.minBy(r => (r._4, r._3))
+      val t0 = rows.map(_._4).min
+      val tp = rows.filter(_._2 == "purchase").map(_._4).minOption
+      (first._2, (tp.getOrElse(rows.map(_._4).max) - t0) / 86400000000L, tp.isEmpty)
+    }.toSeq
+  }
+
+  test("q_x_gehan_wilcoxon matches a literal weighted recompute") {
+    val users = survUsers(sfDir)
+    val durs = users.map(_._2).distinct.sorted
+    val got = SparkEntry.queries("q_x_gehan_wilcoxon")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    users.map(_._1).distinct.foreach { g =>
+      var num = 0L
+      var v = 0.0
+      durs.foreach { t =>
+        val atRisk = users.filter(_._2 >= t)
+        val nt = atRisk.size.toLong
+        val ngt = atRisk.count(_._1 == g).toLong
+        val deaths = users.filter(u => u._2 == t && !u._3)
+        val dt = deaths.size.toLong
+        if (dt > 0) {
+          num += nt * deaths.count(_._1 == g) - dt * ngt
+          if (nt > 1) v += nt.toDouble * nt *
+            (dt.toDouble * (ngt.toDouble / nt) * (1 - ngt.toDouble / nt) *
+              (nt - dt) / (nt - 1))
+        }
+      }
+      val (gn, gz) = got(g)
+      assert(gn == num, s"cohort $g num: $num vs $gn")
+      gz.foreach(z => assert(math.abs(z - num / math.sqrt(v)) < 1e-5, s"cohort $g z"))
+    }
+  }
+
+  test("q_x_rmst matches a literal KM-area recompute (tau = 30)") {
+    val users = survUsers(sfDir)
+    val got = SparkEntry.queries("q_x_rmst")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    users.map(_._1).distinct.foreach { g =>
+      val mine = users.filter(_._1 == g)
+      val deathTs = mine.filter(!_._3).map(_._2).distinct.sorted
+      var s = 1.0
+      var area = 0.0
+      var tPrev = 0L
+      deathTs.foreach { t =>
+        area += s * (math.min(t, 30L) - math.min(tPrev, 30L))
+        val ng = mine.count(_._2 >= t)
+        val dg = mine.count(u => u._2 == t && !u._3)
+        s = if (dg >= ng) 0.0 else s * (1.0 - dg.toDouble / ng)
+        tPrev = t
+      }
+      area += s * (30 - math.min(tPrev, 30L))
+      assert(math.abs(area - got(g)) < 1e-4, s"cohort $g: $area vs ${got(g)}")
+    }
+  }
+
+  test("q_x_sign_test matches a literal lag-7 count") {
+    val dc = dailyWithDaysAll(sfDir)
+    val got = SparkEntry.queries("q_x_sign_test")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    dc.foreach { case (t, rows) =>
+      val byDay = rows.toMap.map { case (d, c) =>
+        java.time.LocalDate.parse(d).toEpochDay -> c
+      }
+      val diffs = byDay.toSeq.flatMap { case (ed, c) => byDay.get(ed + 7).map(_ - c) }
+      assert(got(t) == ((diffs.count(_ > 0).toLong, diffs.count(_ < 0).toLong)),
+        s"type $t")
+    }
+  }
+
   test("observation-index grain: a calendar gap closes ranks (declared)") {
     // Series over days 1,2,3,10,11 — lag-1 pairs (3,10) across the
     // 7-day gap. The declared-grain VN numerator includes (c[10]-c[3])²;
