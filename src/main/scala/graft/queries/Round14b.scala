@@ -1200,6 +1200,61 @@ object Round14b {
               THEN round(CAST(2 * sp - (sp + sm) AS DOUBLE) / sqrt(CAST(sp + sm AS DOUBLE)), 6)
               ELSE NULL END AS z""")
         .orderBy(col("event_type"))
+    }),
+
+    // Tarone–Ware weighted log-rank (w_t = √n_t — the declared middle
+    // ground of the trio: log_rank w = 1, gehan w = n_t): same shared
+    // time-to-first-purchase frame; numerator and variance fold as
+    // the same monotone per-cohort running windows, with √ the only
+    // non-rational step (one shared sqrt text per term).
+    "q_x_tarone_ware" -> ((s, d) => {
+      val terms = logRankAtRisk(s, d).filter(col("dp") > 0)
+      val w = Window.partitionBy(col("cohort")).orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val t2 = terms
+        .withColumn("n_run", sum(sqrt(col("np").cast("double"))
+          * (col("dg") - col("dp").cast("double") * col("ng") / col("np")))
+          .over(w))
+        .withColumn("v_run", sum(when(col("np") > 1,
+          col("np").cast("double")
+            * (col("dp").cast("double") * (col("ng").cast("double") / col("np"))
+              * (lit(1.0) - col("ng").cast("double") / col("np"))
+              * (col("np") - col("dp")) / (col("np") - 1))).otherwise(lit(0.0)))
+          .over(w))
+      // max_by, not last(): the running numerator can go negative, so
+      // "final value" must be pinned to the max-dur row explicitly.
+      t2.groupBy(col("cohort"))
+        .agg(max(col("nn")).as("n"), expr("max_by(n_run, dur)").as("num"),
+          max(col("v_run")).as("v"))
+        .selectExpr("cohort", "n", "round(num, 6) AS w_num",
+          """CASE WHEN v > 0 THEN round(num / sqrt(v), 6)
+              ELSE NULL END AS z""")
+        .orderBy(col("cohort"))
+    }),
+
+    // Kaplan–Meier median survival per cohort on the shared frame
+    // (DECLARED: the earliest death duration where the post-step
+    // survival S(t) drops to ≤ 0.5; cohorts whose curve never
+    // crosses — e.g. heavy censoring — surface NULL, never dropped):
+    // the one-number summary next to q_x_rmst's area and
+    // q_x_survival's full curve.
+    "q_x_km_median" -> ((s, d) => {
+      val deaths = logRankAtRisk(s, d).filter(col("dp") > 0 && col("dg") > 0)
+      val w = Window.partitionBy(col("cohort")).orderBy(col("dur"))
+      val wr = w.rowsBetween(Window.unboundedPreceding, 0)
+      val km = deaths
+        .withColumn("lnf", when(col("dg") < col("ng"),
+          log(lit(1.0) - col("dg").cast("double") / col("ng"))).otherwise(lit(0.0)))
+        .withColumn("dead_run",
+          sum(when(col("dg") >= col("ng"), 1L).otherwise(0L)).over(wr))
+        .withColumn("s_cur", when(col("dead_run") > 0, lit(0.0))
+          .otherwise(exp(sum(col("lnf")).over(wr))))
+      val med = km.filter(col("s_cur") <= 0.5)
+        .groupBy(col("cohort")).agg(min(col("dur")).as("med_dur"))
+      logRankAtRisk(s, d).groupBy(col("cohort")).agg(max(col("nn")).as("n"))
+        .join(med, Seq("cohort"), "left")
+        .selectExpr("cohort", "n", "med_dur")
+        .orderBy(col("cohort"))
     })
   )
 
@@ -1974,6 +2029,54 @@ object Round14b {
                  THEN round(CAST(2 * sp - (sp + sm) AS DOUBLE) / sqrt(CAST(sp + sm AS DOUBLE)), 6)
                  ELSE NULL END AS z
          FROM g ORDER BY event_type""",
+
+    // Same grid, same √n_t-weighted running folds, max_by-pinned
+    // final numerator.
+    "q_x_tarone_ware" ->
+      s"""WITH $LogRankGridSql,
+         terms AS (SELECT cohort, nn, dur,
+                     sum(sqrt(CAST(np AS DOUBLE))
+                         * (dg - CAST(dp AS DOUBLE) * ng / np))
+                       OVER (PARTITION BY cohort ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_run,
+                     sum(CASE WHEN np > 1
+                          THEN CAST(np AS DOUBLE)
+                            * (CAST(dp AS DOUBLE) * (CAST(ng AS DOUBLE) / np)
+                              * (1.0 - CAST(ng AS DOUBLE) / np)
+                              * (np - dp) / (np - 1)) ELSE 0.0 END)
+                       OVER (PARTITION BY cohort ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_run
+                   FROM at_risk WHERE dp > 0),
+         g AS (SELECT cohort, max(nn) AS n, max_by(n_run, dur) AS num,
+                 max(v_run) AS v
+               FROM terms GROUP BY cohort)
+         SELECT cohort, n, round(num, 6) AS w_num,
+                CASE WHEN v > 0 THEN round(num / sqrt(v), 6)
+                     ELSE NULL END AS z
+         FROM g ORDER BY cohort""",
+
+    // Same KM device; earliest S ≤ 0.5 crossing, NULL when the curve
+    // never crosses.
+    "q_x_km_median" ->
+      s"""WITH $LogRankGridSql,
+         deaths AS (SELECT cohort, nn, dur, dg, ng FROM at_risk
+                    WHERE dp > 0 AND dg > 0),
+         km AS (SELECT cohort, dur,
+                  CASE WHEN sum(CASE WHEN dg >= ng THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY cohort ORDER BY dur
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+                       THEN 0.0
+                       ELSE exp(sum(CASE WHEN dg < ng
+                              THEN ln(1.0 - CAST(dg AS DOUBLE) / ng) ELSE 0.0 END)
+                            OVER (PARTITION BY cohort ORDER BY dur
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END AS s_cur
+                FROM deaths),
+         med AS (SELECT cohort, CAST(min(dur) AS BIGINT) AS med_dur
+                 FROM km WHERE s_cur <= 0.5 GROUP BY cohort),
+         cs AS (SELECT cohort, max(nn) AS n FROM at_risk GROUP BY cohort)
+         SELECT cs.cohort, cs.n, med.med_dur
+         FROM cs LEFT JOIN med ON med.cohort = cs.cohort
+         ORDER BY cs.cohort""",
 
     // Same half split and the shared exact-median convention over the
     // same cross-half pair grid.

@@ -779,6 +779,52 @@ class Round14bSpec extends SparkSuite {
     }
   }
 
+  test("q_x_tarone_ware matches a literal sqrt-weighted recompute") {
+    val users = survUsers(sfDir)
+    val durs = users.map(_._2).distinct.sorted
+    val got = SparkEntry.queries("q_x_tarone_ware")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    users.map(_._1).distinct.foreach { g =>
+      var num = 0.0
+      var v = 0.0
+      durs.foreach { t =>
+        val atRisk = users.filter(_._2 >= t)
+        val nt = atRisk.size.toDouble
+        val ngt = atRisk.count(_._1 == g).toDouble
+        val deaths = users.filter(u => u._2 == t && !u._3)
+        val dt = deaths.size.toDouble
+        if (dt > 0) {
+          num += math.sqrt(nt) * (deaths.count(_._1 == g) - dt * ngt / nt)
+          if (nt > 1) v += nt * (dt * (ngt / nt) * (1 - ngt / nt) * (nt - dt) / (nt - 1))
+        }
+      }
+      val (gn, gz) = got(g)
+      assert(math.abs(gn - num) < 1e-4, s"cohort $g num")
+      gz.foreach(z => assert(math.abs(z - num / math.sqrt(v)) < 1e-5, s"cohort $g z"))
+    }
+  }
+
+  test("q_x_km_median matches a literal KM-crossing recompute") {
+    val users = survUsers(sfDir)
+    val got = SparkEntry.queries("q_x_km_median")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    users.map(_._1).distinct.foreach { g =>
+      val mine = users.filter(_._1 == g)
+      var s = 1.0
+      var med: Option[Long] = None
+      mine.filter(!_._3).map(_._2).distinct.sorted.foreach { t =>
+        if (med.isEmpty) {
+          val ng = mine.count(_._2 >= t)
+          val dg = mine.count(u => u._2 == t && !u._3)
+          s = if (dg >= ng) 0.0 else s * (1.0 - dg.toDouble / ng)
+          if (s <= 0.5) med = Some(t)
+        }
+      }
+      assert(got(g) == med, s"cohort $g: $med vs ${got(g)}")
+    }
+  }
+
   test("observation-index grain: a calendar gap closes ranks (declared)") {
     // Series over days 1,2,3,10,11 — lag-1 pairs (3,10) across the
     // 7-day gap. The declared-grain VN numerator includes (c[10]-c[3])²;
