@@ -825,6 +825,15 @@ class Round14bSpec extends SparkSuite {
     }
   }
 
+  test("every Round14b def carries an oracle (no accidental no-oracle rows)") {
+    // The no-oracle set is CLOSED at 21 (dev/NOTES.md); a def landing
+    // without its oracle entry would silently reopen it (the
+    // q_x_sign_test near-miss this round).
+    assert(queries.Round14b.defs.keySet == queries.Round14b.oracle.keySet,
+      s"defs-only: ${queries.Round14b.defs.keySet -- queries.Round14b.oracle.keySet}; " +
+        s"oracle-only: ${queries.Round14b.oracle.keySet -- queries.Round14b.defs.keySet}")
+  }
+
   test("observation-index grain: a calendar gap closes ranks (declared)") {
     // Series over days 1,2,3,10,11 — lag-1 pairs (3,10) across the
     // 7-day gap. The declared-grain VN numerator includes (c[10]-c[3])²;
