@@ -1255,6 +1255,32 @@ object Round14b {
         .join(med, Seq("cohort"), "left")
         .selectExpr("cohort", "n", "med_dur")
         .orderBy(col("cohort"))
+    }),
+
+    // Mood's rank-based SCALE test, each source vs the pooled corpus
+    // (distinct from q_x_mood_median's location test): T =
+    // Σ(R_i − (N+1)/2)² — squared distance of the group's pooled
+    // ranks from the center; DECLARED no-ties moments E[T] =
+    // n1(N²−1)/12, Var[T] = n1·n2(N+1)(N²−4)/180. Doubled midranks
+    // make 4T = Σcnt·(r2 − (N+1))² exact BIGINT from the ONE pooled
+    // ranking all sources share (the ansari/cucconi machinery); the
+    // fourth member of the scale-test family (ansari ranks from the
+    // edges, fligner normal-scores, cucconi both directions).
+    "q_x_mood_scale" -> ((s, d) => {
+      val dev = col("r2") - (col("n") + 1L)
+      pooledRanks(s, d)
+        .groupBy(col("source"), col("n"))
+        .agg(sum(col("cnt")).as("n1"),
+          sum(col("cnt") * dev * dev).as("t4"))
+        .selectExpr("source", "n1 AS n",
+          "CAST(t4 AS DOUBLE) / 4 AS t",
+          s"""CASE WHEN n1 >= 1 AND n - n1 >= 1
+                THEN round((CAST(t4 AS DOUBLE) / 4
+                    - CAST(n1 AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1) / 12)
+                  / sqrt(CAST(n1 AS DOUBLE) * (n - n1) * (n + 1)
+                      * (CAST(n AS DOUBLE) * n - 4) / 180), 6)
+                ELSE NULL END AS z""")
+        .orderBy(col("source"))
     })
   )
 
@@ -2077,6 +2103,23 @@ object Round14b {
          SELECT cs.cohort, cs.n, med.med_dur
          FROM cs LEFT JOIN med ON med.cohort = cs.cohort
          ORDER BY cs.cohort""",
+
+    // Same pooled ranking, exact doubled-deviation squares, declared
+    // no-ties moments.
+    "q_x_mood_scale" ->
+      s"""WITH $PooledRanksSql,
+         ps AS (SELECT source, max(n) AS n, CAST(sum(cnt) AS BIGINT) AS n1,
+                  CAST(sum(cnt * (r2 - (n + 1)) * (r2 - (n + 1))) AS BIGINT) AS t4
+                FROM r GROUP BY source)
+         SELECT source, n1 AS n,
+                CAST(t4 AS DOUBLE) / 4 AS t,
+                CASE WHEN n1 >= 1 AND n - n1 >= 1
+                 THEN round((CAST(t4 AS DOUBLE) / 4
+                     - CAST(n1 AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1) / 12)
+                   / sqrt(CAST(n1 AS DOUBLE) * (n - n1) * (n + 1)
+                       * (CAST(n AS DOUBLE) * n - 4) / 180), 6)
+                 ELSE NULL END AS z
+         FROM ps ORDER BY source""",
 
     // Same half split and the shared exact-median convention over the
     // same cross-half pair grid.

@@ -834,6 +834,25 @@ class Round14bSpec extends SparkSuite {
         s"oracle-only: ${queries.Round14b.oracle.keySet -- queries.Round14b.defs.keySet}")
   }
 
+  test("q_x_mood_scale matches a direct-sort midrank recompute") {
+    val docs = docsBySource(sfDir)
+    val all = docs.values.flatten.toSeq
+    val rk = midranks(all)
+    val nN = all.size.toDouble
+    val got = SparkEntry.queries("q_x_mood_scale")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    docs.foreach { case (s, x) =>
+      val n1 = x.length.toDouble
+      val t = x.map(v => math.pow(rk(v) - (nN + 1) / 2, 2)).sum
+      val z = (t - n1 * (nN * nN - 1) / 12) /
+        math.sqrt(n1 * (nN - n1) * (nN + 1) * (nN * nN - 4) / 180)
+      val (gt, gz) = got(s)
+      assert(math.abs(t - gt) < 1e-6 * t, s"source $s T")
+      gz.foreach(g => assert(math.abs(z - g) < 1e-5, s"source $s z"))
+    }
+  }
+
   test("observation-index grain: a calendar gap closes ranks (declared)") {
     // Series over days 1,2,3,10,11 — lag-1 pairs (3,10) across the
     // 7-day gap. The declared-grain VN numerator includes (c[10]-c[3])²;
