@@ -1281,6 +1281,54 @@ object Round14b {
                       * (CAST(n AS DOUBLE) * n - 4) / 180), 6)
                 ELSE NULL END AS z""")
         .orderBy(col("source"))
+    }),
+
+    // Chao1 vocabulary-richness estimate + Good–Turing coverage over
+    // the whitespace-token vocabulary — "how many word types does the
+    // corpus REALLY have, and what fraction of the token mass do the
+    // observed types cover": Chao1 = S_obs + f1²/(2f2) (bias-
+    // corrected f1(f1−1)/(2(f2+1)) when f2 = 0 — declared), coverage
+    // C = 1 − f1/N_tokens. ONE token-grain aggregate pass → the
+    // frequency-of-frequencies table is tiny; everything downstream
+    // is exact-count arithmetic in one shared expression.
+    "q_x_chao1" -> ((s, d) => {
+      val tok = table(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      tok.agg(count(lit(1)).as("s_obs"), sum(col("c")).as("n_tok"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+        .selectExpr("s_obs", "n_tok", "f1", "f2",
+          """round(CASE WHEN f2 > 0
+                THEN s_obs + CAST(f1 AS DOUBLE) * f1 / (2 * f2)
+                ELSE s_obs + CAST(f1 AS DOUBLE) * (f1 - 1) / (2 * (f2 + 1)) END, 6)
+             AS chao1""",
+          """CASE WHEN n_tok > 0
+              THEN round(1 - CAST(f1 AS DOUBLE) / n_tok, 6)
+              ELSE NULL END AS coverage""")
+    }),
+
+    // Chapman capture–recapture estimate of the active-user
+    // population from the two corpus halves (DECLARED: the bowker
+    // midpoint-micros split; "capture" = any event in the half):
+    // N̂ = (n1+1)(n2+1)/(m+1) − 1 with m = users seen in BOTH halves
+    // — the coverage-estimation classic for "how many entities exist
+    // beyond what either sample saw". Exact counts, one shared
+    // expression; the corpus pass is one per-(user, half) aggregate.
+    "q_x_capture_recapture" -> ((s, d) => {
+      val ev = table(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("tm"))
+      val mid = ev.agg(((min(col("tm")) + max(col("tm"))) / lit(2L)).as("mid"))
+      ev.crossJoin(broadcast(mid))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("tm") <= col("mid"), 1L).otherwise(0L)).as("h1"),
+          max(when(col("tm") > col("mid"), 1L).otherwise(0L)).as("h2"))
+        .agg(sum(col("h1")).as("n1"), sum(col("h2")).as("n2"),
+          sum(col("h1") * col("h2")).as("m"),
+          count(lit(1)).as("n_seen"))
+        .selectExpr("n1", "n2", "m", "n_seen",
+          """round(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1, 6)
+             AS n_hat""")
     })
   )
 
@@ -2120,6 +2168,45 @@ object Round14b {
                        * (CAST(n AS DOUBLE) * n - 4) / 180), 6)
                  ELSE NULL END AS z
          FROM ps ORDER BY source""",
+
+    // Same token grain (the house split↔string_split convention) and
+    // shared estimator text.
+    "q_x_chao1" ->
+      """WITH tok AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+                  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                GROUP BY w),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS s_obs,
+                 CAST(sum(c) AS BIGINT) AS n_tok,
+                 CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                 CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+               FROM tok)
+         SELECT s_obs, n_tok, f1, f2,
+                round(CASE WHEN f2 > 0
+                      THEN s_obs + CAST(f1 AS DOUBLE) * f1 / (2 * f2)
+                      ELSE s_obs + CAST(f1 AS DOUBLE) * (f1 - 1) / (2 * (f2 + 1)) END, 6)
+                  AS chao1,
+                CASE WHEN n_tok > 0
+                 THEN round(1 - CAST(f1 AS DOUBLE) / n_tok, 6)
+                 ELSE NULL END AS coverage
+         FROM g""",
+
+    // Same midpoint split and Chapman text over exact half-capture
+    // counts.
+    "q_x_capture_recapture" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tm FROM events),
+         mid AS (SELECT (min(tm) + max(tm)) / 2 AS mid FROM ev),
+         u AS (SELECT user_id,
+                 CAST(max(CASE WHEN tm <= mid THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+                 CAST(max(CASE WHEN tm > mid THEN 1 ELSE 0 END) AS BIGINT) AS h2
+               FROM ev, mid GROUP BY user_id),
+         g AS (SELECT CAST(sum(h1) AS BIGINT) AS n1,
+                 CAST(sum(h2) AS BIGINT) AS n2,
+                 CAST(sum(h1 * h2) AS BIGINT) AS m,
+                 CAST(count(*) AS BIGINT) AS n_seen
+               FROM u)
+         SELECT n1, n2, m, n_seen,
+                round(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1, 6) AS n_hat
+         FROM g""",
 
     // Same half split and the shared exact-median convention over the
     // same cross-half pair grid.

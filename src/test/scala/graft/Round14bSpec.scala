@@ -853,6 +853,37 @@ class Round14bSpec extends SparkSuite {
     }
   }
 
+  test("q_x_chao1 matches a literal frequency-of-frequencies recompute") {
+    val toks = Tables.table(spark, sfDir, "documents")
+      .select(col("text")).collect().flatMap(_.getString(0).split(" "))
+    val freq = toks.groupBy(identity).view.mapValues(_.length).toMap
+    val (sObs, nTok) = (freq.size.toLong, toks.length.toLong)
+    val f1 = freq.values.count(_ == 1).toLong
+    val f2 = freq.values.count(_ == 2).toLong
+    val chao1 = if (f2 > 0) sObs + f1.toDouble * f1 / (2 * f2)
+      else sObs + f1.toDouble * (f1 - 1) / (2 * (f2 + 1))
+    val r = SparkEntry.queries("q_x_chao1")(spark, sfDir).collect()(0)
+    assert(r.getLong(0) == sObs && r.getLong(1) == nTok &&
+      r.getLong(2) == f1 && r.getLong(3) == f2 &&
+      math.abs(r.getDouble(4) - chao1) < 1e-4 &&
+      math.abs(r.getDouble(5) - (1 - f1.toDouble / nTok)) < 1e-6)
+  }
+
+  test("q_x_capture_recapture matches a literal half-overlap recompute") {
+    val ev = Tables.table(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2.0
+    val byUser = ev.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n1 = byUser.values.count(_.exists(_ <= mid)).toLong
+    val n2 = byUser.values.count(_.exists(_ > mid)).toLong
+    val m = byUser.values.count(ts => ts.exists(_ <= mid) && ts.exists(_ > mid)).toLong
+    val nHat = (n1 + 1.0) * (n2 + 1) / (m + 1) - 1
+    val r = SparkEntry.queries("q_x_capture_recapture")(spark, sfDir).collect()(0)
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2 && r.getLong(2) == m &&
+      r.getLong(3) == byUser.size && math.abs(r.getDouble(4) - nHat) < 1e-6)
+  }
+
   test("observation-index grain: a calendar gap closes ranks (declared)") {
     // Series over days 1,2,3,10,11 — lag-1 pairs (3,10) across the
     // 7-day gap. The declared-grain VN numerator includes (c[10]-c[3])²;
