@@ -1329,6 +1329,68 @@ object Round14b {
         .selectExpr("n1", "n2", "m", "n_seen",
           """round(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1, 6)
              AS n_hat""")
+    }),
+
+    // Atkinson inequality index per source on document lengths
+    // (DECLARED ε = 1: A = 1 − geomean/mean, the inequality-aversion
+    // form where a transfer from rich to poor always lowers A;
+    // zero-length docs excluded — the q_x_theil convention): the
+    // remaining standard inequality measure next to q_x_gini /
+    // q_x_theil / q_x_lorenz. Σ ln(x) folds at VALUE grain (cnt·ln v
+    // over the per-source value histogram, ordered running window →
+    // max), so the only double accumulation is over the bounded
+    // value alphabet in a deterministic order.
+    "q_x_atkinson" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("source"), col("n_chars")).filter(col("n_chars") > 0)
+      val cells = docs.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      cells
+        .withColumn("ln_run", sum(col("cnt") * log(col("n_chars"))).over(w))
+        .groupBy(col("source"))
+        .agg(sum(col("cnt")).as("n"), sum(col("cnt") * col("n_chars")).as("sx"),
+          max(col("ln_run")).as("sln"))
+        .selectExpr("source", "n",
+          """round(CAST(sx AS DOUBLE) / n, 6) AS mean""",
+          """CASE WHEN n >= 1 AND sx > 0
+              THEN round(1 - exp(sln / n) / (CAST(sx AS DOUBLE) / n), 6)
+              ELSE NULL END AS atkinson""")
+        .orderBy(col("source"))
+    }),
+
+    // Palma ratio per source (DECLARED: share of total length held by
+    // the top ⌊n/10⌋ docs over the share held by the bottom ⌊4n/10⌋,
+    // rank-based with the deterministic doc_id tie-break): the
+    // tail-focused inequality summary q_x_gini's single number hides.
+    // Exact integer sums over rank windows; sources where the bottom
+    // share is 0 surface NULL.
+    "q_x_palma" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val wd = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val wa = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val nn = Window.partitionBy(col("source"))
+      docs
+        .withColumn("rd", row_number().over(wd).cast("long"))
+        .withColumn("ra", row_number().over(wa).cast("long"))
+        .withColumn("n", count(lit(1)).over(nn))
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n"), sum(col("n_chars")).as("sx"),
+          sum(when(col("rd") <= expr("n div 10"), col("n_chars"))
+            .otherwise(0L)).as("top10"),
+          sum(when(col("ra") <= expr("4 * n div 10"), col("n_chars"))
+            .otherwise(0L)).as("bot40"))
+        .selectExpr("source", "n",
+          "round(CAST(top10 AS DOUBLE) / sx, 6) AS top10_share",
+          "round(CAST(bot40 AS DOUBLE) / sx, 6) AS bot40_share",
+          """CASE WHEN bot40 > 0
+              THEN round(CAST(top10 AS DOUBLE) / bot40, 6)
+              ELSE NULL END AS palma""")
+        .orderBy(col("source"))
     })
   )
 
@@ -2207,6 +2269,48 @@ object Round14b {
          SELECT n1, n2, m, n_seen,
                 round(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1, 6) AS n_hat
          FROM g""",
+
+    // Same value-grain ln fold (running window in the same order) and
+    // shared ε = 1 text.
+    "q_x_atkinson" ->
+      """WITH cells AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt
+                  FROM documents WHERE n_chars > 0 GROUP BY 1, 2),
+         r AS (SELECT source, n_chars, cnt,
+                 sum(cnt * ln(n_chars)) OVER (PARTITION BY source ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ln_run
+               FROM cells),
+         g AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n,
+                 CAST(sum(cnt * n_chars) AS BIGINT) AS sx,
+                 max(ln_run) AS sln
+               FROM r GROUP BY source)
+         SELECT source, n,
+                round(CAST(sx AS DOUBLE) / n, 6) AS mean,
+                CASE WHEN n >= 1 AND sx > 0
+                 THEN round(1 - exp(sln / n) / (CAST(sx AS DOUBLE) / n), 6)
+                 ELSE NULL END AS atkinson
+         FROM g ORDER BY source""",
+
+    // Same rank windows with the same doc_id tie-break and exact
+    // integer share sums.
+    "q_x_palma" ->
+      """WITH r AS (SELECT source, n_chars,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rd,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY n_chars, doc_id) AS BIGINT) AS ra,
+                 CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+               FROM documents),
+         g AS (SELECT source, max(n) AS n, CAST(sum(n_chars) AS BIGINT) AS sx,
+                 CAST(sum(CASE WHEN rd <= n // 10 THEN n_chars ELSE 0 END) AS BIGINT) AS top10,
+                 CAST(sum(CASE WHEN ra <= 4 * n // 10 THEN n_chars ELSE 0 END) AS BIGINT) AS bot40
+               FROM r GROUP BY source)
+         SELECT source, n,
+                round(CAST(top10 AS DOUBLE) / sx, 6) AS top10_share,
+                round(CAST(bot40 AS DOUBLE) / sx, 6) AS bot40_share,
+                CASE WHEN bot40 > 0
+                 THEN round(CAST(top10 AS DOUBLE) / bot40, 6)
+                 ELSE NULL END AS palma
+         FROM g ORDER BY source""",
 
     // Same half split and the shared exact-median convention over the
     // same cross-half pair grid.

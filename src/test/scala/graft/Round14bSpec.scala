@@ -884,6 +884,37 @@ class Round14bSpec extends SparkSuite {
       r.getLong(3) == byUser.size && math.abs(r.getDouble(4) - nHat) < 1e-6)
   }
 
+  test("q_x_atkinson matches a direct geomean recompute") {
+    val docs = docsBySource(sfDir).view.mapValues(_.filter(_ > 0)).toMap
+    val got = SparkEntry.queries("q_x_atkinson")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    docs.foreach { case (s, x) =>
+      val a = 1 - math.exp(x.map(v => math.log(v.toDouble)).sum / x.length) /
+        (x.sum.toDouble / x.length)
+      assert(math.abs(a - got(s)) < 1e-5, s"source $s: $a vs ${got(s)}")
+    }
+  }
+
+  test("q_x_palma matches a direct sorted-share recompute") {
+    // tie-break on doc_id matches any stable order when values tie
+    // only within the untaken middle; recompute shares by sorted
+    // values (the extreme deciles at sf0.001 are tie-free).
+    val got = SparkEntry.queries("q_x_palma")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> Option(r.get(4)).map(_.asInstanceOf[Double]))
+      .toMap
+    docsBySource(sfDir).foreach { case (s, x) =>
+      val sorted = x.sorted
+      val top = sorted.takeRight(x.length / 10).map(BigInt(_)).sum
+      val bot = sorted.take(4 * x.length / 10).map(BigInt(_)).sum
+      val exp = if (bot > 0) Some(top.toDouble / bot.toDouble) else None
+      (exp, got(s)) match {
+        case (Some(e), Some(g)) => assert(math.abs(e - g) < 1e-5, s"source $s")
+        case (None, None)       => ()
+        case other              => fail(s"source $s guard: $other")
+      }
+    }
+  }
+
   test("observation-index grain: a calendar gap closes ranks (declared)") {
     // Series over days 1,2,3,10,11 — lag-1 pairs (3,10) across the
     // 7-day gap. The declared-grain VN numerator includes (c[10]-c[3])²;
