@@ -1391,6 +1391,57 @@ object Round14b {
               THEN round(CAST(top10 AS DOUBLE) / bot40, 6)
               ELSE NULL END AS palma""")
         .orderBy(col("source"))
+    }),
+
+    // Poisson overdispersion (variance-to-mean) test per event type
+    // over daily counts — "is this event stream burstier than a
+    // Poisson process" as a TEST statistic (q_x_burstiness reports
+    // the (σ−μ)/(σ+μ) coefficient, no calibration): dispersion index
+    // D = (n−1)s²/x̄ ~ χ²_{n−1} under Poisson. Exact integer Σc/Σc²
+    // moments, one shared expression; constant-zero or single-day
+    // types surface NULL. Observation grain = observed days (zero
+    // days excluded — declared; the spine-aware zero view is
+    // q_x_zero_inflation's job).
+    "q_x_overdispersion" -> ((s, d) => {
+      dayCounts(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+          sum(col("c") * col("c")).as("sq"))
+        .selectExpr("event_type", "n AS n_days",
+          """CASE WHEN n >= 2 AND sc > 0
+              THEN round(((CAST(sq AS DOUBLE) - CAST(sc AS DOUBLE) * sc / n) / (n - 1))
+                / (CAST(sc AS DOUBLE) / n), 6)
+              ELSE NULL END AS vmr""",
+          """CASE WHEN n >= 2 AND sc > 0
+              THEN round((n - 1) * ((CAST(sq AS DOUBLE) - CAST(sc AS DOUBLE) * sc / n) / (n - 1))
+                / (CAST(sc AS DOUBLE) / n), 6)
+              ELSE NULL END AS chi2""",
+          "n - 1 AS df")
+        .orderBy(col("event_type"))
+    }),
+
+    // Zero-inflation check per event type on the type's OWN calendar
+    // span (DECLARED: span = datediff(max day, min day) + 1; zero
+    // days = span − observed days; λ = Σc/span): are there more
+    // zero-activity days than the Poisson(λ) rate predicts —
+    // z = (z_obs − span·e^{−λ}) / √(span·e^{−λ}(1−e^{−λ})), the
+    // binomial normal approximation. Exact counts in, one shared
+    // expression; degenerate spans (e^{−λ} rounding to 0 or 1)
+    // surface NULL.
+    "q_x_zero_inflation" -> ((s, d) => {
+      val p0 = "exp(-(CAST(sc AS DOUBLE) / span))"
+      dayCounts(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nobs"), sum(col("c")).as("sc"),
+          (datediff(max(col("day")), min(col("day"))) + 1).cast("long").as("span"))
+        .selectExpr("event_type", "span", "span - nobs AS zero_days",
+          s"""CASE WHEN span >= 1 THEN round($p0 * span, 6) + 0.0
+               ELSE NULL END AS exp_zero""",
+          s"""CASE WHEN span >= 1 AND $p0 > 0 AND $p0 < 1
+                THEN round((CAST(span - nobs AS DOUBLE) - $p0 * span)
+                  / sqrt(span * $p0 * (1 - $p0)), 6) + 0.0
+                ELSE NULL END AS z""")
+        .orderBy(col("event_type"))
     })
   )
 
@@ -2311,6 +2362,44 @@ object Round14b {
                  THEN round(CAST(top10 AS DOUBLE) / bot40, 6)
                  ELSE NULL END AS palma
          FROM g ORDER BY source""",
+
+    // Same exact day-grain moments and shared dispersion text.
+    "q_x_overdispersion" ->
+      s"""WITH $OracleDc,
+         g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS sc,
+                 CAST(sum(c * c) AS BIGINT) AS sq
+               FROM dc GROUP BY event_type)
+         SELECT event_type, n AS n_days,
+                CASE WHEN n >= 2 AND sc > 0
+                 THEN round(((CAST(sq AS DOUBLE) - CAST(sc AS DOUBLE) * sc / n) / (n - 1))
+                   / (CAST(sc AS DOUBLE) / n), 6)
+                 ELSE NULL END AS vmr,
+                CASE WHEN n >= 2 AND sc > 0
+                 THEN round((n - 1) * ((CAST(sq AS DOUBLE) - CAST(sc AS DOUBLE) * sc / n) / (n - 1))
+                   / (CAST(sc AS DOUBLE) / n), 6)
+                 ELSE NULL END AS chi2,
+                n - 1 AS df
+         FROM g ORDER BY event_type""",
+
+    // Same declared span/λ conventions and shared binomial-approx
+    // text.
+    "q_x_zero_inflation" -> {
+      val p0 = "exp(-(CAST(sc AS DOUBLE) / span))"
+      s"""WITH $OracleDc,
+         g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nobs,
+                 CAST(sum(c) AS BIGINT) AS sc,
+                 CAST(max(day) - min(day) AS BIGINT) + 1 AS span
+               FROM dc GROUP BY event_type)
+         SELECT event_type, span, span - nobs AS zero_days,
+                CASE WHEN span >= 1 THEN round($p0 * span, 6) + 0.0
+                     ELSE NULL END AS exp_zero,
+                CASE WHEN span >= 1 AND $p0 > 0 AND $p0 < 1
+                 THEN round((CAST(span - nobs AS DOUBLE) - $p0 * span)
+                   / sqrt(span * $p0 * (1 - $p0)), 6) + 0.0
+                 ELSE NULL END AS z
+         FROM g ORDER BY event_type"""
+    },
 
     // Same half split and the shared exact-median convention over the
     // same cross-half pair grid.

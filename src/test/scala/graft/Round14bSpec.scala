@@ -915,6 +915,36 @@ class Round14bSpec extends SparkSuite {
     }
   }
 
+  test("q_x_overdispersion / q_x_zero_inflation match literal recomputes") {
+    val dc = dailyWithDaysAll(sfDir)
+    val gotO = SparkEntry.queries("q_x_overdispersion")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> Option(r.get(2)).map(_.asInstanceOf[Double]))
+      .toMap
+    val gotZ = SparkEntry.queries("q_x_zero_inflation")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    dc.foreach { case (t, rows) =>
+      val x = rows.map(_._2)
+      val n = x.length
+      val mean = x.sum.toDouble / n
+      if (n >= 2 && x.sum > 0) {
+        val s2 = x.map(v => (v - mean) * (v - mean)).sum / (n - 1)
+        assert(math.abs(s2 / mean - gotO(t).get) < 1e-5, s"type $t vmr")
+      }
+      val days = rows.map(r => java.time.LocalDate.parse(r._1).toEpochDay)
+      val span = days.max - days.min + 1
+      val zeroDays = span - n
+      val lam = x.sum.toDouble / span
+      val p0 = math.exp(-lam)
+      val (gz0, gz) = gotZ(t)
+      assert(gz0 == zeroDays, s"type $t zeros")
+      if (p0 > 0 && p0 < 1) gz.foreach { z =>
+        assert(math.abs(z - (zeroDays - p0 * span) / math.sqrt(span * p0 * (1 - p0))) < 1e-5,
+          s"type $t z")
+      }
+    }
+  }
+
   test("observation-index grain: a calendar gap closes ranks (declared)") {
     // Series over days 1,2,3,10,11 — lag-1 pairs (3,10) across the
     // 7-day gap. The declared-grain VN numerator includes (c[10]-c[3])²;
