@@ -52,6 +52,28 @@ def main(rnd: int) -> int:
         print(f"GATE RED: {bench_path} rc={bench.get('rc')}")
         ok = False
 
+    # Window-health markers (r14 verdict item 4): Bench emits 1-min
+    # /proc/loadavg at start/end plus whole-JVM wall. Load well above
+    # the bench's own thread count means the host window was contended
+    # and per-query times are NOT comparable — flag it (informational,
+    # not red) so a slow artifact no longer needs a manual triage cycle
+    # to be explained.
+    def window_suspect(d: dict, src: str) -> None:
+        ls, le = d.get("load_start"), d.get("load_end")
+        cpus = d.get("cpus", 32)
+        if ls is None or le is None:
+            return
+        hot = max(ls, le)
+        if hot > 1.5 * cpus:
+            print(f"WINDOW SUSPECT ({src}): loadavg start={ls} end={le} vs "
+                  f"{cpus} bench threads — host-contended window, treat "
+                  f">2.5x movers as probable ghosts")
+        else:
+            print(f"WINDOW OK ({src}): loadavg start={ls} end={le}, "
+                  f"wall={d.get('wall_sec')}s")
+    if isinstance(parsed, dict):
+        window_suspect(parsed, bench_path)
+
     corr_path = f"CORRECTNESS_r{rnd:02d}.json"
     try:
         corr = json.load(open(corr_path))
@@ -100,6 +122,7 @@ def main(rnd: int) -> int:
               " — cannot cross-check bench vs correctness name sets")
         ok = False
     else:
+        window_suspect(full, "full map")
         bnames, cnames = set(full.get("queries", {})), set(corr)
         if bnames != cnames:
             only_b = sorted(bnames - cnames)
@@ -189,12 +212,26 @@ def main(rnd: int) -> int:
 def triage(rnd: int, full: dict, run: bool = True) -> bool:
     import os
     import subprocess
-    prev_path = f"dev/bench_full_r{rnd - 1:02d}.json"
-    try:
-        prev = json.load(open(prev_path))
-    except FileNotFoundError:
-        print(f"TRIAGE SKIP: {prev_path} missing — no prior map to diff")
+    # The builder writes dev/bench_full_r{N}_dev.json (sometimes with a
+    # board-size suffix like _dev_393); try all r{N-1} variants and take
+    # the one covering the most queries (r14 verdict item 2: the plain
+    # name never exists, so the triage diff skipped every round).
+    import glob
+    cands = ([f"dev/bench_full_r{rnd - 1:02d}.json"]
+             + sorted(glob.glob(f"dev/bench_full_r{rnd - 1:02d}_dev*.json")))
+    prev, prev_path = None, cands[0]
+    for c in cands:
+        try:
+            d = json.load(open(c))
+        except FileNotFoundError:
+            continue
+        if prev is None or len(d.get("queries", {})) > len(prev.get("queries", {})):
+            prev, prev_path = d, c
+    if prev is None:
+        print(f"TRIAGE SKIP: none of {cands} present — no prior map to diff")
         return True
+    print(f"TRIAGE: diffing against {prev_path} "
+          f"({len(prev.get('queries', {}))} queries)")
     if prev.get("sf") != full.get("sf"):
         print(f"TRIAGE SKIP: sf mismatch ({prev.get('sf')} vs "
               f"{full.get('sf')}) — cross-SF timing diffs are meaningless")

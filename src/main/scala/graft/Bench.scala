@@ -1,7 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // 1-minute loadavg from /proc — a contaminated host window (the
+  // r12/r13/r14 "ghost regression" class: every query in the window
+  // uniformly 2-3x slow, isolated re-runs all collapse) shows up as
+  // load far above this JVM's own 32 runnable threads. Emitting it
+  // into the artifact makes the window detectable WITHOUT a manual
+  // triage cycle (r14 verdict item 4).
+  private def loadavg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val wall0 = System.nanoTime()
+    val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -125,6 +137,15 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     val total = if (retried.nonEmpty) retried.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val loadEnd = loadavg()
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    // Window-health markers: load_{start,end} (1-min /proc/loadavg) and
+    // wall_sec (whole-JVM wall). A clean window has load near this
+    // process's own thread count; load >> cpus or wall >> 2x the sum of
+    // timed work means the host was contended and per-query times are
+    // not comparable across rounds — gate_check prints WINDOW SUSPECT
+    // from these instead of requiring a manual ghost-triage cycle.
+    val loadJson = s""","load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},"wall_sec":${r3(wallSec)},"cpus":$cpus"""
     // The driver line below is byte-budgeted and keeps only the slowest
     // entries; persist the FULL per-query map to a repo file first so
     // cross-round per-query diffs never lose the fast half of the
@@ -141,7 +162,7 @@ object Bench {
       val fullJson = retried.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString(
-          s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${retried.size},"cold_total":${r3(coldTotal)},"failed":$failedJson,"sf":"$sfDir","queries":{""",
+          s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${retried.size},"cold_total":${r3(coldTotal)},"failed":$failedJson$loadJson,"sf":"$sfDir","queries":{""",
           ",", "}}\n")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath),
@@ -155,7 +176,7 @@ object Bench {
     // run covers less than its full declared input — empty since the
     // near-dedup sample knob was removed.
     def fixedPost(omitted: Int) =
-      s""","omitted_fastest":$omitted,"sampled":{},"cold_total":${r3(coldTotal)},"failed":$failedJson,"sf":"$sfDir"}"""
+      s""","omitted_fastest":$omitted,"sampled":{},"cold_total":${r3(coldTotal)},"failed":$failedJson$loadJson,"sf":"$sfDir"}"""
     val bySlowest = retried.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + r3(v) }
     var kept = bySlowest.length
     def line(k: Int): String =

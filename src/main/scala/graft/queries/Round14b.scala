@@ -80,8 +80,9 @@ object Round14b {
         .mkString(" + ") + "))"
 
   /** Σ S_t² via the prefix-sum expansion S_t = C_t − t·x̄:
-    * Σ C_t² − 2x̄·Σ t·C_t + x̄²·n(n+1)(2n+1)/6 — the three sums exact
-    * BIGINTs, the Σt² closed form.
+    * Σ C_t² − 2x̄·Σ t·C_t + x̄²·n(n+1)(2n+1)/6 — scc/stc exact
+    * DECIMAL(38,0) (HUGEINT-parity with the oracle), the Σt² closed
+    * form.
     */
   private val SumS2Txt: String =
     s"""(CAST(scc AS DOUBLE) - 2 * $MeanTxt * stc
@@ -362,24 +363,28 @@ object Round14b {
     // window) and the closed-form Σ t²; the Bartlett γ_j reuse the
     // Ljung–Box lag machinery. Low vn/high η ⇒ a wandering level.
     // Types with n ≤ l or zero long-run variance surface NULL kpss.
-    // (Scale note: Σ C_t² grows as (Σc)²·n — exact to ~sf100 on this
-    // fixture's BIGINT budget; the declared grain is daily counts,
-    // not raw events, so n stays calendar-bounded.)
+    // (Scale note: Σ C_t² grows as (Σc)²·n — routed through
+    // DECIMAL(38,0) (the jarque_bera s3/s4 convention) so it stays
+    // exact far past the old ~sf100 BIGINT budget, and past THAT it
+    // errors under ANSI instead of wrapping silently while the
+    // DuckDB oracle's HUGEINT stays exact.)
     "q_x_kpss" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
       val dc = dayCounts(s, d).cut("Round14b.scala:kpss", eager = true)
       val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       val base = dc
         .withColumn("rn", row_number().over(w).cast("long"))
         .withColumn("cum", sum(col("c")).over(
           w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("hcum", col("cum").cast(DecimalType(18, 0)))
       val lagged = (1 to KpssL).foldLeft(base) { (df, j) =>
         df.withColumn(s"l$j", lag(col("c"), j).over(w))
       }
       val aggs =
         Seq(count(lit(1)).as("n"), sum(col("c")).as("sc"),
           sum(col("c") * col("c")).as("sq"),
-          sum(col("cum") * col("cum")).as("scc"),
-          sum(col("rn") * col("cum")).as("stc")) ++
+          sum(col("hcum") * col("cum")).as("scc"),
+          sum(col("rn") * col("hcum")).as("stc")) ++
           (1 to KpssL).flatMap { j =>
             Seq(sum(col("c") * col(s"l$j")).as(s"p$j"),
               sum(when(col(s"l$j").isNotNull, col("c"))).as(s"a$j"),
@@ -434,7 +439,9 @@ object Round14b {
     // midranks: 4ΣR² = Σcnt·r2² and 4ΣR'² = Σcnt·(2(N+1)−r2)² are
     // exact BIGINTs from the ONE pooled ranking all sources share.
     // The older two-statistic cousin of q_x_lepage — it senses
-    // location AND scale in one quadratic form.
+    // location AND scale in one quadratic form. Guard n >= 3: at
+    // pooled N = 2, ρ = −1 zeroes the C denominator 2(1−ρ²), so the
+    // degenerate two-observation corpus surfaces NULL (not NaN/Inf).
     "q_x_cucconi" -> ((s, d) => {
       val r2c = lit(2L) * (col("n") + 1L) - col("r2")
       val u = cucconiUTxt("q4")
@@ -445,11 +452,11 @@ object Round14b {
           sum(col("cnt") * col("r2") * col("r2")).as("q4"),
           sum(col("cnt") * r2c * r2c).as("q4c"))
         .selectExpr("source", "n1 AS n",
-          s"""CASE WHEN n1 >= 1 AND n - n1 >= 1
+          s"""CASE WHEN n1 >= 1 AND n - n1 >= 1 AND n >= 3
                 THEN round($u, 6) ELSE NULL END AS u""",
-          s"""CASE WHEN n1 >= 1 AND n - n1 >= 1
+          s"""CASE WHEN n1 >= 1 AND n - n1 >= 1 AND n >= 3
                 THEN round($v, 6) ELSE NULL END AS v""",
-          s"""CASE WHEN n1 >= 1 AND n - n1 >= 1
+          s"""CASE WHEN n1 >= 1 AND n - n1 >= 1 AND n >= 3
                 THEN round(($u * $u + $v * $v - 2 * $CucconiRhoTxt * $u * $v)
                   / (2 * (1 - $CucconiRhoTxt * $CucconiRhoTxt)), 6)
                 ELSE NULL END AS c""")
@@ -1594,8 +1601,8 @@ object Round14b {
          g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(c) AS BIGINT) AS sc,
                  CAST(sum(c * c) AS BIGINT) AS sq,
-                 CAST(sum(cum * cum) AS BIGINT) AS scc,
-                 CAST(sum(rn * cum) AS BIGINT) AS stc,
+                 sum(CAST(cum AS DECIMAL(18,0)) * cum) AS scc,
+                 sum(rn * CAST(cum AS DECIMAL(18,0))) AS stc,
                  $aggCols
                FROM lg GROUP BY event_type)
          SELECT event_type, n AS n_days,
@@ -1638,11 +1645,11 @@ object Round14b {
                   CAST(sum(cnt * (2 * (n + 1) - r2) * (2 * (n + 1) - r2)) AS BIGINT) AS q4c
                 FROM r GROUP BY source)
          SELECT source, n1 AS n,
-                CASE WHEN n1 >= 1 AND n - n1 >= 1
+                CASE WHEN n1 >= 1 AND n - n1 >= 1 AND n >= 3
                      THEN round($u, 6) ELSE NULL END AS u,
-                CASE WHEN n1 >= 1 AND n - n1 >= 1
+                CASE WHEN n1 >= 1 AND n - n1 >= 1 AND n >= 3
                      THEN round($v, 6) ELSE NULL END AS v,
-                CASE WHEN n1 >= 1 AND n - n1 >= 1
+                CASE WHEN n1 >= 1 AND n - n1 >= 1 AND n >= 3
                      THEN round(($u * $u + $v * $v - 2 * $CucconiRhoTxt * $u * $v)
                        / (2 * (1 - $CucconiRhoTxt * $CucconiRhoTxt)), 6)
                      ELSE NULL END AS c
