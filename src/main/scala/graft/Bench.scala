@@ -41,6 +41,12 @@ object Bench {
     // cache losing the plan-identity/LRU race under this JVM's
     // multi-tenant cache pressure and re-training inside timed runs.
     graft.operators.AnnCache.enableCaching()
+    // ~23 calendar-series statistics share the (event_type, day)
+    // grain of events (operators.DayGrain); compute it once per run —
+    // the r14 q_x_pacf wobble was this aggregate re-running per query.
+    // (SPARK_GRAFT_NO_DAYGRAIN is a dev-only A/B knob.)
+    if (!sys.env.contains("SPARK_GRAFT_NO_DAYGRAIN"))
+      graft.operators.DayGrain.enableCaching()
     // One cold (warm-up) pass + two timed runs per query, reporting the
     // min (steady-state, scheduler-noise-resistant); the cold pass
     // total is included for transparency.
@@ -157,8 +163,11 @@ object Bench {
     // (e.g. dev/bench_full_r10_dev.json) so a later driver run — which
     // always writes the default path — can never clobber a comparison
     // artifact (the r9 driver overwrote the builder's 218-query map).
+    // A filtered run still writes its map when the caller EXPLICITLY
+    // redirected it — an explicit out path is a deliberate A/B
+    // artifact, and only the default path needs clobber protection.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "dev/bench_full_latest.json")
-    try if (only.isEmpty) {
+    try if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
       val fullJson = retried.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString(

@@ -1504,9 +1504,7 @@ object Extensions {
     // tie-break.
     "q_x_changepoint" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val daily = table(s, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(avg(col("value")).as("m"))
+      val daily = graft.operators.DayGrain.means(s, d)
       val stats = daily.groupBy(col("event_type"))
         .agg(avg(col("m")).as("mu"), count(lit(1)).as("n_days"))
       val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
@@ -2558,9 +2556,7 @@ object Extensions {
     // semantics identical in the oracle's lag()).
     "q_x_acf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val daily = table(s, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(round(sum(col("value")), 6).as("v"))
+      val daily = graft.operators.DayGrain.values(s, d)
       val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       val lagged = daily.select(
         Seq(col("event_type"), col("v")) ++
@@ -2657,9 +2653,7 @@ object Extensions {
     // trap, aligned here by subtracting 1 on the Spark side). All
     // corpus-sized work is the one daily aggregate.
     "q_x_seasonality" -> ((s, d) => {
-      val daily = table(s, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(round(sum(col("value")), 6).as("v"))
+      val daily = graft.operators.DayGrain.values(s, d)
       val byDow = daily
         .withColumn("dow", (dayofweek(col("day")) - 1).cast("int"))
         .groupBy(col("event_type"), col("dow"))
@@ -2798,9 +2792,7 @@ object Extensions {
     // on the day-grain table. MAD=0 → z NULL on both engines (never a
     // division blowup).
     "q_x_robust_z" -> ((s, d) => {
-      val daily = table(s, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(round(sum(col("value")), 6).as("v"))
+      val daily = graft.operators.DayGrain.values(s, d)
       val med = daily.groupBy(col("event_type"))
         .agg(expr("percentile(v, 0.5)").as("med"))
       val dev = daily.join(med, "event_type").withColumn("ad", abs(col("v") - col("med")))

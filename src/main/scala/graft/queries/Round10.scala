@@ -163,9 +163,7 @@ object Round10 {
     // (≤ 30×30/2 pairs per type — constant in corpus size); the
     // continuity-corrected z is one final expression.
     "q_x_mann_kendall" -> ((s, d) => {
-      val dc = table(s, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
+      val dc = graft.operators.DayGrain.counts(s, d)
         .cut("Round10.scala:168")
       val a = dc.select(col("event_type"), col("day").as("da"), col("c").as("ca"))
       val b = dc.select(col("event_type"), col("day").as("db"), col("c").as("cb"))
@@ -279,9 +277,7 @@ object Round10 {
     // (Σc² − (Σc)²/n). DW ≈ 2 means no serial correlation.
     "q_x_durbin_watson" -> ((s, d) => {
       val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-      val dc = table(s, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
+      val dc = graft.operators.DayGrain.counts(s, d)
       val diffs = dc.withColumn("pc", lag(col("c"), 1).over(w))
       diffs.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sc"),

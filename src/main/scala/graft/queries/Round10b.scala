@@ -33,9 +33,7 @@ object Round10b {
     // the fold is exact arithmetic on both engines.
     "q_x_cusum" -> ((s, d) => {
       import s.implicits._
-      val dc = table(s, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
+      val dc = graft.operators.DayGrain.counts(s, d)
       val med = dc.groupBy(col("event_type"))
         .agg(median(col("c")).as("med"), count(lit(1)).as("n_days"))
       val rows = dc.join(broadcast(med), "event_type")
@@ -62,9 +60,7 @@ object Round10b {
     // are dropped (the standard convention); runs / n1 / n2 are exact
     // longs from one lag window at day grain, z is one expression.
     "q_x_runs_test" -> ((s, d) => {
-      val dc = table(s, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
+      val dc = graft.operators.DayGrain.counts(s, d)
       val med = dc.groupBy(col("event_type")).agg(median(col("c")).as("med"))
       val signed = dc.join(broadcast(med), "event_type")
         .filter(col("c") =!= col("med"))

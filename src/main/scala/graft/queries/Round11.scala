@@ -246,9 +246,8 @@ object Round11 {
     // Weekday = days-since-epoch mod 7 (identical cross-engine; no
     // locale/DOW-convention dependence).
     "q_x_stl_anomaly" -> ((s, d) => {
-      val daily = table(s, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(round(sum(col("value")), 6).as("tot"))
+      val daily = graft.operators.DayGrain.values(s, d)
+        .withColumnRenamed("v", "tot")
         .withColumn("dow", pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(7)))
       val byType = Window.partitionBy(col("event_type"))
       val trendW = byType.orderBy(col("day")).rowsBetween(-3, 3)

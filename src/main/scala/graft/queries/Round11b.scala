@@ -264,9 +264,8 @@ object Round11b {
     // flip on an ulp; the per-type moment fold over the ≤dozens of
     // weekly rows runs single-sorted-partition.
     "q_x_sax" -> ((s, d) => {
-      val daily = table(s, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(round(sum(col("value")), 6).as("tot"))
+      val daily = graft.operators.DayGrain.values(s, d)
+        .withColumnRenamed("v", "tot")
         .withColumn("week",
           floor(datediff(col("day"), lit("1970-01-01").cast("date")) / 7))
       val paa = daily.groupBy(col("event_type"), col("week"))

@@ -137,9 +137,8 @@ object Round11f {
     // compares INTEGERS only (2·cnt·n_nbr > 3·sum_nbr), never a
     // rounded mean. Partitioned day-grain windows.
     "q_x_peak_detect" -> ((s, d) => {
-      val daily = table(s, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("cnt"))
+      val daily = graft.operators.DayGrain.counts(s, d)
+        .withColumnRenamed("c", "cnt")
       val wo = Window.partitionBy(col("event_type")).orderBy(col("day"))
       val wn = wo.rowsBetween(-3, 3)
       daily

@@ -62,9 +62,8 @@ object Round11l {
     // over the PRECEDING 7 days (so the tested day never feeds its
     // own band). Partitioned day-grain windows only.
     "q_x_bollinger" -> ((s, d) => {
-      val daily = table(s, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("cnt"))
+      val daily = graft.operators.DayGrain.counts(s, d)
+        .withColumnRenamed("c", "cnt")
       val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
         .rowsBetween(-7, -1)
       daily

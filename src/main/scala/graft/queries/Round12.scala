@@ -59,9 +59,7 @@ object Round12 {
     // estimator q_x_acf reports, rounded 6dp so both engines compose
     // identical inputs.
     "q_x_pacf" -> ((s, d) => {
-      val daily = table(s, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(round(sum(col("value")), 6).as("v"))
+      val daily = graft.operators.DayGrain.values(s, d)
       val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       val lagged = daily.select(col("event_type"), col("v"),
         lag(col("v"), 1).over(w).as("l1"),

@@ -47,9 +47,7 @@ object Round13 {
     // codegen). na < 2 guard: sequence(2, 1) is DESCENDING in Spark,
     // so the fold range must be empty-guarded explicitly.
     "q_x_dtw" -> ((s, d) => {
-      val dc = table(s, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
+      val dc = graft.operators.DayGrain.counts(s, d)
       val ser = dc.groupBy(col("event_type"))
         .agg(expr("transform(sort_array(collect_list(struct(day, c))), x -> x.c)").as("s"),
           count(lit(1)).as("n"))
@@ -93,9 +91,7 @@ object Round13 {
     // division/accumulate expression order in both engines).
     "q_x_page_hinkley" -> ((s, d) => {
       import s.implicits._
-      val dc = table(s, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
+      val dc = graft.operators.DayGrain.counts(s, d)
       val rows = dc.select(col("event_type"), col("day").cast("string"), col("c"))
         .as[(String, String, Long)]
       rows.groupByKey(_._1).mapGroups { (typ, it) =>
@@ -132,9 +128,7 @@ object Round13 {
     // rounded doubles are bit-identical.
     "q_x_holt_winters" -> ((s, d) => {
       import s.implicits._
-      val dc = table(s, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
+      val dc = graft.operators.DayGrain.counts(s, d)
       val rows = dc.select(col("event_type"),
         datediff(col("day"), lit("1970-01-01").cast("date")).cast("long").as("ed"),
         col("c"))
@@ -178,9 +172,7 @@ object Round13 {
     // approximation uses the DECLARED no-ties variance formula, one
     // division at the end.
     "q_x_jonckheere" -> ((s, d) => {
-      val dc = table(s, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
+      val dc = graft.operators.DayGrain.counts(s, d)
       val w = dc.select(col("event_type"),
         floor(datediff(col("day"), lit("1970-01-01").cast("date")) / lit(7.0))
           .cast("long").as("wk"),
@@ -216,9 +208,7 @@ object Round13 {
     // approximation, uncapped as declared.
     "q_x_pettitt" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val dc = table(s, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
+      val dc = graft.operators.DayGrain.counts(s, d)
       val o = dc.select(col("event_type"), col("day"), col("c"),
         row_number().over(Window.partitionBy(col("event_type"))
           .orderBy(col("day"))).cast("long").as("rn"),
@@ -259,9 +249,7 @@ object Round13 {
     // precedent).
     "q_x_theil_sen" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val dc = table(s, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
+      val dc = graft.operators.DayGrain.counts(s, d)
       val tw = Window.partitionBy(col("event_type"))
       val o = dc.select(col("event_type"), col("c"),
         (datediff(col("day"), min(col("day")).over(tw)) + 1)
@@ -333,9 +321,7 @@ object Round13 {
     // DECLARED no-ties variance b·k²(k+1)(k²−1)/144 at k = 7.
     "q_x_page_trend" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val dc = table(s, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
+      val dc = graft.operators.DayGrain.counts(s, d)
       val w = dc.withColumn("wk",
         floor(datediff(col("day"), lit("1970-01-01").cast("date")) / lit(7.0))
           .cast("long"))
@@ -371,9 +357,7 @@ object Round13 {
     "q_x_hurst" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       import s.implicits._
-      val dc = table(s, d, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
+      val dc = graft.operators.DayGrain.counts(s, d)
       val o = dc.select(col("event_type"), col("c"),
         row_number().over(Window.partitionBy(col("event_type"))
           .orderBy(col("day"))).cast("long").as("rn"),

@@ -33,9 +33,7 @@ object Round14 {
   private val InfHalf = Inf / 2
 
   private def dayCounts(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("c"))
+    graft.operators.DayGrain.counts(s, d)
 
   /** Acklam's rational inverse-normal-CDF approximation (claimed
     * relative error < 1.15e-9; measured absolute error < 5.5e-9

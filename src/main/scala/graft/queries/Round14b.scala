@@ -34,9 +34,7 @@ object Round14b {
   private val LbLags = 7
 
   private def dayCounts(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("c"))
+    graft.operators.DayGrain.counts(s, d)
 
   /** Shared double-expression text over the exact integer aggregates
     * (n, sc, sq, and per-lag pk/ak/bk). `mean` and `den` are the
