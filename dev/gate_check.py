@@ -63,13 +63,29 @@ def main(rnd: int) -> int:
         cpus = d.get("cpus", 32)
         if ls is None or le is None:
             return
-        hot = max(ls, le)
-        if hot > 1.5 * cpus:
-            print(f"WINDOW SUSPECT ({src}): loadavg start={ls} end={le} vs "
-                  f"{cpus} bench threads — host-contended window, treat "
-                  f">2.5x movers as probable ghosts")
+        # load_max is sampled once per query, so it sees mid-run windows
+        # the endpoint samples miss. Empirically a clean full-board run
+        # keeps 1-min loadavg < ~8 even while benching (sub-second
+        # queries leave the EMA low); half the thread count is already
+        # strong evidence of a co-tenant.
+        hot = max(ls, le, d.get("load_max") or 0)
+        # steal_pct is the decisive signal: hypervisor steal stretches
+        # wall time 3-5x while guest loadavg stays low (measured r15).
+        # This host's lifetime average is ~1.7%; >5% over a bench run
+        # means a contended window.
+        steal = d.get("steal_pct", -1)
+        if steal is not None and steal > 5.0:
+            print(f"WINDOW SUSPECT ({src}): steal={steal}% of CPU over the "
+                  f"run (lifetime avg ~1.7%) — hypervisor-contended window, "
+                  f"treat >2.5x movers as probable ghosts")
+        elif hot > 0.5 * cpus:
+            print(f"WINDOW SUSPECT ({src}): loadavg start={ls} end={le} "
+                  f"max={d.get('load_max')} vs {cpus} bench threads — "
+                  f"host-contended window, treat >2.5x movers as probable "
+                  f"ghosts")
         else:
-            print(f"WINDOW OK ({src}): loadavg start={ls} end={le}, "
+            print(f"WINDOW OK ({src}): loadavg start={ls} end={le} "
+                  f"max={d.get('load_max')}, steal={steal}%, "
                   f"wall={d.get('wall_sec')}s")
     if isinstance(parsed, dict):
         window_suspect(parsed, bench_path)

@@ -11,9 +11,26 @@ object Bench {
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Aggregate (busyJiffies, stealJiffies) from /proc/stat's cpu line.
+    * Steal is the signal loadavg CANNOT see: on a contended
+    * hypervisor the guest's runnable count stays low while wall time
+    * stretches 3-5x (the r15 observation: movers at 4x with
+    * load_max < 9 on 32 CPUs). steal/(busy+steal) over the run is the
+    * fraction of CPU the host took back.
+    */
+  private def cpuJiffies(): (Long, Long) =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
+      // user nice system idle iowait irq softirq steal
+      val busy = f(0) + f(1) + f(2) + f(5) + f(6)
+      (busy, if (f.length > 7) f(7) else 0L)
+    } catch { case _: Throwable => (-1L, -1L) }
+
   def main(args: Array[String]): Unit = {
     val wall0 = System.nanoTime()
     val loadStart = loadavg()
+    val (busy0, steal0) = cpuJiffies()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -79,9 +96,15 @@ object Bench {
     // Keeps single-query regression bisection on the same code path,
     // same caches, same order as the real bench.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Sampled once per query: a contention window confined to the
+    // MIDDLE of the run (the r15 observation: movers clustered
+    // alphabetically = temporally in the sorted order) is invisible to
+    // the start/end loadavg samples alone; load_max exposes it.
+    var loadMax = loadStart
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      loadMax = math.max(loadMax, loadavg())
       val c0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       coldTotal += (System.nanoTime() - c0) / 1e9
@@ -144,6 +167,12 @@ object Bench {
     val total = if (retried.nonEmpty) retried.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadEnd = loadavg()
+    loadMax = math.max(loadMax, loadEnd)
+    val (busy1, steal1) = cpuJiffies()
+    val stealPct =
+      if (busy0 < 0 || busy1 < 0 || busy1 + steal1 <= busy0 + steal0) -1.0
+      else 100.0 * (steal1 - steal0) /
+        ((busy1 - busy0) + (steal1 - steal0)).toDouble
     val wallSec = (System.nanoTime() - wall0) / 1e9
     // Window-health markers: load_{start,end} (1-min /proc/loadavg) and
     // wall_sec (whole-JVM wall). A clean window has load near this
@@ -151,7 +180,7 @@ object Bench {
     // timed work means the host was contended and per-query times are
     // not comparable across rounds — gate_check prints WINDOW SUSPECT
     // from these instead of requiring a manual ghost-triage cycle.
-    val loadJson = s""","load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},"wall_sec":${r3(wallSec)},"cpus":$cpus"""
+    val loadJson = s""","load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},"load_max":${r3(loadMax)},"steal_pct":${r3(stealPct)},"wall_sec":${r3(wallSec)},"cpus":$cpus"""
     // The driver line below is byte-budgeted and keeps only the slowest
     // entries; persist the FULL per-query map to a repo file first so
     // cross-round per-query diffs never lose the fast half of the
