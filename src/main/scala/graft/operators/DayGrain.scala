@@ -48,13 +48,24 @@ object DayGrain {
     cache.clear()
   }
 
-  /** The full grain: (event_type, day, c, v, m). */
+  /** The full grain: (event_type, day, c, v, m). Schema-adaptive: on
+    * an events table WITHOUT a value column (spec gap fixtures are
+    * minimal (event_type, ts) parquets) only c is computed, so
+    * count-grain consumers keep the pre-DayGrain contract of not
+    * requiring columns they never read; values()/means() on such a
+    * table fail with the same unresolved-column error a direct
+    * sum(value) always did.
+    */
   def frame(spark: SparkSession, dir: String): DataFrame = {
-    def build = graft.Tables.table(spark, dir, "events")
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("c"),
-        round(sum(col("value")), 6).as("v"),
-        avg(col("value")).as("m"))
+    def build = {
+      val ev = graft.Tables.table(spark, dir, "events")
+      val aggs = Seq(count(lit(1)).as("c")) ++
+        (if (ev.columns.contains("value"))
+          Seq(round(sum(col("value")), 6).as("v"), avg(col("value")).as("m"))
+        else Nil)
+      ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(aggs.head, aggs.tail: _*)
+    }
     if (cachingEnabled)
       cache.getOrElseUpdate(
         (System.identityHashCode(spark).toString, dir), build.cache())
