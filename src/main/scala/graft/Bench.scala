@@ -119,6 +119,7 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      val (j0b, j0s) = cpuJiffies()
       val times = (1 to 2).map(_ => timedRun())
       // Disagreement guard (r9 verdict item 5): when the two timed runs
       // differ by >1.5x, one of them straddled a host-contention window
@@ -129,19 +130,41 @@ object Bench {
       val all = if (times.max > 1.5 * times.min && !failed.contains(name))
         times :+ timedRun()
       else times
+      // Per-query steal over the timed window: queries whose BOTH
+      // samples sat inside a hypervisor-steal burst (the r12-r15 ghost
+      // class: min-of-2 can't save a query when the burst outlasts it)
+      // are flagged for the tail-retry pass below.
+      val (j1b, j1s) = cpuJiffies()
+      val qSteal =
+        if (j0b < 0 || j1b < 0 || j1b + j1s <= j0b + j0s) 0.0
+        else 100.0 * (j1s - j0s) / ((j1b - j0b) + (j1s - j0s)).toDouble
       dropQueryBlocks()
-      name -> all.min
+      (name, all.min, qSteal)
     }
     // Tail retry pass: a host-contention window (dev/NOTES.md "LATE-r6
     // addendum": whole-JVM slow windows, trivial queries at 10-15 s)
     // inflates every execution of a query that ran inside it, so
-    // min-of-2 can't save it. Any query whose best time still exceeds
-    // 2 s gets ONE more execution at the end of the run — temporally
-    // far from the window that hurt it — and the min folds in. Costs
-    // ~20 s on a clean run (only the genuine headline tail re-runs);
-    // rescues per-query comparability when the window has passed.
-    val retried = results.map { case (name, t) =>
-      if (t <= 2.0 || failed.contains(name)) name -> t
+    // min-of-2 can't save it. Retried at the end of the run —
+    // temporally far from the window that hurt them — with the min
+    // folding in: (a) any query whose best time exceeds 2 s (the
+    // headline tail), and (b) any query whose timed window carried
+    // >10% hypervisor steal (measured per query above) and isn't
+    // trivially fast — the r15 steal finding: bursts outlast min-of-2
+    // but not the whole run, so a late clean re-run rescues the
+    // published number. Costs ~20 s on a clean run (steal flags only
+    // fire inside bursts).
+    // Sustained-steal guard: when MOST of the run was stolen (measured
+    // r15: 43% steal across a 17-min window, all four same-code runs
+    // at 166-171 s), there is no clean gap for a retry to land in —
+    // flagging everything just adds ~20% wall for nothing. Steal
+    // retries only make sense for BURSTS (a minority of flagged
+    // queries); past half the board flagged, trust min-of-2/3 and let
+    // the artifact's run-level steal_pct tell the story.
+    val stealFlagged = results.count { case (_, t, s) => s > 10.0 && t > 0.15 }
+    val burstMode = stealFlagged <= results.size / 2
+    val retried = results.map { case (name, t, qSteal) =>
+      val stealFlag = burstMode && qSteal > 10.0 && t > 0.15
+      if ((t <= 2.0 && !stealFlag) || failed.contains(name)) name -> t
       else {
         val t0 = System.nanoTime()
         // A failed retry keeps the original (valid) time — folding the
