@@ -74,7 +74,15 @@ def main(rnd: int) -> int:
         # This host's lifetime average is ~1.7%; >5% over a bench run
         # means a contended window.
         steal = d.get("steal_pct", -1)
-        if steal is not None and steal > 5.0:
+        # Bench writes -1.0 sentinels when its /proc reads failed; an
+        # unmeasured window is UNKNOWN, not OK (r15 advice item 4).
+        if (ls < 0 or le < 0 or (d.get("load_max") or 0) < 0
+                or (steal is not None and steal < 0)):
+            print(f"WINDOW UNKNOWN ({src}): health markers unavailable "
+                  f"(load_start={ls} load_end={le} "
+                  f"load_max={d.get('load_max')} steal={steal}) — "
+                  f"/proc reads failed in Bench; treat timings as unvetted")
+        elif steal is not None and steal > 5.0:
             print(f"WINDOW SUSPECT ({src}): steal={steal}% of CPU over the "
                   f"run (lifetime avg ~1.7%) — hypervisor-contended window, "
                   f"treat >2.5x movers as probable ghosts")
@@ -190,14 +198,31 @@ def main(rnd: int) -> int:
 
     # 6. Round artifacts must be COMMITTED, not just present (r6/r7/r8
     #    recurring gap: BENCH/CORRECTNESS untracked at judging time).
+    #    EXCEPTION (r15 verdict item 1, third recurrence): the driver
+    #    writes the CURRENT round's BENCH/CORRECTNESS/LEAKCHECK/
+    #    bench_full_latest/ghost_triage files AFTER the snapshot commit,
+    #    so at judging time they are always dirty by construction. Label
+    #    those "pending-commit (expected)" instead of RED; only a dirty
+    #    artifact from an OLDER round (a real bookkeeping miss) is red.
     st = subprocess.run(["git", "status", "--porcelain"],
                         capture_output=True, text=True).stdout
+    cur = (f"BENCH_r{rnd:02d}", f"CORRECTNESS_r{rnd:02d}",
+           "LEAKCHECK", "dev/bench_full_latest.json",
+           f"dev/ghost_triage_r{rnd:02d}")
     dirty = [l for l in st.splitlines()
              if any(t in l for t in ("BENCH_r", "CORRECTNESS_r",
-                                     "LEAKCHECK", "bench_full"))]
-    if dirty:
-        print("GATE RED: round artifacts uncommitted:")
-        for l in dirty:
+                                     "LEAKCHECK", "bench_full",
+                                     "ghost_triage"))]
+    pending = [l for l in dirty if any(t in l for t in cur)]
+    stale = [l for l in dirty if l not in pending]
+    if pending:
+        print("GATE NOTE: current-round artifacts pending-commit (expected "
+              "— driver writes them after the snapshot commit):")
+        for l in pending:
+            print(f"  {l}")
+    if stale:
+        print("GATE RED: PRIOR-round artifacts uncommitted:")
+        for l in stale:
             print(f"  {l}")
         ok = False
 
@@ -235,12 +260,20 @@ def triage(rnd: int, full: dict, run: bool = True) -> bool:
     import glob
     cands = ([f"dev/bench_full_r{rnd - 1:02d}.json"]
              + sorted(glob.glob(f"dev/bench_full_r{rnd - 1:02d}_dev*.json")))
-    prev, prev_path = None, cands[0]
+    loaded = []
     for c in cands:
         try:
-            d = json.load(open(c))
+            loaded.append((c, json.load(open(c))))
         except FileNotFoundError:
             continue
+    # Prefer priors at the SAME scale factor (r15 advice item 2: a
+    # larger different-SF _dev variant, e.g. an sf1 map, would shadow a
+    # smaller same-SF one and the sf-mismatch check below then skipped
+    # triage entirely). Fall back to all candidates only if none match.
+    same_sf = [(c, d) for c, d in loaded if d.get("sf") == full.get("sf")]
+    pool = same_sf or loaded
+    prev, prev_path = None, cands[0]
+    for c, d in pool:
         if prev is None or len(d.get("queries", {})) > len(prev.get("queries", {})):
             prev, prev_path = d, c
     if prev is None:
@@ -280,6 +313,11 @@ def triage(rnd: int, full: dict, run: bool = True) -> bool:
               f"re-run via SPARK_GRAFT_ONLY...")
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=full["sf"],
                    SPARK_GRAFT_ONLY=",".join(todo))
+        # A builder session may have SPARK_GRAFT_BENCH_OUT exported; if
+        # inherited here, the triage's tiny filtered map would clobber
+        # the A/B comparison artifact (the r9 clobber class the Bench
+        # write-guard exists to prevent). r15 advice item 1.
+        env.pop("SPARK_GRAFT_BENCH_OUT", None)
         r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
                            env=env, capture_output=True, text=True)
         iso = {}

@@ -78,9 +78,9 @@ object Round14b {
         .mkString(" + ") + "))"
 
   /** Σ S_t² via the prefix-sum expansion S_t = C_t − t·x̄:
-    * Σ C_t² − 2x̄·Σ t·C_t + x̄²·n(n+1)(2n+1)/6 — scc/stc exact
-    * DECIMAL(38,0) (HUGEINT-parity with the oracle), the Σt² closed
-    * form.
+    * Σ C_t² − 2x̄·Σ t·C_t + x̄²·n(n+1)(2n+1)/6 — scc/stc built from a
+    * DECIMAL(18,0) cast of C_t whose products/sums Spark widens to
+    * DECIMAL(38,0), the Σt² closed form.
     */
   private val SumS2Txt: String =
     s"""(CAST(scc AS DOUBLE) - 2 * $MeanTxt * stc
@@ -361,10 +361,15 @@ object Round14b {
     // window) and the closed-form Σ t²; the Bartlett γ_j reuse the
     // Ljung–Box lag machinery. Low vn/high η ⇒ a wandering level.
     // Types with n ≤ l or zero long-run variance surface NULL kpss.
-    // (Scale note: Σ C_t² grows as (Σc)²·n — routed through
-    // DECIMAL(38,0) (the jarque_bera s3/s4 convention) so it stays
-    // exact far past the old ~sf100 BIGINT budget, and past THAT it
-    // errors under ANSI instead of wrapping silently while the
+    // (Scale note: Σ C_t² grows as (Σc)²·n — C_t is cast to
+    // DECIMAL(18,0) (the jarque_bera s3/s4 convention) and the
+    // products/sums widen to DECIMAL(38,0), exact far past the old
+    // ~sf100 BIGINT budget. Past THAT budget the behavior is
+    // mode-dependent: Spark 4 defaults spark.sql.ansi.enabled=true
+    // (verified on this build: the overflow cast throws
+    // ArithmeticException), so the effective behavior is error-not-
+    // wrap; only if ANSI were explicitly disabled would a C_t ≥ 1e18
+    // cast or >38-digit product/sum yield NULL silently while the
     // DuckDB oracle's HUGEINT stays exact.)
     "q_x_kpss" -> ((s, d) => {
       import org.apache.spark.sql.types.DecimalType
