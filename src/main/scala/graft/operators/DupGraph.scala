@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
-
 /** Shared derivation of the near-duplicate similarity graph: word-
   * trigram shingle sets → lossless exact-Jaccard pairs
   * ([[Dedup.exactJaccardPairs]]). Five declared queries consume this
@@ -44,12 +42,12 @@ object DupGraph {
   }
 
   /** Word-trigram shingle SETS of the documents table — the element
-    * space every near-dup query in this family shares.
+    * space every near-dup query in this family shares. Served from
+    * the shared tokenization grain ([[NgramGrain.sets]]), which bench
+    * memoizes once per corpus.
     */
   def trigramSets(spark: SparkSession, dir: String): DataFrame =
-    graft.Tables.table(spark, dir, "documents")
-      .select(col("doc_id"),
-        array_distinct(TextFunctions.wordNgramsExpr("text", 3)).as("g"))
+    NgramGrain.sets(spark, dir, 3)
 
   /** All document pairs with word-trigram Jaccard ≥ threshold:
     * (doc_a, doc_b, jaccard), doc_a < doc_b, no false negatives.

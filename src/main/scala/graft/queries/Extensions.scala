@@ -142,8 +142,7 @@ object Extensions {
     // candidate equi-join touches only rare-prefix buckets. Oracle:
     // DuckDB brute-force cross join between the two partitions.
     "q_x_incr_near_dedup" -> ((s, d) => {
-      val g = table(s, d, "documents").select(col("doc_id"),
-        array_distinct(TextFunctions.wordNgramsExpr("text", 3)).as("g"))
+      val g = graft.operators.NgramGrain.sets(s, d, 3)
       Dedup.exactJaccardJoin(
           g.filter(col("doc_id") % 5 === 0),
           g.filter(col("doc_id") % 5 =!= 0),
@@ -871,13 +870,11 @@ object Extensions {
     // small vs the corpus); the corpus side is one explode + semi
     // join + per-doc count — no corpus self-join.
     "q_x_contam" -> ((s, d) => {
-      val docs = table(s, d, "documents")
-      val grams = TextFunctions.wordNgramsExpr("text", 3)
-      val bench = docs.filter(col("doc_id") % 97 === 0)
-        .select(explode(array_distinct(grams)).as("g")).distinct()
-      val train = docs.filter(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"), array_distinct(grams).as("gs"))
-        .select(col("doc_id"), size(col("gs")).as("n_grams"), explode(col("gs")).as("g"))
+      val sets = graft.operators.NgramGrain.sets(s, d, 3)
+      val bench = sets.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("g")).as("g")).distinct()
+      val train = sets.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), size(col("g")).as("n_grams"), explode(col("g")).as("g"))
       train.join(broadcast(bench), Seq("g"), "left_semi")
         .groupBy(col("doc_id"), col("n_grams"))
         .agg(count(lit(1)).as("n_hits"))
@@ -2675,9 +2672,7 @@ object Extensions {
     // join back — no doc-pair join anywhere, the only shape that
     // survives 100 TB.
     "q_x_memorize" -> ((s, d) => {
-      val grams = table(s, d, "documents")
-        .select(col("doc_id"),
-          explode(array_distinct(TextFunctions.wordNgramsExpr("text", 5))).as("g"))
+      val grams = graft.operators.NgramGrain.postings(s, d, 5)
         .cut("Extensions.scala:2686")
       val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
       grams.join(df, "g")

@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables.table
-import graft.functions.TextFunctions
 import graft.Cuts.CutOps
 
 /** Round-11 wave 4 (SURVEY.md §2.8e): the corpus-operations layer a
@@ -39,9 +38,7 @@ object Round11d {
     // web-cleaning rule. Postings-grain work (explode + two hash
     // aggregates keyed by (source, gram)); the corpus never self-joins.
     "q_x_boilerplate" -> ((s, d) => {
-      val g = table(s, d, "documents")
-        .select(col("source"), col("doc_id"),
-          explode(array_distinct(TextFunctions.wordNgramsExpr("text", 3))).as("g"))
+      val g = graft.operators.NgramGrain.sourcePostings(s, d, 3)
       val perGram = g.groupBy(col("source"), col("g"))
         .agg(count(lit(1)).as("ndocs"))
       val srcTot = table(s, d, "documents")

@@ -5,7 +5,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
-import graft.functions.TextFunctions
 import graft.Cuts.CutOps
 
 /** Round-11 wave 9 (SURVEY.md §2.8e): novelty/provenance audits — how
@@ -25,11 +24,11 @@ import graft.Cuts.CutOps
 object Round11i {
   type Q = (SparkSession, String) => DataFrame
 
-  /** (doc_id, g) distinct gram postings. */
+  /** (doc_id, g) distinct gram postings — the shared tokenization
+    * grain ([[graft.operators.NgramGrain.postings]], bench-memoized).
+    */
   private def postings(s: SparkSession, d: String): DataFrame =
-    table(s, d, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(TextFunctions.wordNgramsExpr("text", 3))).as("g"))
+    graft.operators.NgramGrain.postings(s, d, 3)
 
   /** g -> first (minimum) doc_id. */
   private def firstDoc(s: SparkSession, d: String): DataFrame =
