@@ -43,11 +43,14 @@ object DupGraph {
 
   /** Word-trigram shingle SETS of the documents table — the element
     * space every near-dup query in this family shares. Served from
-    * the shared tokenization grain ([[NgramGrain.sets]]), which bench
-    * memoizes once per corpus.
+    * the shared tokenization grain via [[NgramGrain.freshSets]]: the
+    * prefix-filter join consumers downstream of this method scan
+    * faster with the tokenize fused into the parquet scan than from
+    * the cached array column (see freshSets' scaladoc), and [[pairs]]
+    * is already memoized at the edge level.
     */
   def trigramSets(spark: SparkSession, dir: String): DataFrame =
-    NgramGrain.sets(spark, dir, 3)
+    NgramGrain.freshSets(spark, dir, 3)
 
   /** All document pairs with word-trigram Jaccard ≥ threshold:
     * (doc_a, doc_b, jaccard), doc_a < doc_b, no false negatives.

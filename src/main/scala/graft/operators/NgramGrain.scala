@@ -58,28 +58,42 @@ object NgramGrain {
     cache.clear()
   }
 
+  private def build(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    val docs = graft.Tables.table(spark, dir, "documents")
+    val cols = Seq(col("doc_id")) ++
+      (if (docs.columns.contains("source")) Seq(col("source")) else Nil) ++
+      Seq(array_distinct(TextFunctions.wordNgramsExpr("text", n)).as("g"))
+    docs.select(cols: _*)
+  }
+
   /** The full grain: (doc_id [, source], g: array<string> of DISTINCT
     * word n-grams).
     */
-  def frame(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
-    def build = {
-      val docs = graft.Tables.table(spark, dir, "documents")
-      val cols = Seq(col("doc_id")) ++
-        (if (docs.columns.contains("source")) Seq(col("source")) else Nil) ++
-        Seq(array_distinct(TextFunctions.wordNgramsExpr("text", n)).as("g"))
-      docs.select(cols: _*)
-    }
+  def frame(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
     if (cachingEnabled)
       cache.getOrElseUpdate(
-        (System.identityHashCode(spark).toString, dir, n), build.cache())
-    else build
-  }
+        (System.identityHashCode(spark).toString, dir, n),
+        build(spark, dir, n).cache())
+    else build(spark, dir, n)
 
   /** (doc_id, g: array<string>) — the per-doc distinct shingle sets
     * ([[DupGraph.trigramSets]]' contract at n = 3).
     */
   def sets(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
     frame(spark, dir, n).select(col("doc_id"), col("g"))
+
+  /** [[sets]] BYPASSING the bench cache — always a fresh fused
+    * scan+tokenize plan. For the prefix-filter containment-join
+    * consumers, scanning the corpus-sized cached array column is
+    * measurably SLOWER than recomputing the grams fused into the
+    * join's child (q_x_containment at sf1: 6.6 s fresh under 42%
+    * steal vs 9.0 s cached under 7% — the SCALE.md "array-heavy
+    * columnar cache loses to the vectorized parquet scan" finding at
+    * the grain level), so those call sites opt out while the
+    * explode/postings consumers keep the shared cached frame.
+    */
+  def freshSets(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    build(spark, dir, n).select(col("doc_id"), col("g"))
 
   /** (doc_id, g) distinct gram postings — sets exploded. */
   def postings(spark: SparkSession, dir: String, n: Int = 3): DataFrame =

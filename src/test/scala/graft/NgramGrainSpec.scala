@@ -50,6 +50,11 @@ class NgramGrainSpec extends SparkSuite {
         "cached sets must equal uncached")
       assert(rows(NgramGrain.postings(spark, sfDir, 3)) == wantPost,
         "cached postings must equal uncached")
+      val fr1 = NgramGrain.freshSets(spark, sfDir, 3)
+      val fr2 = NgramGrain.freshSets(spark, sfDir, 3)
+      assert(fr1.queryExecution.logical ne fr2.queryExecution.logical,
+        "freshSets must bypass the cache even when caching is on")
+      assert(rows(fr1) == wantSets, "freshSets must equal cached sets")
     } finally NgramGrain.reset()
   }
 
