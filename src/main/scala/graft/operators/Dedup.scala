@@ -261,8 +261,7 @@ object Dedup {
     * count opts the exchange out of coalescing (AQE never overrides an
     * explicit `repartition(n)`).
     */
-  private def verifyWidth(df: DataFrame): Int =
-    math.max(df.sparkSession.sparkContext.defaultParallelism, 16)
+  private def verifyWidth(df: DataFrame): Int = VerifyWidth.of(df)
 
   private def prefixOf(base: DataFrame, id: String, freq: DataFrame,
       p: Long, q: Long): DataFrame = {
@@ -558,13 +557,22 @@ object Dedup {
     */
   def keepLongestFromEdges(spark: SparkSession, docs: DataFrame,
       textCol: String, idCol: String, edges: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // ids keep their native type end-to-end (connectedComponents is
     // type-preserving) — a string-id corpus must not be silently
     // nulled out by a long cast.
     val clusters = Components.connectedComponents(
         spark, docs.select(col(idCol).as("id")), edges)
       .select(col("id").as("doc_id"), col("cluster_id"))
+    keepLongestFromClusters(docs, textCol, idCol, clusters)
+  }
+
+  /** [[keepLongestFromEdges]] over a caller-supplied (doc_id,
+    * cluster_id) assignment, so the CC derivation itself can be shared
+    * across the cluster-consumer family ([[DupGraph.clusters]]).
+    */
+  def keepLongestFromClusters(docs: DataFrame,
+      textCol: String, idCol: String, clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sizes = docs.select(col(idCol).as("doc_id"),
       size(TextFunctions.tokens(col(textCol))).cast("long").as("n_words"))
     clusters.join(sizes, "doc_id")

@@ -36,9 +36,10 @@ object DupGraph {
     */
   def reset(): Unit = {
     cachingEnabled = false
-    cache.values.foreach(df =>
+    (cache.values ++ ccCache.values).foreach(df =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () })
     cache.clear()
+    ccCache.clear()
   }
 
   /** Word-trigram shingle SETS of the documents table — the element
@@ -69,4 +70,34 @@ object DupGraph {
   def edges(spark: SparkSession, dir: String, threshold: Double): DataFrame =
     pairs(spark, dir, threshold)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
+
+  // cluster assignments get their own cache map: same key shape as
+  // the edge cache but a different derivation level
+  private val ccCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long), DataFrame]
+
+  /** Connected-component assignment of every document over [[edges]]
+    * at `threshold`: (doc_id, cluster_id), cluster_id = min doc_id of
+    * the component. FOUR declared queries consume this same frame
+    * (q_x_dup_clusters, q_x_dup_stats, q_x_split_safe, q_x_dedup_keep
+    * — each previously re-ran the full O(log d)-round CC). Memoized
+    * per (session, dir, threshold) under the same bench opt-in as
+    * [[pairs]]: at 100 TB the cluster assignment is the second table a
+    * production pipeline materializes next to the edge set (tiny —
+    * one row per doc id, no payload), read by every downstream
+    * curation job. With caching OFF every caller builds a fresh
+    * standalone CC plan and stands alone against its oracle.
+    */
+  def clusters(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    def build = Components.connectedComponents(
+      spark,
+      graft.Tables.table(spark, dir, "documents").select(col("doc_id").as("id")),
+      edges(spark, dir, threshold))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    if (cachingEnabled)
+      ccCache.getOrElseUpdate(
+        (System.identityHashCode(spark).toString, dir,
+          math.round(threshold * 1000000L)), build.cache())
+    else build
+  }
 }

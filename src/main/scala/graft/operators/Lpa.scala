@@ -56,9 +56,14 @@ object Lpa {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("id"), col("lbl").as("nl"))
+      // lazy cut: the loop has no per-round action (fixed round
+      // budget, no convergence check), so an EAGER cut here ran one
+      // materialization job per round — pure scheduler latency at
+      // fixture scale (the PageRank/Kcore lazy-cut discipline; all 8
+      // rounds now materialize under the caller's single action)
       labels = labels.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
-        .transform(Checkpoints.truncate(_))
+        .transform(Checkpoints.truncate(_, eager = false))
       round += 1
     }
     labels.select(col("id"), col("lbl").as("community"))

@@ -13,12 +13,14 @@ import graft.functions.TextFunctions
   *   postings(n)  (doc_id, g: string)             one row per (doc, gram)
   *
   * plus [[sourcePostings]] for the per-source consumers. ~8 declared
-  * queries share the n=3 frame (q_x_containment / q_x_dedup_cascade
-  * via [[DupGraph.trigramSets]], q_x_ngram_novelty /
-  * q_x_source_novelty / q_x_vocab_growth, q_x_incr_near_dedup,
-  * q_x_contam, q_x_boilerplate) and q_x_memorize the n=5 frame; each
-  * previously re-ran the same regex tokenize + n-gram build +
-  * array_distinct over the full corpus.
+  * queries ride the n=3 grain (q_x_ngram_novelty / q_x_source_novelty
+  * / q_x_vocab_growth, q_x_incr_near_dedup, q_x_contam,
+  * q_x_boilerplate on the CACHED frame; q_x_containment /
+  * q_x_dedup_cascade via [[DupGraph.trigramSets]] on the
+  * [[freshSets]] bypass — the prefix-filter join consumers scan
+  * faster fused) and q_x_memorize the n=5 frame; each previously
+  * re-ran the same regex tokenize + n-gram build + array_distinct
+  * over the full corpus.
   *
   * With caching OFF (the default — the Verify path and every spec)
   * each caller builds a fresh standalone plan against its oracle;

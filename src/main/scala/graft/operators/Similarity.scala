@@ -29,6 +29,12 @@ object Similarity {
       includeScore: Boolean = false): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .withColumn("qnorm", norm(col("qv")))
+    // No explicit VerifyWidth repartition here (unlike the pair-verify
+    // kernels): the |Q| side is small by contract, so the per-corpus-
+    // row kernel is light — measured r17: adding the exchange cost
+    // +0.1-0.2 s per consumer at sf0.1 (an extra stage + AQE round)
+    // while the kernel itself was never the bottleneck, and at scale
+    // the corpus scan's own splits already spread it.
     val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
       .withColumn("cnorm", norm(col("cv")))
     val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
@@ -138,6 +144,14 @@ object Similarity {
     */
   def blockedCosinePairs(spark: SparkSession, vectors: DataFrame,
       threshold: Double, numBlocks: Int = 8): DataFrame = {
+    // No VerifyWidth repartition here: the block-pair join's
+    // ENSURE_REQUIREMENTS exchange already hash-distributes on
+    // (ba, bb), and an r17 A/B of pinning that width explicitly (plus
+    // width-scaled B) measured NEUTRAL-to-worse at fixture scale
+    // (cold 3.3 → 3.6 s at like steal) — the per-pair dot kernel is
+    // light relative to the join machinery, unlike the levenshtein /
+    // set-intersection verifies. B stays the documented cluster-size
+    // knob.
     val v = vectors
       .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
       .select(col("vec_id").cast("long").as("id"),

@@ -299,9 +299,15 @@ object Round11b {
           count(lit(1)).as("frequency"),
           round(sum(col("value")), 6).as("monetary"))
       val ref = byUser.agg(max(col("last_day")).as("ref_day"))
+      // materialize the per-user frame once (lazily): it feeds the
+      // three bucket derivations (each reads it twice — the value-grain
+      // histogram and the threshold-count side) plus the final join —
+      // without the cut the events aggregate re-executes ~8x per run
+      // (r17 measurement; the q_x_kl_source token-stream precedent)
       val u = byUser.crossJoin(broadcast(ref))
         .withColumn("recency", datediff(col("ref_day"), col("last_day")).cast("long"))
         .select(col("user_id"), col("recency"), col("frequency"), col("monetary"))
+        .cut("Round11b.scala:rfm-u")
       // quintile thresholds t_q = min v with cum·5 ≥ q·n, q = 1..4;
       // bucket(v) = 1 + #{q : v > t_q} — deterministic under ties
       def buckets(metric: String): DataFrame = {

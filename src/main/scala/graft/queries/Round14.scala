@@ -137,11 +137,19 @@ object Round14 {
             / (col("n") - 1)))
           .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
             .orderBy(col("dev").desc, col("day"))))
+        // lazy cuts (r17): `out` is read twice (the final union AND
+        // this round's anti join) and `rest` feeds the next round,
+        // which reads IT twice (stats + join side) — uncut, round 3
+        // re-executed round 1's window subtree ~4x. Frames are
+        // calendar-sized; what the cuts remove is the re-executed
+        // stage chains, not data.
         val out = p.filter(col("rk") === 1 && col("sd") > 0)
           .select(col("event_type"), col("day"), col("c"),
             (col("dev") / col("sd")).as("r_stat"))
+          .cut("Round14.scala:esd-out")
         val rest = src.join(out.select(col("event_type"), col("day")),
           Seq("event_type", "day"), "left_anti")
+          .cut("Round14.scala:esd-rest")
         (out, rest)
       }
       val (o1, d1) = esdRound(dc)

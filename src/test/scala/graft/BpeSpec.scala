@@ -177,4 +177,37 @@ class BpeSpec extends SparkSuite {
     // deterministic across retrains on the same input
     assert(Bpe.trainMerges(docs, "text", 16) == merges)
   }
+
+  test("greedy training is prefix-stable: merges(n) == merges(m).take(n)") {
+    // merge k depends only on merges 1..k-1, so a longer budget's list
+    // extends a shorter one exactly — the property BpeCache's prefix
+    // reuse (r17) rides. Checked on both the inline and fixture corpora.
+    import spark.implicits._
+    val inline = corpus.toDF("text")
+    val m12 = Bpe.trainMerges(inline, "text", 12)
+    assert(Bpe.trainMerges(inline, "text", 5) == m12.take(5))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val m16 = Bpe.trainMerges(docs, "text", 16)
+    assert(Bpe.trainMerges(docs, "text", 8) == m16.take(8))
+  }
+
+  test("BpeCache: off trains fresh; on serves prefixes and write-throughs") {
+    import graft.operators.BpeCache
+    BpeCache.reset()
+    val fresh = BpeCache.trainedMerges(spark, sfDir, "text", 6)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(fresh == Bpe.trainMerges(docs, "text", 6),
+      "caching off must train fresh")
+    BpeCache.enableCaching()
+    try {
+      val m10 = Bpe.trainMerges(docs, "text", 10)
+      BpeCache.store(spark, sfDir, "text", 10, m10)
+      // shorter request served as a prefix of the stored list
+      assert(BpeCache.trainedMerges(spark, sfDir, "text", 6) == m10.take(6))
+      // longer request re-trains (and must still be prefix-consistent)
+      val m12 = BpeCache.trainedMerges(spark, sfDir, "text", 12)
+      assert(m12.take(10) == m10)
+      assert(BpeCache.trainedMerges(spark, sfDir, "text", 12) == m12)
+    } finally BpeCache.reset()
+  }
 }

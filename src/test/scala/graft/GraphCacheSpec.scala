@@ -44,4 +44,20 @@ class GraphCacheSpec extends SparkSuite {
       assert(rows(c1) == want)
     } finally DupGraph.reset()
   }
+
+  test("DupGraph.clusters: same contract at the CC level (r17 grain)") {
+    DupGraph.reset()
+    val fresh1 = DupGraph.clusters(spark, sfDir, 0.7)
+    val fresh2 = DupGraph.clusters(spark, sfDir, 0.7)
+    assert(fresh1 ne fresh2, "caching off must build standalone CC plans")
+    val want = rows(fresh1)
+    assert(want.nonEmpty, "every doc is a CC node — frame must cover the corpus")
+    DupGraph.enableCaching()
+    try {
+      val c1 = DupGraph.clusters(spark, sfDir, 0.7)
+      assert(c1 eq DupGraph.clusters(spark, sfDir, 0.7),
+        "caching on must serve one cluster frame per (dir, threshold)")
+      assert(rows(c1) == want, "cached CC assignment must equal the uncached one")
+    } finally DupGraph.reset()
+  }
 }
