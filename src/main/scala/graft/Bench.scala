@@ -33,12 +33,20 @@ object Bench {
     val (busy0, steal0) = cpuJiffies()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftSparkExtensions)
-      .getOrCreate()
+    // Dev-only A/B hook (r18, same contract as SPARK_GRAFT_ONLY — the
+    // driver never sets it): "k=v;k=v" extra Spark confs, used to
+    // measure config candidates (e.g. AQE coalescing policy) through
+    // the same bench path before adopting them in code.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) builder.config(kv.take(i), kv.drop(i + 1))
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // No sampling knobs: every query runs its full declared input.
     // (The pre-r6 nearDedup.sampleMod knob died with the unigram
@@ -48,11 +56,17 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.enableCaching(spark, sfDir)
     // Five near-dup queries share one similarity-graph derivation
-    // (operators.DupGraph); compute it once per bench run.
-    graft.operators.DupGraph.enableCaching()
-    // Four semantic-graph queries share the cosine edge derivation
-    // (operators.CosGraph at thresholds 0.3 / 0.4) the same way.
-    graft.operators.CosGraph.enableCaching()
+    // (operators.DupGraph); compute it once per bench run. The same
+    // opt-in also covers the shared CC-assignment grain one level up
+    // (DupGraph.clusters). (SPARK_GRAFT_NO_GRAPHCACHE is a dev-only
+    // A/B knob — r17 verdict item: every amortization claim must
+    // publish the uncached standalone number next to the cached one.)
+    if (!sys.env.contains("SPARK_GRAFT_NO_GRAPHCACHE")) {
+      graft.operators.DupGraph.enableCaching()
+      // Four semantic-graph queries share the cosine edge derivation
+      // (operators.CosGraph at thresholds 0.3 / 0.4) the same way.
+      graft.operators.CosGraph.enableCaching()
+    }
     // ANN index artifacts (PQ codebook + codes) likewise build once
     // per bench run — the r7 q_x_ann_pq regression was the codebook
     // cache losing the plan-identity/LRU race under this JVM's
@@ -62,7 +76,10 @@ object Bench {
     // publishes its 24-merge training and q_x_bpe_encode's 16-merge
     // request reads the prefix — a tokenizer is trained once per
     // corpus snapshot in production, never per downstream job.
-    graft.operators.BpeCache.enableCaching()
+    // (SPARK_GRAFT_NO_BPECACHE: dev-only A/B knob, same contract as
+    // SPARK_GRAFT_NO_GRAPHCACHE above.)
+    if (!sys.env.contains("SPARK_GRAFT_NO_BPECACHE"))
+      graft.operators.BpeCache.enableCaching()
     // ~23 calendar-series statistics share the (event_type, day)
     // grain of events (operators.DayGrain); compute it once per run —
     // the r14 q_x_pacf wobble was this aggregate re-running per query.

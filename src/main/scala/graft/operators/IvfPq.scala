@@ -85,20 +85,22 @@ object IvfPq {
       .withColumn("qr", zip_with(toDouble(col("qv")), col("centroid"), (x, c) => x - c))
       .select(col("query_id"), col("centroid_id"), col("qr"))
 
-    // per-(query, probed list) ADC lookup table over the residual
+    // per-(query, probed list) ADC lookup table over the residual —
+    // ONE aggregate per (query, list) pair assembles the m×kCodes
+    // matrix (collect all cells, one deterministic sort, order-
+    // preserving filter carve), same single-exchange shape as
+    // Pq.pqKnn's lut: the former per-sub pre-aggregate added a second
+    // exchange without reducing anything.
     val luts = probes
       .select(col("query_id"), col("centroid_id"),
         posexplode(Pq.sliceExpr("qr", m)).as(Seq("sub", "subvec")))
       .join(broadcast(pqCb.select(col("sub"), col("code"), col("centroid"))), Seq("sub"))
       .withColumn("pd", Pq.sqd(col("subvec"), col("centroid")))
-      .groupBy(col("query_id"), col("centroid_id"), col("sub"))
-      .agg(array_sort(collect_list(struct(col("code"), col("pd")))).as("cp"))
-      .select(col("query_id"), col("centroid_id"), col("sub"),
-        expr("transform(cp, c -> c.pd)").as("lutRow"))
       .groupBy(col("query_id"), col("centroid_id"))
-      .agg(array_sort(collect_list(struct(col("sub"), col("lutRow")))).as("sl"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code"), col("pd")))).as("sl"))
       .select(col("query_id"), col("centroid_id"),
-        expr("transform(sl, s -> s.lutRow)").as("lut"))
+        expr(s"transform(sequence(0, ${m - 1}), " +
+          "s -> transform(filter(sl, c -> c.sub = s), c -> c.pd))").as("lut"))
 
     // score codes only inside probed lists (the IVF pruning), then
     // per-query top-R and exact rerank (the PQ contract)

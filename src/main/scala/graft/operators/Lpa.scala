@@ -47,22 +47,32 @@ object Lpa {
       .transform(Checkpoints.truncate(_))
     var round = 0
     while (round < rounds) {
+      // Neighbor messages at weight 1, PLUS one weight-0 self-message
+      // per vertex (r18): the self row guarantees every vertex
+      // surfaces from the count aggregate — carrying its CURRENT label
+      // as the c=0 fallback the argmax picks only when no neighbor
+      // message exists — so the round needs no join back onto the
+      // label frame ("keep own label" left-join removed: one fewer
+      // shuffle join per round at any scale). Weight 0 keeps counts
+      // and tie-breaks bit-identical to the neighbor-only form: a
+      // label group holding only the self row sums to 0 and loses to
+      // any real neighbor label (c ≥ 1); a self label that neighbors
+      // also carry gets +0 — unchanged.
       val msgs = sym
         .join(labels.select(col("id").as("src"), col("lbl")), "src")
-        .select(col("dst").as("id"), col("lbl"))
-      val counts = msgs.groupBy(col("id"), col("lbl")).agg(count(lit(1)).as("c"))
+        .select(col("dst").as("id"), col("lbl"), lit(1L).as("wt"))
+        .unionAll(labels.select(col("id"), col("lbl"), lit(0L).as("wt")))
+      val counts = msgs.groupBy(col("id"), col("lbl")).agg(sum(col("wt")).as("c"))
       val w = Window.partitionBy(col("id")).orderBy(col("c").desc, col("lbl"))
-      val best = counts
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("id"), col("lbl").as("nl"))
       // lazy cut: the loop has no per-round action (fixed round
       // budget, no convergence check), so an EAGER cut here ran one
       // materialization job per round — pure scheduler latency at
       // fixture scale (the PageRank/Kcore lazy-cut discipline; all 8
       // rounds now materialize under the caller's single action)
-      labels = labels.join(best, Seq("id"), "left")
-        .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
+      labels = counts
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("id"), col("lbl"))
         .transform(Checkpoints.truncate(_, eager = false))
       round += 1
     }

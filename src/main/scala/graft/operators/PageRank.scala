@@ -55,16 +55,26 @@ object PageRank {
       .transform(Checkpoints.truncate(_, eager = false))
     var ranks = base.select(col("id"), (lit(1.0) / col("n")).as("rank"))
     for (_ <- 1 to iters) {
-      val inMass = withDeg
+      // One zero-mass row per node unioned into the contribution
+      // stream (r18): the aggregate then covers every node — dangling
+      // nodes surface with in_mass = 0.0 — so the round needs no join
+      // back onto the node frame (the per-round base left-join and its
+      // exchange removed; the union feeds the same aggregate
+      // exchange). Adding +0.0 to a sum of nonnegative doubles is
+      // exact, so ranks are bit-identical to the left-join form; `n`
+      // rides the zero row (exactly one per node) into the aggregate.
+      val contribs = withDeg
         .join(ranks.select(col("id").as("rid"), col("rank")),
           col("src") === col("rid"))
-        .groupBy(col("dst"))
-        .agg(sum(col("rank") / col("outdeg")).as("in_mass"))
-      ranks = base
-        .join(inMass, col("id") === col("dst"), "left")
+        .select(col("dst"), (col("rank") / col("outdeg")).as("m"),
+          lit(null).cast("long").as("n"))
+        .unionAll(base.select(col("id").as("dst"), lit(0.0).as("m"), col("n")))
+      ranks = contribs
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("m")).as("in_mass"), max(col("n")).as("n"))
         .select(col("id"),
           (lit(1.0 - damping) / col("n")
-            + lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
+            + lit(damping) * col("in_mass")).as("rank"))
         .transform(Checkpoints.truncate(_, eager = false))
     }
     ranks

@@ -196,16 +196,20 @@ object Pq {
     val codes = memo("codes")(encode(corpus, cb, m))
 
     // per-query ADC lookup table: lut[sub][code] = ||q_sub - c||²,
-    // assembled as array<array<double>> ordered by (sub, code)
+    // assembled as array<array<double>> ordered by (sub, code). ONE
+    // aggregate builds the whole m×kCodes matrix: collect every
+    // (sub, code, pd) cell, sort once (deterministic total order),
+    // and carve the nested array with order-preserving filter — the
+    // former per-(query, sub) pre-aggregate added a second exchange
+    // for no reduction (every cell still reached the final group).
     val lut = subVecs(queries.select(col("vec_id"), col("embedding")), m)
       .join(broadcast(cb), Seq("sub"))
       .withColumn("pd", sqd(col("subvec"), col("centroid")))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(array_sort(collect_list(struct(col("code"), col("pd")))).as("cp"))
-      .select(col("vec_id"), col("sub"), expr("transform(cp, c -> c.pd)").as("lutRow"))
       .groupBy(col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("sub"), col("lutRow")))).as("sl"))
-      .select(col("vec_id").as("query_id"), expr("transform(sl, s -> s.lutRow)").as("lut"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code"), col("pd")))).as("sl"))
+      .select(col("vec_id").as("query_id"),
+        expr(s"transform(sequence(0, ${m - 1}), " +
+          "s -> transform(filter(sl, c -> c.sub = s), c -> c.pd))").as("lut"))
 
     // score every code row against every query LUT: map-side over the
     // compressed codes (broadcast LUTs), then per-query top-R window
