@@ -309,27 +309,40 @@ object Round11b {
         .select(col("user_id"), col("recency"), col("frequency"), col("monetary"))
         .cut("Round11b.scala:rfm-u")
       // quintile thresholds t_q = min v with cum·5 ≥ q·n, q = 1..4;
-      // bucket(v) = 1 + #{q : v > t_q} — deterministic under ties
-      def buckets(metric: String): DataFrame = {
-        val vg = u.groupBy(col(metric).as("v")).agg(count(lit(1)).as("cnt"))
-        val cum = vg.coalesce(1)
-          .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("v"))
+      // bucket(v) = 1 + #{q : v > t_q} — deterministic under ties.
+      // r18: the three metrics run through ONE unpivoted
+      // (user, metric, v) pass instead of three clones of the
+      // histogram/threshold machinery (~15 exchanges → ~6): the
+      // cumulative fold becomes a metric-PARTITIONED window over the
+      // value-grain histogram (same per-metric values as the former
+      // coalesce(1) fold, and no unpartitioned window at all), and the
+      // three bucket columns pivot back in one conditional aggregate.
+      // recency/frequency ride as exact integer-valued doubles
+      // (< 2^53, so grouping and the v > t comparisons are exact);
+      // monetary was double already.
+      val m = u.select(col("user_id"), explode(map(
+          lit("r"), col("recency").cast("double"),
+          lit("f"), col("frequency").cast("double"),
+          lit("m"), col("monetary"))).as(Seq("metric", "v")))
+      val cum = m.groupBy(col("metric"), col("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("metric")).orderBy(col("v"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .cut("Round11b.scala:312", kRowFold = true)
-        val n = cum.agg(max(col("cum")).as("n"))
-        val thr = broadcast(u.sparkSession.range(1, 5).select(col("id").as("q")))
-          .crossJoin(broadcast(n))
-          .join(cum, col("cum") * 5 >= col("q") * col("n"))
-          .groupBy(col("q")).agg(min(col("v")).as("t"))
-        u.select(col("user_id"), col(metric).as("v"))
-          .crossJoin(broadcast(thr))
-          .groupBy(col("user_id"))
-          .agg((lit(1L) + sum(when(col("v") > col("t"), 1L).otherwise(0L)))
-            .as(s"${metric}_bucket"))
-      }
-      u.join(buckets("recency"), "user_id")
-        .join(buckets("frequency"), "user_id")
-        .join(buckets("monetary"), "user_id")
+        .cut("Round11b.scala:rfm-cum")
+      val n = cum.groupBy(col("metric")).agg(max(col("cum")).as("n"))
+      val thr = broadcast(u.sparkSession.range(1, 5).select(col("id").as("q")))
+        .crossJoin(broadcast(n))
+        .join(cum, Seq("metric"))
+        .filter(col("cum") * 5 >= col("q") * col("n"))
+        .groupBy(col("metric"), col("q")).agg(min(col("v")).as("t"))
+      val b = m.join(broadcast(thr), Seq("metric"))
+        .groupBy(col("user_id"), col("metric"))
+        .agg((lit(1L) + sum(when(col("v") > col("t"), 1L).otherwise(0L))).as("bk"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("metric") === "r", col("bk"))).as("recency_bucket"),
+          max(when(col("metric") === "f", col("bk"))).as("frequency_bucket"),
+          max(when(col("metric") === "m", col("bk"))).as("monetary_bucket"))
+      u.join(b, "user_id")
         .select(col("user_id"), col("recency"), col("frequency"), col("monetary"),
           col("recency_bucket"), col("frequency_bucket"), col("monetary_bucket"))
         .orderBy(col("user_id"))
